@@ -1,0 +1,304 @@
+"""MPPI controller: the full solve as one jitted pure function.
+
+Reference: scripts/src/controllers/controller_base.py (Python) and
+include/controller_base.hpp + src/controller_base.cpp (C++). The whole of the
+reference's per-step graph — noise generation, tau-step rollout, softmax
+update, shift (controller_base.py:299-346) — is here a single pure function
+
+    solve(key, state, useq, model_params, cost_params)
+        -> (action, next_useq, info)
+
+jitted once and fused end-to-end by XLA; the horizon loop is a ``lax.scan``
+instead of the reference's tau-times graph unrolling (controller_base.py:401,
+controller_base.cpp:251).
+
+Defect fixed by design: the reference Python controller loses its update —
+the shifted sequence is assigned to a local and ``self._actionSeq`` is never
+written back, so the nominal sequence stays zeros forever
+(controller_base.py:339-341 vs :452). The C++ version persists it
+(``m_U = out_tensor[0]``, controller_base.cpp:144). This implementation
+carries U explicitly through the solve and the stateful wrapper stores the
+returned sequence — the C++ (correct receding-horizon) semantics.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import noise as noise_ops
+from ..ops import update as upd
+from ..ops.rollout import rollout_costs
+
+
+def savgol_matrix(tau: int, window: int, polyorder: int) -> np.ndarray:
+    """Savitzky–Golay smoothing as a linear operator S: filtered = S @ seq.
+
+    The SG filter is linear, so applying :func:`scipy.signal.savgol_filter`
+    to the identity yields the full operator once on the host; inside jit the
+    filter is then a single [tau, tau] matmul. Replaces the reference's
+    host-side numpy round trip (controller_base.py:281-291), whose result was
+    written to a never-read attribute — here the filtered sequence is
+    actually used.
+    """
+    from scipy.signal import savgol_filter
+
+    eye = np.eye(tau)
+    return savgol_filter(eye, window, polyorder, deriv=0, delta=1.0, axis=0)
+
+
+class MPPI:
+    """Information-theoretic MPPI controller.
+
+    Args mirror the reference constructor (controller_base.py:19-38):
+        model/cost: objects from :mod:`..models` / :mod:`..costs`.
+        k: number of samples; tau: horizon; lam: inverse temperature;
+        upsilon: noise covariance augmentation;
+        sigma: [aDim, aDim] noise scale matrix;
+        init_seq: optional [tau, aDim] initial action sequence;
+        normalize_cost: normalize exp argument by its max (helps f32 at
+            large K, controller_base.py:468-474);
+        filter_seq: apply Savitzky–Golay smoothing to the updated sequence;
+        clip_actions: clip the updated sequence to the model's action limits
+            (controller_base.py:500-504);
+        seed: PRNG seed for the per-solve noise keys.
+    """
+
+    def __init__(
+        self,
+        model,
+        cost,
+        k: int = 1,
+        tau: int = 1,
+        lam: float = 1.0,
+        upsilon: float = 1.0,
+        sigma=None,
+        init_seq=None,
+        normalize_cost: bool = False,
+        filter_seq: bool = False,
+        filter_window: int = 9,
+        filter_polyorder: int = 3,
+        clip_actions: bool = False,
+        seed: int = 0,
+        observer=None,
+        log: bool = False,
+    ):
+        self._model = model
+        self._cost = cost
+        self._k = int(k)
+        self._tau = int(tau)
+        self._lam = float(lam)
+        self._upsilon = float(upsilon)
+        self._sdim = model.get_state_dim()
+        self._adim = model.get_action_dim()
+        self._normalize_cost = bool(normalize_cost)
+        self._clip_actions = bool(clip_actions)
+        self._observer = observer
+        self._log = log
+        dtype = model.dtype
+        self._dtype = dtype
+
+        if sigma is None:
+            raise ValueError("sigma (noise scale matrix) is required")
+        self._sigma = jnp.asarray(np.asarray(sigma, np.float64), dtype=dtype)
+        if self._sigma.shape != (self._adim, self._adim):
+            raise AssertionError(
+                f"sigma must be [{self._adim}, {self._adim}], got {self._sigma.shape}"
+            )
+
+        self._filter_seq = bool(filter_seq)
+        if self._filter_seq:
+            self._S = jnp.asarray(
+                savgol_matrix(tau, filter_window, filter_polyorder), dtype=dtype
+            )
+        else:
+            self._S = None
+
+        # mutable controller state (host side)
+        if init_seq is None:
+            self._useq = jnp.zeros((tau, self._adim), dtype=dtype)
+        else:
+            init_seq = jnp.asarray(init_seq, dtype=dtype).reshape(tau, self._adim)
+            self._useq = init_seq
+        self._key = jax.random.PRNGKey(seed)
+        self._mparams = model.init_params()
+        self._cparams = cost.init_params()
+        self._steps = 0
+        self._timing = {"total": 0.0, "calls": 0}
+
+        # jit once; donate useq so the update is in-place on device.
+        self._solve_jit = jax.jit(self._solve, donate_argnums=(2,))
+        self._solve_with_noise_jit = jax.jit(self._solve_with_noise)
+
+    # ------------------------------------------------------------------
+    # pure core
+    # ------------------------------------------------------------------
+    def _rollout(self, state, useq, eps, mparams, cparams):
+        """Per-sample rollout costs. Reference: controller_base.py:371-434."""
+        model, cost = self._model, self._cost
+        return rollout_costs(
+            step_fn=lambda x, u: model.step(mparams, x, u),
+            state_cost_fn=lambda x: cost.state_cost(cparams, x),
+            action_cost_fn=cost.action_cost,
+            terminal_cost_fn=lambda x: cost.final_cost(cparams, x),
+            x0=state,
+            useq=useq,
+            noises=eps,
+        )
+
+    def _update_and_shift(self, useq, costs, eps):
+        """Softmax update, emit U[0], shift. Reference: controller_base.py:436-462,
+        547-560 with the C++ receding-horizon carry (controller_base.cpp:144)."""
+        wnoise = upd.mppi_update(
+            costs, eps, self._lam, normalize=self._normalize_cost
+        )
+        new_useq = useq + wnoise
+        if self._clip_actions:
+            new_useq = jnp.clip(
+                new_useq, self._model.min_act(), self._model.max_act()
+            )
+        if self._S is not None:
+            new_useq = self._S @ new_useq
+        action = upd.get_next(new_useq, 1)[0]
+        init = upd.init_zeros(1, self._adim, dtype=new_useq.dtype)
+        shifted = upd.shift(new_useq, init, 1)
+        info = {
+            "cost_min": jnp.min(costs),
+            "cost_mean": jnp.mean(costs),
+            "cost_max": jnp.max(costs),
+            "weighted_noise": wnoise,
+            "useq": new_useq,
+        }
+        if self._log:
+            # full per-sample tensors only when observing/debugging
+            b = upd.beta(costs)
+            arg = upd.norm_arg(costs, b, normalize=self._normalize_cost)
+            e = upd.exp(upd.exp_arg(arg, self._lam))
+            n = upd.nabla(e)
+            info.update(
+                sample_costs=costs,
+                weights=upd.weights(e, n),
+                nabla=n,
+                arg=arg,
+            )
+        return action, shifted, info
+
+    def _solve_with_noise(self, eps, state, useq, mparams, cparams):
+        """Deterministic solve with injected noise — the parity-test surface.
+
+        TF's seeded Philox stream (seed=2, controller_base.py:366) cannot be
+        replicated in JAX; tests inject identical noise realisations as data
+        and compare updated sequences instead (SURVEY.md §7).
+        """
+        costs = self._rollout(state, useq, eps, mparams, cparams)
+        return self._update_and_shift(useq, costs, eps)
+
+    def _solve(self, key, state, useq, mparams, cparams):
+        """Full solve: sample noise, rollout, update, shift."""
+        eps = noise_ops.sample_noise(
+            key, self._k, self._tau, self._adim, self._sigma,
+            self._upsilon, dtype=useq.dtype,
+        )
+        costs = self._rollout(state, useq, eps, mparams, cparams)
+        return self._update_and_shift(useq, costs, eps)
+
+    # ------------------------------------------------------------------
+    # stateful wrapper — the reference's user-facing API
+    # ------------------------------------------------------------------
+    def next(self, state) -> np.ndarray:
+        """Compute the next action and advance the nominal sequence.
+
+        Reference: controller_base.py:251-297 / controller_base.cpp:135-153.
+        state: [sDim] (or [sDim, 1], squeezed) -> action [aDim].
+        """
+        state = jnp.asarray(np.asarray(state, np.float64).reshape(-1),
+                            dtype=self._dtype)
+        start = time.perf_counter()
+        self._key, sub = jax.random.split(self._key)
+        action, self._useq, info = self._solve_jit(
+            sub, state, self._useq, self._mparams, self._cparams
+        )
+        action_np = np.asarray(action)
+        end = time.perf_counter()
+        self._timing["total"] += end - start
+        self._timing["calls"] += 1
+        if self._observer is not None:
+            self._observer.write_control(state=state, action=action_np, info=info)
+        self._steps += 1
+        return action_np
+
+    def save(self, x, u, x_next):
+        """Log one-step prediction error for the applied transition.
+
+        Reference: controller_base.py:147-210 (save/predict/state_error).
+        """
+        if self._observer is None:
+            return
+        x = jnp.asarray(np.asarray(x, np.float64).reshape(-1), dtype=self._dtype)
+        u = jnp.asarray(np.asarray(u, np.float64).reshape(-1), dtype=self._dtype)
+        x_next = jnp.asarray(np.asarray(x_next, np.float64).reshape(-1),
+                             dtype=self._dtype)
+        pred = self._model.predict(self._mparams, x, u)
+        self._observer.write_predict(x=x, u=u, x_next=x_next, pred=pred,
+                                     cost=self._cost, cparams=self._cparams)
+        self._observer.advance()
+
+    def set_goal(self, goal):
+        """Update the cost goal without retracing. Reference: controller_base.py:597-598."""
+        self._cparams = self._cost.set_goal(self._cparams, goal)
+
+    def trace(self):
+        """Pre-compile the solve with a fake state. Reference: controller_base.py:562-585."""
+        fake = np.zeros((self._sdim,))
+        if self._sdim >= 7:
+            fake[6] = 1.0  # unit quaternion for AUV-style states
+        _ = self.next(fake)
+        # reset mutable state disturbed by the warmup
+        self._useq = jnp.zeros_like(self._useq)
+        self._steps = 0
+        self._timing = {"total": 0.0, "calls": 0}
+
+    def profile(self, logdir: Optional[str] = None):
+        """Run one solve under the JAX profiler. Reference: controller_base.py:587-595."""
+        fake = np.zeros((self._sdim,))
+        if self._sdim >= 7:
+            fake[6] = 1.0
+        if logdir is None and self._observer is not None:
+            logdir = self._observer.get_logdir()
+        if logdir is not None:
+            with jax.profiler.trace(logdir):
+                a = self.next(fake)
+                jax.block_until_ready(a)
+        else:
+            a = self.next(fake)
+            jax.block_until_ready(a)
+
+    def dump_hlo(self) -> str:
+        """Return the compiled solve's HLO text — the reference's graph-dump
+        analogue (utile.cpp:46-54 logGraph / observer_base.py:84-93)."""
+        state = jnp.zeros((self._sdim,), dtype=self._dtype)
+        lowered = jax.jit(self._solve).lower(
+            self._key, state, self._useq, self._mparams, self._cparams
+        )
+        return lowered.compile().as_text()
+
+    # accessors ---------------------------------------------------------
+    @property
+    def useq(self):
+        return self._useq
+
+    @property
+    def timing(self):
+        return dict(self._timing)
+
+    @property
+    def model_params(self):
+        return self._mparams
+
+    @model_params.setter
+    def model_params(self, p):
+        self._mparams = p

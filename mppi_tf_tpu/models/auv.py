@@ -1,0 +1,306 @@
+"""AUV (autonomous underwater vehicle) 6-DoF Fossen dynamics.
+
+Reference: scripts/src/models/auv_model.py — uuv_sim-style vehicle model:
+state ``[x y z | qx qy qz qw | u v w p q r]`` (13), rigid-body + added mass,
+linear/quadratic/forward-speed damping, Coriolis, restoring (gravity /
+buoyancy) forces, quaternion kinematics, RK1/RK2/RK4 integration with
+quaternion renormalization.
+
+TPU-first design notes:
+- all 6x6 constant matrices (rigid-body mass, added mass, total-mass inverse)
+  are precomputed on the host in f64 once, like the reference's setup
+  (auv_model.py:234-241), then stored at working precision;
+- the per-step batched math is expressed as [k, n] x [n, m] matmuls and
+  vectorized skew/quaternion ops — no per-sample loops, no dynamic shapes;
+- everything is a pure function of (params, x, u); the trainable physical
+  parameters (mass, inertia) live in the params pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import quaternion as quat
+from .base import ModelBase
+
+GRAVITY = 9.81
+
+
+def _np_skew(v):
+    return np.array([
+        [0.0, -v[2], v[1]],
+        [v[2], 0.0, -v[0]],
+        [-v[1], v[0], 0.0],
+    ])
+
+
+class AUVModel(ModelBase):
+    """Fossen-equation AUV dynamics.
+
+    ``parameters`` follows the reference model-config YAML family
+    (config/models/rexrov2.default.yaml): mass, volume, density, cog, cob,
+    Ma (6x6 added mass), linear_damping (6 or 6x6), quad_damping (6),
+    linear_damping_forward_speed (6 or 6x6), inertial {ixx iyy izz ixy ixz
+    iyz}, rk (integration order 1/2/4).
+
+    Reference: auv_model.py:87-241 (constructor/validation),
+    :285-306 (step/RK switch), :308-333 (state_dot), :544-559 (acc).
+    """
+
+    STATE_DIM = 13
+
+    def __init__(
+        self,
+        parameters: Dict[str, Any],
+        dt: float = 0.1,
+        action_dim: int = 6,
+        act_max=None,
+        act_min=None,
+        name: str = "AUV",
+        inertial_frame_id: str = "world",
+        dtype=jnp.float32,
+    ):
+        super().__init__(self.STATE_DIM, action_dim, dt=dt, name=name,
+                         act_max=act_max, act_min=act_min, dtype=dtype)
+        if inertial_frame_id not in ("world", "world_ned"):
+            raise AssertionError("inertial frame must be world or world_ned")
+        self._rk = int(parameters.get("rk", 1))
+        if self._rk not in (1, 2, 4):
+            raise AssertionError(f"rk must be 1, 2, or 4, got {self._rk}")
+
+        # --- parameter validation (auv_model.py:126-228) ---
+        mass = float(parameters.get("mass", 0.0))
+        assert mass > 0, "Mass has to be positive."
+        volume = float(parameters.get("volume", 0.0))
+        assert volume > 0, "Volume has to be positive."
+        density = float(parameters.get("density", 0.0))
+        assert density > 0, "Liquid density has to be positive."
+        if "cog" not in parameters:
+            raise AssertionError(
+                "need to define the center of gravity in the body frame")
+        cog = np.asarray(parameters["cog"], dtype=np.float64)
+        assert cog.shape == (3,), "Invalid center of gravity vector."
+        if "cob" not in parameters:
+            raise AssertionError(
+                "need to define the center of buoyancy in the body frame")
+        cob = np.asarray(parameters["cob"], dtype=np.float64)
+        assert cob.shape == (3,), "Invalid center of buoyancy vector."
+
+        added_mass = np.zeros((6, 6))
+        if "Ma" in parameters:
+            added_mass = np.asarray(parameters["Ma"], dtype=np.float64)
+            assert added_mass.shape == (6, 6), "Invalid added mass matrix."
+
+        lin_damp = np.zeros((6, 6))
+        if "linear_damping" in parameters:
+            lin_damp = np.asarray(parameters["linear_damping"], np.float64)
+            if lin_damp.shape == (6,):
+                lin_damp = np.diag(lin_damp)
+            assert lin_damp.shape == (6, 6), "Invalid linear damping."
+
+        quad_damp = np.zeros(6)
+        if "quad_damping" in parameters:
+            quad_damp = np.asarray(parameters["quad_damping"], np.float64)
+            assert quad_damp.shape == (6,), "Invalid quadratic damping."
+
+        lin_damp_fwd = np.zeros((6, 6))
+        if "linear_damping_forward_speed" in parameters:
+            lin_damp_fwd = np.asarray(
+                parameters["linear_damping_forward_speed"], np.float64)
+            if lin_damp_fwd.shape == (6,):
+                lin_damp_fwd = np.diag(lin_damp_fwd)
+            assert lin_damp_fwd.shape == (6, 6), "Invalid forward damping."
+
+        inertial_cfg = parameters.get("inertial", {})
+        for key in ("ixx", "iyy", "izz", "ixy", "ixz", "iyz"):
+            if key not in inertial_cfg:
+                raise AssertionError("Invalid moments of inertia")
+
+        self._mass0 = mass
+        self._volume = volume
+        self._density = density
+        self._cog_np = cog
+        self._cob_np = cob
+        self._added_mass_np = added_mass
+        self._inertial0 = {k: float(inertial_cfg[k]) for k in
+                           ("ixx", "iyy", "izz", "ixy", "ixz", "iyz")}
+
+        # non-trainable constants at working precision
+        self.cog = jnp.asarray(cog, dtype=dtype)
+        self.cob = jnp.asarray(cob, dtype=dtype)
+        self.added_mass = jnp.asarray(added_mass, dtype=dtype)
+        self.lin_damp = jnp.asarray(lin_damp, dtype=dtype)
+        self.quad_damp = jnp.asarray(np.diag(quad_damp), dtype=dtype)
+        self.lin_damp_fwd = jnp.asarray(lin_damp_fwd, dtype=dtype)
+
+    # ------------------------------------------------------------------
+    # parameters
+    # ------------------------------------------------------------------
+    def init_params(self):
+        """Trainable physical parameters: mass + inertia tensor entries.
+
+        Reference treats mass and the six inertia moments as trainable
+        tf.Variables (auv_model.py:128-130, :265-280).
+        """
+        i = self._inertial0
+        return {
+            "mass": jnp.asarray(self._mass0, dtype=self._dtype),
+            "inertial": jnp.asarray(
+                [i["ixx"], i["iyy"], i["izz"], i["ixy"], i["ixz"], i["iyz"]],
+                dtype=self._dtype,
+            ),
+        }
+
+    def _mass_matrices(self, params):
+        """Total mass matrix M = M_RB + M_A and its inverse.
+
+        Reference: auv_model.py:234-241, 257-263. Differentiable wrt params
+        (recomputed per trace; XLA constant-folds when params are literals).
+        """
+        m = params["mass"]
+        ix = params["inertial"]
+        inertia = jnp.asarray(
+            [[ix[0], ix[3], ix[4]],
+             [ix[3], ix[1], ix[5]],
+             [ix[4], ix[5], ix[2]]]
+        )
+        mass_eye = m * jnp.eye(3, dtype=self._dtype)
+        mass_lower = m * quat.skew(self.cog)
+        upper = jnp.concatenate([mass_eye, -mass_lower], axis=1)
+        lower = jnp.concatenate([mass_lower, inertia], axis=1)
+        m_rb = jnp.concatenate([upper, lower], axis=0)
+        m_tot = m_rb + self.added_mass
+        return m_tot, jnp.linalg.inv(m_tot)
+
+    # ------------------------------------------------------------------
+    # dynamics terms (each batched over leading k)
+    # ------------------------------------------------------------------
+    def damping_matrix(self, vel: jax.Array) -> jax.Array:
+        """D(nu): linear + forward-speed-proportional + quadratic damping.
+
+        vel: [k, 6] -> [k, 6, 6]. Reference: auv_model.py:478-506.
+        """
+        D = -self.lin_damp[None] - vel[:, 0, None, None] * self.lin_damp_fwd[None]
+        quad = -jnp.einsum(
+            "ij,kjl->kil",
+            self.quad_damp,
+            jnp.abs(vel)[:, :, None] * jnp.eye(6, dtype=vel.dtype)[None],
+        )
+        return D + quad
+
+    def coriolis_matrix(self, m_tot: jax.Array, vel: jax.Array) -> jax.Array:
+        """C(nu) built from skew products of M nu. vel: [k, 6] -> [k, 6, 6].
+
+        Reference: auv_model.py:508-542.
+        """
+        s12_arg = vel[:, :3] @ m_tot[0:3, 0:3].T + vel[:, 3:6] @ m_tot[0:3, 3:6].T
+        s22_arg = vel[:, :3] @ m_tot[3:6, 0:3].T + vel[:, 3:6] @ m_tot[3:6, 3:6].T
+        S12 = -quat.skew(s12_arg)
+        S22 = -quat.skew(s22_arg)
+        zeros = jnp.zeros_like(S12)
+        top = jnp.concatenate([zeros, S12], axis=-1)
+        bottom = jnp.concatenate([S12, S22], axis=-1)
+        return jnp.concatenate([top, bottom], axis=-2)
+
+    def restoring_forces(self, params, rot_btoi: jax.Array) -> jax.Array:
+        """Gravity/buoyancy wrench in body frame. rot: [k, 3, 3] -> [k, 6].
+
+        Reference: auv_model.py:450-476.
+        """
+        unit_z = jnp.asarray([0.0, 0.0, 1.0], dtype=rot_btoi.dtype)
+        fng = -params["mass"] * GRAVITY * unit_z
+        fnb = self._volume * self._density * GRAVITY * unit_z
+        rot_itob = jnp.swapaxes(rot_btoi, -1, -2)
+        fbg = rot_itob @ fng  # [k, 3]
+        fbb = rot_itob @ fnb
+        mbg = jnp.cross(jnp.broadcast_to(self.cog, fbg.shape), fbg)
+        mbb = jnp.cross(jnp.broadcast_to(self.cob, fbb.shape), fbb)
+        return -jnp.concatenate([fbg + fbb, mbg + mbb], axis=-1)
+
+    def acc(self, params, vel: jax.Array, gen_force: jax.Array,
+            rot_btoi: jax.Array) -> jax.Array:
+        """nu_dot = M^-1 (tau - C nu - D nu - g). vel: [k, 6] -> [k, 6].
+
+        Reference: auv_model.py:544-559.
+        """
+        m_tot, inv_m = self._mass_matrices(params)
+        D = self.damping_matrix(vel)
+        C = self.coriolis_matrix(m_tot, vel)
+        Dv = jnp.einsum("kij,kj->ki", D, vel)
+        Cv = jnp.einsum("kij,kj->ki", C, vel)
+        g = self.restoring_forces(params, rot_btoi)
+        rhs = gen_force - Cv - Dv - g
+        return rhs @ inv_m.T
+
+    def state_dot(self, params, state: jax.Array, action: jax.Array) -> jax.Array:
+        """x_dot = f(x, u). state: [k, 13], action: [k, 6] -> [k, 13].
+
+        Reference: auv_model.py:308-333.
+        """
+        q = state[:, 3:7]
+        vel = state[:, 7:13]
+        rot_btoi = quat.to_rotation_matrix(q)       # [k, 3, 3]
+        t_quat = quat.attitude_jacobian(q)          # [k, 4, 3]
+        pos_dot = jnp.einsum("kij,kj->ki", rot_btoi, vel[:, :3])
+        quat_dot = jnp.einsum("kij,kj->ki", t_quat, vel[:, 3:6])
+        vel_dot = self.acc(params, vel, action, rot_btoi)
+        return jnp.concatenate([pos_dot, quat_dot, vel_dot], axis=-1)
+
+    def normalize_quat(self, state: jax.Array) -> jax.Array:
+        """Renormalize the quaternion block. Reference: auv_model.py:426-448."""
+        q = quat.normalize(state[:, 3:7])
+        return jnp.concatenate([state[:, 0:3], q, state[:, 7:13]], axis=-1)
+
+    def step(self, params, x: jax.Array, u: jax.Array) -> jax.Array:
+        """RK1/RK2/RK4 integration + quaternion renormalization.
+
+        Reference: auv_model.py:285-306. Note the reference's rk==4 branch
+        scales k4 by dt inside the average — a defect; the standard RK4
+        weighting is used here (the reference's own configs use rk 1/2).
+        """
+        dt = self._dt
+        k1 = self.state_dot(params, x, u)
+        if self._rk == 1:
+            delta = dt * k1
+        elif self._rk == 2:
+            k2 = self.state_dot(params, x + dt * k1, u)
+            delta = (dt / 2.0) * (k1 + k2)
+        else:  # rk == 4
+            k2 = self.state_dot(params, x + (dt / 2.0) * k1, u)
+            k3 = self.state_dot(params, x + (dt / 2.0) * k2, u)
+            k4 = self.state_dot(params, x + dt * k3, u)
+            delta = (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        return self.normalize_quat(x + delta)
+
+    # ------------------------------------------------------------------
+    def get_jacobian(self, state: jax.Array) -> jax.Array:
+        """J(nu): [k, 7, 6] pose-rate map (R | T_q block diagonal).
+
+        Reference: auv_model.py:335-351.
+        """
+        q = state[:, 3:7]
+        rot = quat.to_rotation_matrix(q)
+        tq = quat.attitude_jacobian(q)
+        k = state.shape[0]
+        z34 = jnp.zeros((k, 3, 3), dtype=state.dtype)
+        z43 = jnp.zeros((k, 4, 3), dtype=state.dtype)
+        top = jnp.concatenate([rot, z34], axis=-1)
+        bottom = jnp.concatenate([z43, tq], axis=-1)
+        return jnp.concatenate([top, bottom], axis=-2)
+
+    def print_info(self, params=None):
+        """Reference: auv_model.py:243-255."""
+        if params is None:
+            params = self.init_params()
+        m_tot, _ = self._mass_matrices(params)
+        print("=" * 5, " Model Info ", "=" * 5)
+        print(f"Mass: {float(params['mass']):.3f} kg")
+        print(f"M:\n{np.asarray(m_tot)}")
+        print(f"Linear damping:\n{np.asarray(self.lin_damp)}")
+        print(f"Quad. damping:\n{np.asarray(self.quad_damp)}")
+        print(f"Center of gravity:\n{np.asarray(self.cog)}")
+        print(f"Center of buoyancy:\n{np.asarray(self.cob)}")

@@ -1,0 +1,168 @@
+"""Controller tests: full-solve parity against a numpy mirror, plus the
+end-to-end regression the reference lacks (point-mass converges to goal).
+
+Parity strategy per SURVEY.md §7: TF's seeded Philox stream cannot be
+replicated, so identical noise realisations are injected as data and the
+updated sequences compared (reference semantics from
+controller_base.py:299-346 with the C++ receding-horizon carry,
+controller_base.cpp:144).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mppi_tf_tpu.controller.mppi import MPPI
+from mppi_tf_tpu.costs.static import StaticCost
+from mppi_tf_tpu.models.point_mass import PointMassModel
+
+
+def np_reference_solve(x0, useq, eps, dt, mass, goal, Q, lam, gamma, ups,
+                       sigma, normalize=False):
+    """Numpy mirror of the complete reference MPPI step
+    (controller_base.py:299-346 + cost_base.py:43-170)."""
+    k, tau, adim = eps.shape
+    sdim = x0.shape[0]
+    A = np.zeros((sdim, sdim))
+    B = np.zeros((sdim, adim))
+    for i in range(sdim // 2):
+        A[2 * i, 2 * i] = 1.0
+        A[2 * i, 2 * i + 1] = dt
+        A[2 * i + 1, 2 * i + 1] = 1.0
+    for j in range(adim):
+        B[2 * j, j] = dt * dt / 2.0
+        B[2 * j + 1, j] = dt
+    inv_sig = np.linalg.inv(sigma)
+
+    x = np.broadcast_to(x0, (k, sdim)).copy()
+    costs = np.zeros(k)
+    for t in range(tau):
+        u, e = useq[t], eps[:, t]
+        x = x @ A.T + ((u + e) @ B.T) / mass
+        d = x - goal
+        costs += np.einsum("ki,ij,kj->k", d, Q, d)
+        costs += 0.5 * (
+            gamma * (u @ inv_sig @ u)
+            + 2.0 * gamma * (e @ inv_sig @ u)
+            + lam * (1.0 - 1.0 / ups) * np.einsum("ka,ab,kb->k", e, inv_sig, e)
+        )
+    d = x - goal
+    costs += np.einsum("ki,ij,kj->k", d, Q, d)  # terminal
+
+    beta = costs.min()
+    arg = costs - beta
+    if normalize:
+        arg = arg / arg.max()
+    w = np.exp(-arg / lam)
+    w = w / w.sum()
+    new_useq = useq + np.einsum("k,kta->ta", w, eps)
+    action = new_useq[0].copy()
+    shifted = np.vstack([new_useq[1:], np.zeros((1, adim))])
+    return action, shifted, costs
+
+
+def _mk_controller(k=50, tau=10, sdim=6, adim=3, lam=1.2, gamma=1.1,
+                   ups=2.0, mass=1.5, normalize=False, **kw):
+    dt = 0.1
+    sigma = np.diag([0.25, 0.3, 0.2][:adim])
+    goal = np.zeros(sdim)
+    goal[0] = 1.0
+    Q = np.eye(sdim)
+    model = PointMassModel(mass=mass, dt=dt, state_dim=sdim, action_dim=adim,
+                           dtype=jnp.float64)
+    cost = StaticCost(lam, gamma, ups, sigma, goal, Q, dtype=jnp.float64)
+    ctrl = MPPI(model, cost, k=k, tau=tau, lam=lam, upsilon=ups, sigma=sigma,
+                normalize_cost=normalize, **kw)
+    return ctrl, dict(dt=dt, mass=mass, goal=goal, Q=Q, lam=lam, gamma=gamma,
+                      ups=ups, sigma=sigma)
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_solve_parity_with_injected_noise(normalize):
+    ctrl, p = _mk_controller(normalize=normalize)
+    rng = np.random.default_rng(9)
+    k, tau, adim = 50, 10, 3
+    eps = rng.normal(size=(k, tau, adim)) * 0.3
+    x0 = rng.normal(size=6)
+    useq = rng.normal(size=(tau, adim)) * 0.1
+
+    action, shifted, _ = ctrl._solve_with_noise_jit(
+        jnp.asarray(eps), jnp.asarray(x0), jnp.asarray(useq),
+        ctrl.model_params, ctrl._cparams,
+    )
+    exp_action, exp_shifted, _ = np_reference_solve(
+        x0, useq, eps, p["dt"], p["mass"], p["goal"], p["Q"], p["lam"],
+        p["gamma"], p["ups"], p["sigma"], normalize=normalize,
+    )
+    np.testing.assert_allclose(action, exp_action, rtol=1e-9)
+    np.testing.assert_allclose(shifted, exp_shifted, rtol=1e-9, atol=1e-12)
+
+
+def test_receding_horizon_carries_sequence():
+    """The nominal sequence must persist across calls (the reference Python
+    controller's lost-update defect must NOT be reproduced, SURVEY.md §2.1)."""
+    ctrl, _ = _mk_controller(k=100, tau=5)
+    x = np.array([2.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    before = np.asarray(ctrl.useq).copy()
+    ctrl.next(x)
+    after = np.asarray(ctrl.useq)
+    assert not np.allclose(before, after), "sequence was not carried forward"
+
+
+def test_closed_loop_converges_to_goal():
+    """End-to-end regression: MPPI on the point mass reaches the goal."""
+    ctrl, p = _mk_controller(k=500, tau=25, lam=0.8, gamma=0.2, ups=1.0,
+                             mass=1.0)
+    model = ctrl._model
+    mp = ctrl.model_params
+    x = jnp.zeros(6, dtype=jnp.float64)
+    for _ in range(60):
+        u = ctrl.next(np.asarray(x))
+        x = model.predict(mp, x, jnp.asarray(u))
+    final = np.asarray(x)
+    # goal is [1, 0, 0, 0, 0, 0]
+    assert abs(final[0] - 1.0) < 0.2, f"did not reach goal: {final}"
+    assert np.all(np.abs(final[1::2]) < 0.5), f"velocities too large: {final}"
+
+
+def test_clip_actions():
+    ctrl, _ = _mk_controller(k=20, tau=4, clip_actions=True)
+    rng = np.random.default_rng(10)
+    eps = rng.normal(size=(20, 4, 3)) * 100.0  # huge noise forces clipping
+    action, shifted, _ = ctrl._solve_with_noise_jit(
+        jnp.asarray(eps), jnp.zeros(6), jnp.zeros((4, 3)),
+        ctrl.model_params, ctrl._cparams,
+    )
+    assert np.all(np.asarray(action) <= 1.0 + 1e-12)
+    assert np.all(np.asarray(action) >= -1.0 - 1e-12)
+
+
+def test_filter_seq_smooths():
+    ctrl, _ = _mk_controller(k=20, tau=15, filter_seq=True,
+                             filter_window=9, filter_polyorder=3)
+    from mppi_tf_tpu.controller.mppi import savgol_matrix
+    S = savgol_matrix(15, 9, 3)
+    # the operator applied to a cubic is exact
+    t = np.arange(15.0)
+    cubic = 0.3 * t**3 - t**2 + 2.0
+    np.testing.assert_allclose(S @ cubic, cubic, rtol=1e-9)
+
+
+def test_set_goal_no_retrace():
+    ctrl, _ = _mk_controller(k=20, tau=4)
+    x = np.zeros(6)
+    ctrl.next(x)
+    ctrl.set_goal(np.array([0.0, 0.0, 3.0, 0.0, 0.0, 0.0]))
+    u = ctrl.next(x)
+    assert u.shape == (3,)
+    # with the goal on the y axis, y-force should dominate
+    assert ctrl._cparams["goal"][2] == 3.0
+
+
+def test_timing_dict():
+    ctrl, _ = _mk_controller(k=10, tau=3)
+    ctrl.next(np.zeros(6))
+    ctrl.next(np.zeros(6))
+    assert ctrl.timing["calls"] == 2
+    assert ctrl.timing["total"] > 0.0

@@ -1,0 +1,152 @@
+"""Cost-function tests with hand-computed expectations.
+
+Mirrors the reference TestCost / TestStaticCost strategy
+(scripts/test.py:685-840, :841-1361): action-cost algebra across
+lambda/gamma/upsilon variants and quadratic state costs.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mppi_tf_tpu.costs.base import CostBase
+from mppi_tf_tpu.costs.static import StaticCost, StaticQuatCost
+
+
+def np_action_cost(u, eps, lam, gamma, ups, sigma):
+    """Numpy mirror of the info-theoretic action cost (cost_base.py:114-170)."""
+    inv = np.linalg.inv(sigma)
+    a = gamma * (u @ inv @ u)
+    mix = 2.0 * gamma * (eps @ inv @ u)
+    n = lam * (1.0 - 1.0 / ups) * np.einsum("ka,ab,kb->k", eps, inv, eps)
+    return 0.5 * (a + mix + n)
+
+
+class _QuadCost(StaticCost):
+    pass
+
+
+@pytest.mark.parametrize(
+    "adim,lam,gamma,ups",
+    [(2, 1.0, 1.0, 1.0), (3, 1.5, 2.0, 3.0), (4, 0.5, 1.2, 1.01)],
+)
+def test_action_cost_algebra(adim, lam, gamma, ups):
+    rng = np.random.default_rng(5)
+    sigma = np.diag(rng.uniform(0.5, 2.0, size=adim))
+    goal = np.zeros(2 * adim)
+    Q = np.eye(2 * adim)
+    cost = StaticCost(lam, gamma, ups, sigma, goal, Q, dtype=jnp.float64)
+    u = rng.normal(size=(adim,))
+    eps = rng.normal(size=(7, adim))
+    got = cost.action_cost(jnp.asarray(u), jnp.asarray(eps))
+    np.testing.assert_allclose(
+        got, np_action_cost(u, eps, lam, gamma, ups, sigma), rtol=1e-12
+    )
+
+
+def test_action_cost_upsilon_one_drops_noise_term():
+    """At upsilon=1 the lam*(1-1/ups) noise term vanishes."""
+    rng = np.random.default_rng(6)
+    sigma = np.eye(2)
+    cost = StaticCost(1.0, 1.0, 1.0, sigma, np.zeros(4), np.eye(4),
+                      dtype=jnp.float64)
+    u = rng.normal(size=(2,))
+    eps = rng.normal(size=(5, 2))
+    got = np.asarray(cost.action_cost(jnp.asarray(u), jnp.asarray(eps)))
+    expect = 0.5 * (u @ u + 2.0 * eps @ u)
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+
+class TestStaticCost:
+    def test_state_cost_quadratic(self):
+        rng = np.random.default_rng(7)
+        sdim = 4
+        Q = rng.normal(size=(sdim, sdim))
+        Q = Q @ Q.T
+        goal = rng.normal(size=sdim)
+        cost = StaticCost(1.0, 1.0, 1.0, np.eye(2), goal, Q, dtype=jnp.float64)
+        cp = cost.init_params()
+        x = rng.normal(size=(6, sdim))
+        got = cost.state_cost(cp, jnp.asarray(x))
+        d = x - goal
+        expect = np.einsum("ki,ij,kj->k", d, Q, d)
+        np.testing.assert_allclose(got, expect, rtol=1e-11)
+
+    def test_diag_q_expansion(self):
+        qdiag = np.array([1.0, 2.0, 3.0, 4.0])
+        cost = StaticCost(1.0, 1.0, 1.0, np.eye(2), np.zeros(4), qdiag,
+                          diag=True, dtype=jnp.float64)
+        cp = cost.init_params()
+        x = np.ones((1, 4))
+        got = cost.state_cost(cp, jnp.asarray(x))
+        np.testing.assert_allclose(got, [10.0], rtol=1e-12)
+
+    def test_set_goal_functional(self):
+        cost = StaticCost(1.0, 1.0, 1.0, np.eye(2), np.zeros(4), np.eye(4),
+                          dtype=jnp.float64)
+        cp = cost.init_params()
+        cp2 = cost.set_goal(cp, np.ones(4))
+        np.testing.assert_allclose(cp2["goal"], np.ones(4))
+        np.testing.assert_allclose(cp["goal"], np.zeros(4))  # original intact
+
+    def test_step_and_final_cost_composition(self):
+        """step = state + action; final = state only (cost_base.py:43-112)."""
+        rng = np.random.default_rng(8)
+        sigma = np.eye(2)
+        cost = StaticCost(1.0, 1.0, 1.0, sigma, np.zeros(4), np.eye(4),
+                          dtype=jnp.float64)
+        cp = cost.init_params()
+        x = jnp.asarray(rng.normal(size=(3, 4)))
+        u = jnp.asarray(rng.normal(size=(2,)))
+        eps = jnp.asarray(rng.normal(size=(3, 2)))
+        sc = cost.state_cost(cp, x)
+        ac = cost.action_cost(u, eps)
+        np.testing.assert_allclose(cost.step_cost(cp, x, u, eps), sc + ac,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(cost.final_cost(cp, x), sc, rtol=1e-12)
+
+
+class TestStaticQuatCost:
+    def _mk(self):
+        Q = np.diag(np.arange(1.0, 11.0))
+        goal = np.zeros(13)
+        goal[3:7] = [0.0, 0.0, 0.0, 1.0]  # identity quat xyzw
+        return StaticQuatCost(1.0, 1.0, 1.0, np.eye(6), goal, Q,
+                              dtype=jnp.float64), goal, Q
+
+    def test_dist_at_goal_is_zero(self):
+        cost, goal, _ = self._mk()
+        cp = cost.init_params()
+        d = np.asarray(cost.dist(cp, jnp.asarray(goal[None, :])))
+        np.testing.assert_allclose(d, np.zeros((1, 10)), atol=1e-7)
+
+    def test_dist_decomposition(self):
+        cost, goal, Q = self._mk()
+        cp = cost.init_params()
+        state = goal.copy()
+        state[0:3] = [1.0, 2.0, 3.0]
+        # rotate 90 deg about z: q = [0,0,sin(pi/4),cos(pi/4)]
+        state[3:7] = [0.0, 0.0, np.sin(np.pi / 4), np.cos(np.pi / 4)]
+        state[7:13] = 0.5
+        d = np.asarray(cost.dist(cp, jnp.asarray(state[None, :])))[0]
+        np.testing.assert_allclose(d[:3], [1.0, 2.0, 3.0], rtol=1e-12)
+        # theta = 2*acos(<q, g>) = 2*acos(cos(pi/4)) = pi/2
+        np.testing.assert_allclose(d[3], np.pi / 2, rtol=1e-9)
+        np.testing.assert_allclose(d[4:], 0.5, rtol=1e-12)
+
+    def test_state_cost_value(self):
+        cost, goal, Q = self._mk()
+        cp = cost.init_params()
+        state = goal.copy()
+        state[0] = 2.0
+        got = np.asarray(cost.state_cost(cp, jnp.asarray(state[None, :])))
+        np.testing.assert_allclose(got, [4.0], atol=1e-8)
+
+    def test_moving_goal(self):
+        cost, goal, _ = self._mk()
+        cp = cost.init_params()
+        new_goal = goal.copy()
+        new_goal[1] = 5.0
+        cp = cost.set_goal(cp, new_goal)
+        d = np.asarray(cost.dist(cp, jnp.asarray(goal[None, :])))[0]
+        np.testing.assert_allclose(d[1], -5.0, rtol=1e-12)
