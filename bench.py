@@ -1,0 +1,120 @@
+"""Benchmark: MPPI replan latency / throughput on the BASELINE workload.
+
+Workload (BASELINE.md): point_mass3d dynamics, horizon H=50, K=100,000
+samples per solve, f32, single chip. The reference publishes no numbers
+(BASELINE.md "published: {}"); the target is the driver's north star —
+a 10 ms replan budget at K>=100k, H=50. ``vs_baseline`` is therefore
+(10 ms / measured p50): >= 1.0 means the budget is met, higher is better.
+
+Methodology: the solve is chained S times inside one jitted ``lax.fori_loop``
+(carrying key/state/sequence like a real receding-horizon loop) and timed
+with ``block_until_ready``, so the number reflects device time rather than
+per-call host dispatch (which, under the axon tunnel, costs ~ms of RTT).
+Single-call dispatch latency is reported alongside in "extra".
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/repo/.jax_cache")
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from mppi_tf_tpu.controller.mppi import MPPI
+    from mppi_tf_tpu.costs import get_cost
+    from mppi_tf_tpu.models import get_model
+
+    backend = jax.default_backend()
+    K = int(os.environ.get("BENCH_K", 100_000))
+    TAU = int(os.environ.get("BENCH_TAU", 50))
+    CHAIN = int(os.environ.get("BENCH_CHAIN", 50))
+
+    sigma = np.diag([0.25, 0.25, 0.25])
+    model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                      state_dim=6, action_dim=3)
+    cost = get_cost(
+        {"type": "static", "diag": True,
+         "goal": [1.0, 0.0, 0.5, 0.0, -0.5, 0.0],
+         "Q": [5.0, 1.0, 5.0, 1.0, 5.0, 1.0]},
+        lam=0.8, gamma=0.2, upsilon=1.0, sigma=sigma,
+    )
+    ctrl = MPPI(model, cost, k=K, tau=TAU, lam=0.8, upsilon=1.0, sigma=sigma)
+    mp, cp = ctrl.model_params, ctrl._cparams
+
+    solve = ctrl._solve  # pure fn: (key, state, useq, mp, cp)
+
+    def chained(key, state, useq):
+        def body(_, carry):
+            key, state, useq = carry
+            key, sub = jax.random.split(key)
+            action, useq, _info = solve(sub, state, useq, mp, cp)
+            # feed the applied action through the plant: closed loop
+            state = model.step(mp, state[None, :], action[None, :])[0]
+            return (key, state, useq)
+
+        return jax.lax.fori_loop(0, CHAIN, body, (key, state, useq))
+
+    chained_jit = jax.jit(chained)
+
+    key = jax.random.PRNGKey(0)
+    state = jnp.zeros((6,), dtype=model.dtype)
+    useq = jnp.zeros((TAU, 3), dtype=model.dtype)
+
+    # compile + warmup
+    out = chained_jit(key, state, useq)
+    jax.block_until_ready(out)
+
+    # timed runs
+    reps = 3
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = chained_jit(key, state, useq)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / CHAIN)
+    per_solve = float(np.median(times))
+
+    # single-call dispatch latency (incl. host round trip)
+    single = jax.jit(solve)
+    r = single(key, state, useq, mp, cp)
+    jax.block_until_ready(r)
+    lat = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        r = single(key, state, useq, mp, cp)
+        jax.block_until_ready(r)
+        lat.append(time.perf_counter() - t0)
+    dispatch_p50 = float(np.median(lat))
+
+    p50_ms = per_solve * 1e3
+    result = {
+        "metric": f"p50_replan_latency_ms@K={K},H={TAU},point_mass3d,{backend}",
+        "value": round(p50_ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(10.0 / p50_ms, 3),
+        "extra": {
+            "solves_per_s": round(1.0 / per_solve, 2),
+            "rollouts_per_s_per_chip": round(K / per_solve, 0),
+            "single_call_p50_ms": round(dispatch_p50 * 1e3, 3),
+            "backend": backend,
+            "chain": CHAIN,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,7 +53,13 @@ def rollout_costs(
     k = noises.shape[0]
     if x0.ndim == 1:
         x0 = jnp.broadcast_to(x0[None, :], (k, x0.shape[0]))
-    cost0 = jnp.zeros((k,), dtype=x0.dtype)
+    # Derive the zero initial cost (and the carry's device-variance) from the
+    # noise tensor: under shard_map the carry must be "varying" along the
+    # mesh axis like the per-step noise is, or lax.scan rejects the carry
+    # type. Adding 0 * noise is free after XLA constant folding.
+    zero_k = jnp.zeros_like(noises[:, 0, 0])
+    x0 = x0 + zero_k[:, None].astype(x0.dtype)
+    cost0 = zero_k.astype(x0.dtype)
 
     # scan over time: noises transposed to [tau, k, aDim] so tau is the
     # leading (scanned) axis.

@@ -1,0 +1,204 @@
+"""Mesh-sharded MPPI solve: K samples distributed over devices.
+
+Greenfield TPU-native scale-out (nothing to port — the reference is
+single-device, SURVEY.md §2.8). Design:
+
+- each device draws its own noise shard by folding its mesh-axis index into
+  the PRNG key, rolls out its K/n samples locally (zero communication), and
+  participates in exactly four collectives for the update law:
+  ``pmin`` (beta), ``pmax`` (normalizer), ``psum`` (nabla), ``psum``
+  (weighted noise) — see ops/update.py;
+- the updated sequence and emitted action come out replicated, so the
+  controller's host logic is identical to the single-device path;
+- a noise-injection variant shards a provided noise tensor over K for
+  parity tests: the sharded solve must equal the single-device solve to
+  tolerance (reduction order differs, values don't).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.6 stable API
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
+
+from ..ops import noise as noise_ops
+from ..ops import update as upd
+from ..ops.rollout import rollout_costs
+from .mesh import SAMPLE_AXIS
+
+
+def build_sharded_solve(
+    model,
+    cost,
+    k: int,
+    tau: int,
+    lam: float,
+    upsilon: float,
+    sigma,
+    mesh: Mesh,
+    normalize_cost: bool = False,
+    clip_actions: bool = False,
+    axis: str = SAMPLE_AXIS,
+):
+    """Return (solve, solve_with_noise) jitted over ``mesh``.
+
+    solve(key, state, useq, mparams, cparams) -> (action, next_useq, info)
+    with all inputs replicated; K is sharded internally. ``k`` must be
+    divisible by the mesh size along ``axis``.
+    """
+    n = mesh.shape[axis]
+    if k % n != 0:
+        raise ValueError(f"k={k} not divisible by mesh axis {axis}={n}")
+    k_local = k // n
+    adim = model.get_action_dim()
+    sigma = jnp.asarray(np.asarray(sigma, np.float64), dtype=model.dtype)
+
+    def _local_costs(state, useq, eps, mparams, cparams):
+        return rollout_costs(
+            step_fn=lambda x, u: model.step(mparams, x, u),
+            state_cost_fn=lambda x: cost.state_cost(cparams, x),
+            action_cost_fn=cost.action_cost,
+            terminal_cost_fn=lambda x: cost.final_cost(cparams, x),
+            x0=state,
+            useq=useq,
+            noises=eps,
+        )
+
+    def _update(useq, costs, eps):
+        wnoise = upd.mppi_update(
+            costs, eps, lam, normalize=normalize_cost, axis_name=axis
+        )
+        new_useq = useq + wnoise
+        if clip_actions:
+            new_useq = jnp.clip(new_useq, model.min_act(), model.max_act())
+        action = new_useq[0]
+        shifted = upd.shift(
+            new_useq, jnp.zeros((1, adim), dtype=new_useq.dtype), 1
+        )
+        info = {
+            "cost_min": jax.lax.pmin(jnp.min(costs), axis),
+            "cost_mean": jax.lax.pmean(jnp.mean(costs), axis),
+            "cost_max": jax.lax.pmax(jnp.max(costs), axis),
+        }
+        return action, shifted, info
+
+    def _solve_shard(key, state, useq, mparams, cparams):
+        idx = jax.lax.axis_index(axis)
+        key = jax.random.fold_in(key, idx)
+        eps = noise_ops.sample_noise(
+            key, k_local, tau, adim, sigma, upsilon, dtype=useq.dtype
+        )
+        costs = _local_costs(state, useq, eps, mparams, cparams)
+        return _update(useq, costs, eps)
+
+    def _solve_with_noise_shard(eps, state, useq, mparams, cparams):
+        costs = _local_costs(state, useq, eps, mparams, cparams)
+        return _update(useq, costs, eps)
+
+    rep = P()  # replicated
+    solve = jax.jit(
+        shard_map(
+            _solve_shard,
+            mesh=mesh,
+            in_specs=(rep, rep, rep, rep, rep),
+            out_specs=(rep, rep, rep),
+        ),
+        donate_argnums=(2,),
+    )
+    solve_with_noise = jax.jit(
+        shard_map(
+            _solve_with_noise_shard,
+            mesh=mesh,
+            in_specs=(P(axis), rep, rep, rep, rep),
+            out_specs=(rep, rep, rep),
+        )
+    )
+    return solve, solve_with_noise
+
+
+class ShardedMPPI:
+    """Stateful wrapper mirroring controller.MPPI but mesh-sharded over K.
+
+    Same user-facing surface as the single-device controller
+    (next/save/set_goal), so swapping in pod-scale K is a one-line change.
+    """
+
+    def __init__(
+        self,
+        model,
+        cost,
+        mesh: Mesh,
+        k: int = 1,
+        tau: int = 1,
+        lam: float = 1.0,
+        upsilon: float = 1.0,
+        sigma=None,
+        normalize_cost: bool = False,
+        clip_actions: bool = False,
+        seed: int = 0,
+        axis: str = SAMPLE_AXIS,
+    ):
+        if sigma is None:
+            raise ValueError("sigma (noise scale matrix) is required")
+        self._model = model
+        self._cost = cost
+        self._mesh = mesh
+        self._tau = int(tau)
+        self._adim = model.get_action_dim()
+        self._dtype = model.dtype
+        self._k = int(k)
+        self._solve, self._solve_with_noise = build_sharded_solve(
+            model, cost, k, tau, lam, upsilon, sigma, mesh,
+            normalize_cost=normalize_cost, clip_actions=clip_actions,
+            axis=axis,
+        )
+        self._useq = jnp.zeros((tau, self._adim), dtype=self._dtype)
+        self._key = jax.random.PRNGKey(seed)
+        self._mparams = model.init_params()
+        self._cparams = cost.init_params()
+        self._timing = {"total": 0.0, "calls": 0}
+
+    def next(self, state) -> np.ndarray:
+        state = jnp.asarray(np.asarray(state, np.float64).reshape(-1),
+                            dtype=self._dtype)
+        start = time.perf_counter()
+        self._key, sub = jax.random.split(self._key)
+        action, self._useq, _info = self._solve(
+            sub, state, self._useq, self._mparams, self._cparams
+        )
+        out = np.asarray(action)
+        self._timing["total"] += time.perf_counter() - start
+        self._timing["calls"] += 1
+        return out
+
+    def set_goal(self, goal):
+        self._cparams = self._cost.set_goal(self._cparams, goal)
+
+    @property
+    def useq(self):
+        return self._useq
+
+    @property
+    def timing(self):
+        return dict(self._timing)
+
+    @property
+    def model_params(self):
+        return self._mparams

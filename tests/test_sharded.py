@@ -1,0 +1,112 @@
+"""Sharded-solve tests on the 8-device virtual CPU mesh.
+
+The key property (SURVEY.md §4): sharded solve == single-device solve to
+tolerance when the same noise realisation is injected as data.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mppi_tf_tpu.controller.mppi import MPPI
+from mppi_tf_tpu.costs.static import StaticCost
+from mppi_tf_tpu.models.point_mass import PointMassModel
+from mppi_tf_tpu.parallel import ShardedMPPI, build_sharded_solve, make_mesh
+
+
+def _setup(k=64, tau=8, lam=1.2, gamma=1.1, ups=2.0):
+    dt = 0.1
+    sigma = np.diag([0.25, 0.3, 0.2])
+    goal = np.zeros(6)
+    goal[0] = 1.0
+    model = PointMassModel(mass=1.5, dt=dt, state_dim=6, action_dim=3,
+                           dtype=jnp.float64)
+    cost = StaticCost(lam, gamma, ups, sigma, goal, np.eye(6),
+                      dtype=jnp.float64)
+    return model, cost, sigma, lam, ups
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.shape["k"] == 8
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_sharded_equals_single_device(normalize):
+    model, cost, sigma, lam, ups = _setup()
+    k, tau = 64, 8
+    mesh = make_mesh()
+    _, sharded_with_noise = build_sharded_solve(
+        model, cost, k, tau, lam, ups, sigma, mesh,
+        normalize_cost=normalize,
+    )
+    ctrl = MPPI(model, cost, k=k, tau=tau, lam=lam, upsilon=ups, sigma=sigma,
+                normalize_cost=normalize)
+
+    rng = np.random.default_rng(20)
+    eps = jnp.asarray(rng.normal(size=(k, tau, 3)) * 0.3)
+    x0 = jnp.asarray(rng.normal(size=6))
+    useq = jnp.asarray(rng.normal(size=(tau, 3)) * 0.1)
+
+    a_s, u_s, info_s = sharded_with_noise(
+        eps, x0, useq, ctrl.model_params, ctrl._cparams)
+    a_1, u_1, info_1 = ctrl._solve_with_noise_jit(
+        eps, x0, useq, ctrl.model_params, ctrl._cparams)
+
+    np.testing.assert_allclose(a_s, a_1, rtol=1e-10)
+    np.testing.assert_allclose(u_s, u_1, rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(info_s["cost_min"], info_1["cost_min"],
+                               rtol=1e-12)
+
+
+def test_sharded_controller_closed_loop():
+    model, cost, sigma, lam, ups = _setup()
+    mesh = make_mesh()
+    ctrl = ShardedMPPI(model, cost, mesh, k=512, tau=20, lam=0.8, upsilon=1.0,
+                       sigma=sigma)
+    mp = ctrl.model_params
+    x = jnp.zeros(6, dtype=jnp.float64)
+    for _ in range(40):
+        u = ctrl.next(np.asarray(x))
+        x = model.predict(mp, x, jnp.asarray(u))
+    final = np.asarray(x)
+    assert abs(final[0] - 1.0) < 0.25, f"did not reach goal: {final}"
+
+
+def test_k_not_divisible_raises():
+    model, cost, sigma, lam, ups = _setup()
+    mesh = make_mesh()
+    with pytest.raises(ValueError):
+        build_sharded_solve(model, cost, 13, 4, lam, ups, sigma, mesh)
+
+
+def test_sharded_noise_shards_differ():
+    """Each device must draw independent noise (key folded by axis index)."""
+    model, cost, sigma, lam, ups = _setup()
+    mesh = make_mesh()
+    k, tau = 64, 4
+
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+        sm = partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P("k"))
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _sm
+        sm = partial(_sm, mesh=mesh, in_specs=(P(),), out_specs=P("k"))
+
+    from mppi_tf_tpu.ops.noise import sample_noise
+
+    @sm
+    def draw(key):
+        idx = jax.lax.axis_index("k")
+        key = jax.random.fold_in(key, idx)
+        return sample_noise(key, k // 8, tau, 3, jnp.asarray(sigma),
+                            dtype=jnp.float64)
+
+    eps = np.asarray(draw(jax.random.PRNGKey(0)))
+    shards = eps.reshape(8, k // 8, tau, 3)
+    for i in range(7):
+        assert not np.allclose(shards[i], shards[i + 1]), \
+            "adjacent device shards drew identical noise"
