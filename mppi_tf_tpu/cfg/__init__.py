@@ -1,0 +1,3 @@
+from .config import parse_config, parse_dir, default_config, patch_config
+
+__all__ = ["parse_config", "parse_dir", "default_config", "patch_config"]

@@ -1,0 +1,119 @@
+"""Closed-loop experiment runner with sim/control rate decoupling.
+
+Reference: scripts/main.py:94-106 (the intended flow — stale at HEAD): per
+control step read the state, solve MPPI, then step the plant at its own
+(finer) physics dt until one controller dt has elapsed, log the transition,
+periodically train the model.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+class ClosedLoopRunner:
+    """Drives controller + env + (optional) learner + observer."""
+
+    def __init__(self, env, controller, control_dt: float,
+                 learner=None, observer=None, train_every: int = 0):
+        self.env = env
+        self.controller = controller
+        self.control_dt = float(control_dt)
+        self.learner = learner
+        self.observer = observer
+        self.train_every = int(train_every)
+
+    def run(self, steps: int, x0=None):
+        """Run ``steps`` control steps; returns (states, actions) history.
+
+        Mirrors main.py:94-106 including the while-loop sim/control rate
+        decoupling (main.py:98-100).
+        """
+        if x0 is not None:
+            self.env.reset(x0)
+        states, actions = [], []
+        x = self.env.getState()
+        for step in range(steps):
+            u = self.controller.next(x)
+            prev = self.env.getTime()
+            x_next = x
+            # step physics at its own dt until one control period elapsed
+            while self.env.getTime() - prev < self.control_dt - 1e-12:
+                x_next = self.env.step(np.reshape(u, (1, -1)),
+                                       goal=self.env.getGoal())
+            if hasattr(self.controller, "save"):
+                self.controller.save(x, np.reshape(u, (-1, 1)), x_next)
+            if self.learner is not None:
+                self.learner.add_rb(np.reshape(x, (-1, 1)),
+                                    np.reshape(u, (-1, 1)),
+                                    np.reshape(x_next, (-1, 1)))
+                if self.train_every and (step + 1) % self.train_every == 0:
+                    self.learner.train_all()
+            states.append(np.reshape(x, (-1,)).copy())
+            actions.append(np.reshape(u, (-1,)).copy())
+            x = x_next
+        states.append(np.reshape(x, (-1,)).copy())
+        return np.asarray(states), np.asarray(actions)
+
+
+def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
+                   log: bool = False, log_path: Optional[str] = None,
+                   render: bool = False, seed: int = 0,
+                   train_every: int = 0, dtype=None):
+    """Config-driven experiment: the reference main.py flow, working.
+
+    Builds env/model/cost/controller from the three YAML-family dicts
+    (SURVEY.md §1 config layer) and runs the closed loop.
+    """
+    import jax.numpy as jnp
+
+    from ..controller import get_controller
+    from ..costs import get_cost
+    from ..models import get_model
+    from . import get_env
+
+    if dtype is None:
+        dtype = jnp.float32
+    sdim = env_cfg.get("state-dim", 2)
+    adim = env_cfg.get("action-dim", 1)
+    dt = env_cfg.get("dt", 0.1)
+    sigma = np.asarray(env_cfg["noise"], np.float64)
+
+    env = get_env(env_cfg, render=render)
+    model = get_model(model_cfg, dt=dt, state_dim=sdim, action_dim=adim,
+                      dtype=dtype)
+    cost = get_cost(task_cfg, lam=env_cfg.get("lambda", 1.0),
+                    gamma=env_cfg.get("gamma", 1.0),
+                    upsilon=env_cfg.get("upsilon", 1.0),
+                    sigma=sigma, dtype=dtype)
+
+    observer = None
+    if log:
+        from ..observer import Observer
+
+        observer = Observer(log_path=log_path, env_cfg=env_cfg,
+                            task_cfg=task_cfg, model_cfg=model_cfg)
+
+    controller = get_controller(model, cost, env_cfg, observer=observer,
+                                seed=seed)
+
+    learner = None
+    if train_every:
+        from ..learning import Learner
+
+        learner = Learner(model, log=log, log_path=log_path)
+
+    runner = ClosedLoopRunner(env, controller, control_dt=dt,
+                              learner=learner, observer=observer,
+                              train_every=train_every)
+    states, actions = runner.run(steps)
+    return {
+        "states": states,
+        "actions": actions,
+        "controller": controller,
+        "env": env,
+        "observer": observer,
+        "learner": learner,
+    }
