@@ -66,6 +66,10 @@ class MPPI:
         clip_actions: clip the updated sequence to the model's action limits
             (controller_base.py:500-504);
         seed: PRNG seed for the per-solve noise keys.
+        kernel: "xla" (default; lax.scan rollout fused by XLA) or "pallas"
+            (fused VMEM-resident Pallas kernel, PointMassModel+StaticCost
+            only — see kernels/pm_mppi.py). "auto" picks pallas when
+            supported.
     """
 
     def __init__(
@@ -86,6 +90,7 @@ class MPPI:
         seed: int = 0,
         observer=None,
         log: bool = False,
+        kernel: str = "xla",
     ):
         self._model = model
         self._cost = cost
@@ -133,6 +138,49 @@ class MPPI:
         # jit once; donate useq so the update is in-place on device.
         self._solve_jit = jax.jit(self._solve, donate_argnums=(2,))
         self._solve_with_noise_jit = jax.jit(self._solve_with_noise)
+
+        self._fused = None
+        if kernel not in ("xla", "pallas", "auto"):
+            raise ValueError(f"unknown kernel {kernel!r}")
+        on_tpu = jax.default_backend() == "tpu"
+        if kernel == "pallas" or (kernel == "auto" and on_tpu):
+            # CPU interpret mode stubs pltpu.prng_* to zeros, so "auto" only
+            # selects the fused path on real TPU; explicit "pallas" on CPU is
+            # for interpret-mode debugging only.
+            from ..kernels.pm_mppi import FusedPointMassMPPI
+
+            try:
+                self._fused = FusedPointMassMPPI(
+                    model, cost, k=self._k, tau=self._tau, lam=self._lam,
+                    upsilon=self._upsilon, sigma=np.asarray(sigma, np.float64),
+                    interpret=not on_tpu,
+                )
+            except TypeError:
+                if kernel == "pallas":
+                    raise
+        self._base_seed = int(seed)
+
+    def _next_fused(self, state):
+        """Fused-kernel control step: Pallas solve + XLA sequence update."""
+        fused = self._fused
+        n_tiles = (self._k + fused.tile - 1) // fused.tile
+        # non-overlapping per-solve seed blocks (kernel uses seed+pid per tile)
+        seed = np.int32(self._base_seed + self._steps * n_tiles)
+        wnoise, info = fused.solve(seed, state, self._useq,
+                                   self._mparams, self._cparams)
+        new_useq = self._useq + wnoise.astype(self._dtype)
+        if self._clip_actions:
+            new_useq = jnp.clip(new_useq, self._model.min_act(),
+                                self._model.max_act())
+        if self._S is not None:
+            new_useq = self._S @ new_useq
+        action = upd.get_next(new_useq, 1)[0]
+        init = upd.init_zeros(1, self._adim, dtype=new_useq.dtype)
+        self._useq = upd.shift(new_useq, init, 1)
+        info = dict(info)
+        info["useq"] = new_useq
+        info["weighted_noise"] = wnoise
+        return action, info
 
     # ------------------------------------------------------------------
     # pure core
@@ -218,10 +266,13 @@ class MPPI:
         state = jnp.asarray(np.asarray(state, np.float64).reshape(-1),
                             dtype=self._dtype)
         start = time.perf_counter()
-        self._key, sub = jax.random.split(self._key)
-        action, self._useq, info = self._solve_jit(
-            sub, state, self._useq, self._mparams, self._cparams
-        )
+        if self._fused is not None:
+            action, info = self._next_fused(state)
+        else:
+            self._key, sub = jax.random.split(self._key)
+            action, self._useq, info = self._solve_jit(
+                sub, state, self._useq, self._mparams, self._cparams
+            )
         action_np = np.asarray(action)
         end = time.perf_counter()
         self._timing["total"] += end - start

@@ -1,0 +1,107 @@
+"""Fused Pallas point-mass MPPI kernel vs the XLA reference path.
+
+Runs in Pallas interpret mode on the virtual-CPU test mesh with *injected*
+noise (use_prng=False), so the kernel's rollout/cost/online-softmax math is
+checked exactly against ops/rollout.py + ops/update.py (which themselves are
+tested against hand-computed expectations in test_update.py /
+test_controller.py, mirroring the reference suite scripts/test.py:1362-1495).
+The in-kernel PRNG path (pltpu.prng_*) is TPU-only — interpret mode stubs the
+RNG — and is validated on hardware by bench.py / __graft_entry__.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mppi_tf_tpu.controller.mppi import MPPI
+from mppi_tf_tpu.costs import get_cost
+from mppi_tf_tpu.kernels.pm_mppi import _ROWS, FusedPointMassMPPI
+from mppi_tf_tpu.models import get_model
+
+
+def _setup(k, tau, lam=0.8, gamma=0.2, upsilon=1.2, tile=256):
+    sigma = np.diag([0.25, 0.3, 0.2])
+    model = get_model({"type": "point_mass", "mass": 1.3}, dt=0.1,
+                      state_dim=6, action_dim=3)
+    cost = get_cost(
+        {"type": "static", "diag": True,
+         "goal": [1.0, 0.0, 0.5, 0.0, -0.5, 0.0],
+         "Q": [5.0, 1.0, 5.0, 1.0, 5.0, 1.0]},
+        lam=lam, gamma=gamma, upsilon=upsilon, sigma=sigma,
+    )
+    ctrl = MPPI(model, cost, k=k, tau=tau, lam=lam, upsilon=upsilon,
+                sigma=sigma)
+    fused = FusedPointMassMPPI(model, cost, k=k, tau=tau, lam=lam,
+                               upsilon=upsilon, sigma=sigma, tile=tile,
+                               interpret=True)
+    return ctrl, fused, sigma
+
+
+@pytest.mark.parametrize("k,tau,tile", [(512, 10, 256), (700, 7, 256)])
+def test_fused_matches_xla_path(k, tau, tile):
+    """Weighted noise + cost stats match the scan/update path to f32 tol.
+
+    k=700 exercises the partial-last-tile lane masking (700 = 2*256 + 188).
+    """
+    ctrl, fused, sigma = _setup(k, tau, tile=tile)
+    mp, cp = ctrl.model_params, ctrl._cparams
+
+    rng = np.random.RandomState(3)
+    n_tiles = (k + tile - 1) // tile
+    k_pad = n_tiles * tile
+    z = np.zeros((tau, _ROWS, k_pad), np.float32)
+    z[:, :3, :] = rng.randn(tau, 3, k_pad).astype(np.float32)
+    x0 = np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0])
+    useq = 0.1 * rng.randn(tau, 3).astype(np.float32)
+
+    # XLA path with the identical noise realisation: eps = (ups*sigma) @ z
+    scale = (fused.upsilon * sigma).astype(np.float32)
+    eps = np.einsum("ij,tjk->kti", scale, z[:, :3, :k])
+    _, _, info = ctrl._solve_with_noise_jit(
+        jnp.asarray(eps, ctrl._dtype), jnp.asarray(x0, ctrl._dtype),
+        jnp.asarray(useq, ctrl._dtype), mp, cp)
+    wn_ref = np.asarray(info["weighted_noise"])
+    costs_ref = np.asarray(ctrl._rollout(
+        jnp.asarray(x0, ctrl._dtype), jnp.asarray(useq, ctrl._dtype),
+        jnp.asarray(eps, ctrl._dtype), mp, cp))
+
+    wn, stats = fused.solve(0, x0, useq, mp, cp, z=jnp.asarray(z),
+                            use_prng=False)
+    np.testing.assert_allclose(np.asarray(wn), wn_ref, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(float(stats["cost_min"]), costs_ref.min(),
+                               rtol=2e-3)
+    np.testing.assert_allclose(float(stats["cost_max"]), costs_ref.max(),
+                               rtol=2e-3)
+    np.testing.assert_allclose(float(stats["cost_mean"]), costs_ref.mean(),
+                               rtol=2e-3)
+
+
+def test_fused_rejects_unsupported_model():
+    from mppi_tf_tpu.costs import get_cost as gc
+    from mppi_tf_tpu.models.auv import AUVModel
+
+    with pytest.raises(TypeError):
+        ctrl, fused, sigma = _setup(64, 5)
+        FusedPointMassMPPI(object(), ctrl._cost, k=64, tau=5, lam=0.8,
+                           upsilon=1.0, sigma=sigma)
+
+
+def test_controller_kernel_flag():
+    """kernel="auto" on CPU keeps the XLA path (interpret RNG is stubbed)."""
+    sigma = np.diag([0.25, 0.3, 0.2])
+    model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                      state_dim=6, action_dim=3)
+    cost = get_cost(
+        {"type": "static", "diag": True, "goal": [1.0, 0, 0, 0, 0, 0],
+         "Q": [1.0] * 6},
+        lam=0.8, gamma=0.2, upsilon=1.0, sigma=sigma,
+    )
+    ctrl = MPPI(model, cost, k=64, tau=5, lam=0.8, upsilon=1.0, sigma=sigma,
+                kernel="auto")
+    assert ctrl._fused is None  # CPU -> xla
+    a = ctrl.next(np.zeros(6))
+    assert a.shape == (3,)
+    with pytest.raises(ValueError):
+        MPPI(model, cost, k=64, tau=5, lam=0.8, upsilon=1.0, sigma=sigma,
+             kernel="nope")
