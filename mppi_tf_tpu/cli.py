@@ -38,6 +38,9 @@ def parse_args(argv=None):
                    help="write TensorBoard/JSONL metrics + config snapshots")
     p.add_argument("-r", "--render", action="store_true",
                    help="render the simulation (needs a display)")
+    p.add_argument("-g", "--gif", action="store_true",
+                   help="write an animated GIF of the run (run.gif in the "
+                        "logdir, or ./run.gif without -l)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--f64", action="store_true",
                    help="run in float64 on CPU (parity mode)")
@@ -97,6 +100,15 @@ def main(argv=None):
         "avg_solve_ms": round(1e3 * timing["total"] / max(timing["calls"], 1), 3),
         "logdir": result["observer"].get_logdir() if result["observer"] else None,
     }
+    if args.gif:
+        from .utils.plotting import run_to_gif
+
+        out = os.path.join(
+            result["observer"].get_logdir() if result["observer"] else ".",
+            "run.gif")
+        goal = task_cfg.get("goal")
+        gif = run_to_gif(states, out, goal=goal)
+        summary["gif"] = gif
     if result["observer"]:
         result["observer"].close()
     print(json.dumps(summary))
