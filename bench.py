@@ -41,6 +41,9 @@ def main():
     K = int(os.environ.get("BENCH_K", 100_000))
     TAU = int(os.environ.get("BENCH_TAU", 50))
     CHAIN = int(os.environ.get("BENCH_CHAIN", 50))
+    # pallas = fused VMEM-resident kernel (TPU only); xla = lax.scan path
+    KERNEL = os.environ.get("BENCH_KERNEL",
+                            "pallas" if backend == "tpu" else "xla")
 
     sigma = np.diag([0.25, 0.25, 0.25])
     model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
@@ -56,16 +59,43 @@ def main():
 
     solve = ctrl._solve  # pure fn: (key, state, useq, mp, cp)
 
-    def chained(key, state, useq):
-        def body(_, carry):
-            key, state, useq = carry
-            key, sub = jax.random.split(key)
-            action, useq, _info = solve(sub, state, useq, mp, cp)
-            # feed the applied action through the plant: closed loop
-            state = model.step(mp, state[None, :], action[None, :])[0]
-            return (key, state, useq)
+    if KERNEL == "pallas":
+        from mppi_tf_tpu.kernels.pm_mppi import (FusedPointMassMPPI,
+                                                 fused_pm_solve)
+        from mppi_tf_tpu.ops import update as upd
 
-        return jax.lax.fori_loop(0, CHAIN, body, (key, state, useq))
+        fused = FusedPointMassMPPI(model, cost, k=K, tau=TAU, lam=0.8,
+                                   upsilon=1.0, sigma=sigma)
+        n_tiles = (K + fused.tile - 1) // fused.tile
+
+        def chained(key, state, useq):
+            # key is unused: the kernel seeds pltpu.prng per solve
+            def body(i, carry):
+                state, useq = carry
+                consts, Bm = fused.consts_for(mp, cp, state)
+                wn, _info = fused_pm_solve(
+                    i * n_tiles, consts, Bm, useq, tau=TAU, adim=3,
+                    k=K, tile=fused.tile, lam=0.8, gamma=0.2, upsilon=1.0,
+                    use_prng=True, interpret=False)
+                new_useq = useq + wn
+                action = new_useq[0]
+                shifted = upd.shift(
+                    new_useq, upd.init_zeros(1, 3, dtype=new_useq.dtype), 1)
+                state = model.step(mp, state[None, :], action[None, :])[0]
+                return (state, shifted)
+
+            return jax.lax.fori_loop(0, CHAIN, body, (state, useq))
+    else:
+        def chained(key, state, useq):
+            def body(_, carry):
+                key, state, useq = carry
+                key, sub = jax.random.split(key)
+                action, useq, _info = solve(sub, state, useq, mp, cp)
+                # feed the applied action through the plant: closed loop
+                state = model.step(mp, state[None, :], action[None, :])[0]
+                return (key, state, useq)
+
+            return jax.lax.fori_loop(0, CHAIN, body, (key, state, useq))
 
     chained_jit = jax.jit(chained)
 
@@ -88,7 +118,15 @@ def main():
     per_solve = float(np.median(times))
 
     # single-call dispatch latency (incl. host round trip)
-    single = jax.jit(solve)
+    if KERNEL == "pallas":
+        def _single(key, state, useq, mp, cp):
+            consts, Bm = fused.consts_for(mp, cp, state)
+            return fused_pm_solve(0, consts, Bm, useq, tau=TAU, adim=3, k=K,
+                                  tile=fused.tile, lam=0.8, gamma=0.2,
+                                  upsilon=1.0, use_prng=True, interpret=False)
+        single = jax.jit(_single)
+    else:
+        single = jax.jit(solve)
     r = single(key, state, useq, mp, cp)
     jax.block_until_ready(r)
     lat = []
@@ -110,6 +148,7 @@ def main():
             "rollouts_per_s_per_chip": round(K / per_solve, 0),
             "single_call_p50_ms": round(dispatch_p50 * 1e3, 3),
             "backend": backend,
+            "kernel": KERNEL,
             "chain": CHAIN,
         },
     }

@@ -16,7 +16,7 @@ import pytest
 
 from mppi_tf_tpu.controller.mppi import MPPI
 from mppi_tf_tpu.costs import get_cost
-from mppi_tf_tpu.kernels.pm_mppi import _ROWS, FusedPointMassMPPI
+from mppi_tf_tpu.kernels.pm_mppi import FusedPointMassMPPI, chunk_noise
 from mppi_tf_tpu.models import get_model
 
 
@@ -50,14 +50,14 @@ def test_fused_matches_xla_path(k, tau, tile):
     rng = np.random.RandomState(3)
     n_tiles = (k + tile - 1) // tile
     k_pad = n_tiles * tile
-    z = np.zeros((tau, _ROWS, k_pad), np.float32)
-    z[:, :3, :] = rng.randn(tau, 3, k_pad).astype(np.float32)
+    z_std = rng.randn(tau, 3, k_pad).astype(np.float32)
+    z = chunk_noise(z_std)
     x0 = np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0])
     useq = 0.1 * rng.randn(tau, 3).astype(np.float32)
 
     # XLA path with the identical noise realisation: eps = (ups*sigma) @ z
     scale = (fused.upsilon * sigma).astype(np.float32)
-    eps = np.einsum("ij,tjk->kti", scale, z[:, :3, :k])
+    eps = np.einsum("ij,tjk->kti", scale, z_std[:, :, :k])
     _, _, info = ctrl._solve_with_noise_jit(
         jnp.asarray(eps, ctrl._dtype), jnp.asarray(x0, ctrl._dtype),
         jnp.asarray(useq, ctrl._dtype), mp, cp)

@@ -1,0 +1,83 @@
+"""Sharded fused-kernel solve == single-device fused solve (8-dev CPU mesh).
+
+The cross-device online-softmax merge (pmax/psum in parallel/fused.py) must
+reproduce the single-device kernel's tile merge exactly — same algebra,
+different reduction tree. Runs the kernel in interpret mode with injected
+noise (the in-kernel PRNG is TPU-only).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mppi_tf_tpu.controller.mppi import MPPI
+from mppi_tf_tpu.costs import get_cost
+from mppi_tf_tpu.kernels.pm_mppi import FusedPointMassMPPI, chunk_noise
+from mppi_tf_tpu.models import get_model
+from mppi_tf_tpu.parallel import make_mesh
+from mppi_tf_tpu.parallel.fused import (ShardedFusedMPPI,
+                                        build_sharded_fused_solve)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    k, tau, tile = 1024, 10, 64
+    sigma = np.diag([0.25, 0.3, 0.2])
+    model = get_model({"type": "point_mass", "mass": 1.3}, dt=0.1,
+                      state_dim=6, action_dim=3)
+    cost = get_cost(
+        {"type": "static", "diag": True,
+         "goal": [1.0, 0.0, 0.5, 0.0, -0.5, 0.0],
+         "Q": [5.0, 1.0, 5.0, 1.0, 5.0, 1.0]},
+        lam=0.8, gamma=0.2, upsilon=1.2, sigma=sigma,
+    )
+    return model, cost, sigma, k, tau, tile
+
+
+def test_sharded_fused_matches_single_device(setup):
+    model, cost, sigma, k, tau, tile = setup
+    mesh = make_mesh(8, ("k",))
+    n = 8
+    k_local = k // n
+
+    fused_single = FusedPointMassMPPI(model, cost, k=k, tau=tau, lam=0.8,
+                                      upsilon=1.2, sigma=sigma, tile=tile,
+                                      interpret=True)
+    fused_sharded = FusedPointMassMPPI(model, cost, k=k, tau=tau, lam=0.8,
+                                       upsilon=1.2, sigma=sigma, tile=tile,
+                                       interpret=True)
+    _, solve_with_noise = build_sharded_fused_solve(fused_sharded, mesh)
+
+    rng = np.random.RandomState(5)
+    z_std = rng.randn(tau, 3, k).astype(np.float32)
+    z = chunk_noise(z_std)  # [n_chunks, rows, k]
+    x0 = np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0])
+    useq = jnp.asarray(0.1 * rng.randn(tau, 3), model.dtype)
+    mp, cp = model.init_params(), cost.init_params()
+
+    wn_single, info_s = fused_single.solve(
+        0, x0, useq, mp, cp, z=jnp.asarray(z), use_prng=False)
+
+    a, new_useq, info = solve_with_noise(
+        jnp.asarray(z), jnp.asarray(x0, model.dtype), useq, mp, cp)
+
+    expected_useq = useq + jnp.asarray(wn_single, model.dtype)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(expected_useq[0]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_useq[:-1]),
+                               np.asarray(expected_useq[1:]),
+                               rtol=1e-4, atol=1e-6)
+    assert np.allclose(np.asarray(new_useq[-1]), 0.0)
+    np.testing.assert_allclose(float(info["cost_min"]),
+                               float(info_s["cost_min"]), rtol=1e-5)
+    np.testing.assert_allclose(float(info["nabla"]), float(info_s["nabla"]),
+                               rtol=1e-4)
+
+
+def test_sharded_fused_rejects_indivisible_k(setup):
+    model, cost, sigma, _, tau, tile = setup
+    mesh = make_mesh(8, ("k",))
+    with pytest.raises(ValueError):
+        ShardedFusedMPPI(model, cost, mesh, k=1001, tau=tau, lam=0.8,
+                         upsilon=1.2, sigma=sigma, tile=tile, interpret=True)
