@@ -242,11 +242,13 @@ class MPPI:
         replicated in JAX; tests inject identical noise realisations as data
         and compare updated sequences instead (SURVEY.md §7).
         """
+        mparams = self._model.precompute(mparams)
         costs = self._rollout(state, useq, eps, mparams, cparams)
         return self._update_and_shift(useq, costs, eps)
 
     def _solve(self, key, state, useq, mparams, cparams):
         """Full solve: sample noise, rollout, update, shift."""
+        mparams = self._model.precompute(mparams)
         eps = noise_ops.sample_noise(
             key, self._k, self._tau, self._adim, self._sigma,
             self._upsilon, dtype=useq.dtype,
@@ -336,6 +338,37 @@ class MPPI:
             self._key, state, self._useq, self._mparams, self._cparams
         )
         return lowered.compile().as_text()
+
+    def save_state(self, path: str):
+        """Checkpoint the controller's mutable state (nominal sequence, PRNG
+        key, step/timing counters) to ``path`` (.npz).
+
+        Closes a reference gap: the reference checkpoints NN weights, replay
+        transitions and configs but never the controller state itself
+        (SURVEY.md §5.4), so a crashed closed-loop run lost its receding
+        horizon. ``load_state`` resumes bit-exact on the same backend.
+        """
+        np.savez(
+            path,
+            useq=np.asarray(self._useq),
+            key=np.asarray(self._key),
+            steps=self._steps,
+            timing_total=self._timing["total"],
+            timing_calls=self._timing["calls"],
+        )
+
+    def load_state(self, path: str):
+        """Restore state written by :meth:`save_state`."""
+        d = np.load(path)
+        if d["useq"].shape != tuple(self._useq.shape):
+            raise ValueError(
+                f"checkpoint useq {d['useq'].shape} != controller "
+                f"{tuple(self._useq.shape)}")
+        self._useq = jnp.asarray(d["useq"], dtype=self._dtype)
+        self._key = jnp.asarray(d["key"], dtype=self._key.dtype)
+        self._steps = int(d["steps"])
+        self._timing = {"total": float(d["timing_total"]),
+                        "calls": int(d["timing_calls"])}
 
     # accessors ---------------------------------------------------------
     @property

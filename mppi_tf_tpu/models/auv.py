@@ -176,6 +176,14 @@ class AUVModel(ModelBase):
         m_tot = m_rb + self.added_mass
         return m_tot, jnp.linalg.inv(m_tot)
 
+    def precompute(self, params):
+        """Augment params with (m_tot, inv_m) once per solve so the 6x6
+        inverse is hoisted out of the horizon scan (base.py:precompute)."""
+        if "inv_m" in params:
+            return params
+        m_tot, inv_m = self._mass_matrices(params)
+        return {**params, "m_tot": m_tot, "inv_m": inv_m}
+
     # ------------------------------------------------------------------
     # dynamics terms (each batched over leading k)
     # ------------------------------------------------------------------
@@ -227,7 +235,10 @@ class AUVModel(ModelBase):
 
         Reference: auv_model.py:544-559.
         """
-        m_tot, inv_m = self._mass_matrices(params)
+        if "inv_m" in params:
+            m_tot, inv_m = params["m_tot"], params["inv_m"]
+        else:
+            m_tot, inv_m = self._mass_matrices(params)
         D = self.damping_matrix(vel)
         C = self.coriolis_matrix(m_tot, vel)
         Dv = jnp.einsum("kij,kj->ki", D, vel)

@@ -61,6 +61,16 @@ class ModelBase:
         """
         raise NotImplementedError
 
+    def precompute(self, params: Any) -> Any:
+        """Hoist solve-invariant derived quantities out of the rollout loop.
+
+        Called once per solve (controller/mppi.py, parallel/sharded.py)
+        before the ``lax.scan`` over the horizon; ``step`` must accept the
+        augmented pytree. Default: identity. AUVModel uses this to compute
+        the 6x6 total-mass inverse once instead of per scan step (XLA does
+        not hoist the LU custom-call out of scan bodies)."""
+        return params
+
     # --- parity helpers -------------------------------------------------
     def predict(self, params: Any, x: jax.Array, u: jax.Array) -> jax.Array:
         """Single-sample prediction. x: [sDim], u: [aDim] -> [sDim].

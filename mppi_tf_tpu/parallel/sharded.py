@@ -100,6 +100,7 @@ def build_sharded_solve(
         return action, shifted, info
 
     def _solve_shard(key, state, useq, mparams, cparams):
+        mparams = model.precompute(mparams)
         idx = jax.lax.axis_index(axis)
         key = jax.random.fold_in(key, idx)
         eps = noise_ops.sample_noise(
@@ -109,6 +110,7 @@ def build_sharded_solve(
         return _update(useq, costs, eps)
 
     def _solve_with_noise_shard(eps, state, useq, mparams, cparams):
+        mparams = model.precompute(mparams)
         costs = _local_costs(state, useq, eps, mparams, cparams)
         return _update(useq, costs, eps)
 

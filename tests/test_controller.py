@@ -166,3 +166,58 @@ def test_timing_dict():
     ctrl.next(np.zeros(6))
     assert ctrl.timing["calls"] == 2
     assert ctrl.timing["total"] > 0.0
+
+
+class TestControllerCheckpoint:
+    """Controller-state checkpoint/resume (a gap in the reference —
+    SURVEY.md §5.4 records no controller-state checkpointing there)."""
+
+    def test_save_load_resume_bit_exact(self, tmp_path):
+        import numpy as np
+        import jax.numpy as jnp
+        from mppi_tf_tpu.controller.mppi import MPPI
+        from mppi_tf_tpu.costs import get_cost
+        from mppi_tf_tpu.models import get_model
+
+        sigma = np.diag([0.25, 0.3, 0.2])
+        model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                          state_dim=6, action_dim=3)
+        cost = get_cost({"type": "static", "diag": True,
+                         "goal": [1.0, 0, 0, 0, 0, 0], "Q": [1.0] * 6},
+                        lam=0.8, gamma=0.2, upsilon=1.0, sigma=sigma)
+
+        def make():
+            return MPPI(model, cost, k=128, tau=6, lam=0.8, upsilon=1.0,
+                        sigma=sigma, seed=3)
+
+        a = make()
+        for _ in range(4):
+            a.next(np.zeros(6))
+        ckpt = str(tmp_path / "ctrl.npz")
+        a.save_state(ckpt)
+        cont_a = [a.next(np.zeros(6)) for _ in range(3)]
+
+        b = make()
+        b.load_state(ckpt)
+        cont_b = [b.next(np.zeros(6)) for _ in range(3)]
+        np.testing.assert_array_equal(np.asarray(cont_a), np.asarray(cont_b))
+
+    def test_load_rejects_shape_mismatch(self, tmp_path):
+        import numpy as np
+        import pytest
+        from mppi_tf_tpu.controller.mppi import MPPI
+        from mppi_tf_tpu.costs import get_cost
+        from mppi_tf_tpu.models import get_model
+
+        sigma = np.diag([0.25, 0.3, 0.2])
+        model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                          state_dim=6, action_dim=3)
+        cost = get_cost({"type": "static", "diag": True,
+                         "goal": [1.0, 0, 0, 0, 0, 0], "Q": [1.0] * 6},
+                        lam=0.8, gamma=0.2, upsilon=1.0, sigma=sigma)
+        a = MPPI(model, cost, k=16, tau=6, lam=0.8, upsilon=1.0, sigma=sigma)
+        ckpt = str(tmp_path / "c.npz")
+        a.save_state(ckpt)
+        b = MPPI(model, cost, k=16, tau=9, lam=0.8, upsilon=1.0, sigma=sigma)
+        with pytest.raises(ValueError):
+            b.load_state(ckpt)
