@@ -239,10 +239,21 @@ class AUVModel(ModelBase):
             m_tot, inv_m = params["m_tot"], params["inv_m"]
         else:
             m_tot, inv_m = self._mass_matrices(params)
-        D = self.damping_matrix(vel)
-        C = self.coriolis_matrix(m_tot, vel)
-        Dv = jnp.einsum("kij,kj->ki", D, vel)
-        Cv = jnp.einsum("kij,kj->ki", C, vel)
+        # D(nu) nu and C(nu) nu computed directly — never materialising the
+        # [k, 6, 6] matrices (several MB of HBM traffic per rollout step at
+        # K~10^4; damping_matrix/coriolis_matrix remain the testable matrix
+        # forms and test_auv checks this path against them):
+        #   D nu = -L nu - u (L_fwd nu) - Q_d (|nu| . nu)
+        #   C nu = [-a1 x w ; -a1 x v - a2 x w],  [a1; a2] = M nu
+        Dv = (-(vel @ self.lin_damp.T)
+              - vel[:, 0:1] * (vel @ self.lin_damp_fwd.T)
+              - (jnp.abs(vel) * vel) @ self.quad_damp.T)
+        v, w = vel[:, 0:3], vel[:, 3:6]
+        a1 = v @ m_tot[0:3, 0:3].T + w @ m_tot[0:3, 3:6].T
+        a2 = v @ m_tot[3:6, 0:3].T + w @ m_tot[3:6, 3:6].T
+        Cv = jnp.concatenate(
+            [-jnp.cross(a1, w), -jnp.cross(a1, v) - jnp.cross(a2, w)],
+            axis=-1)
         g = self.restoring_forces(params, rot_btoi)
         rhs = gen_force - Cv - Dv - g
         return rhs @ inv_m.T

@@ -235,3 +235,33 @@ def test_jacobian_maps_velocity():
         pose_dot = J[i] @ x[i, 7:13]
         full = npm.state_dot(x[i], np.zeros(6))
         np.testing.assert_allclose(pose_dot, full[:7], rtol=1e-9, atol=1e-9)
+
+
+def test_acc_matches_matrix_forms():
+    """acc's direct D nu / C nu computation == the explicit matrix forms
+    (damping_matrix / coriolis_matrix are the testable references)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    model, params, _ = _mk(rk=1)
+    rng = np.random.RandomState(11)
+    k = 7
+    vel = jnp.asarray(rng.randn(k, 6), model.dtype)
+    q = rng.randn(k, 4)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    from mppi_tf_tpu.ops import quaternion as quat
+
+    rot = quat.to_rotation_matrix(jnp.asarray(q, model.dtype))
+    tau_in = jnp.asarray(rng.randn(k, 6), model.dtype)
+
+    got = model.acc(params, vel, tau_in, rot)
+
+    m_tot, inv_m = model._mass_matrices(params)
+    D = model.damping_matrix(vel)
+    C = model.coriolis_matrix(m_tot, vel)
+    Dv = jnp.einsum("kij,kj->ki", D, vel)
+    Cv = jnp.einsum("kij,kj->ki", C, vel)
+    g = model.restoring_forces(params, rot)
+    want = (tau_in - Cv - Dv - g) @ inv_m.T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-10, atol=1e-12)

@@ -173,3 +173,23 @@ class TestLearner:
             sigmas=[0.001], epochs=(10,), k=2)
         assert len(results) == 2
         assert best["val_error"] == min(r["val_error"] for r in results)
+
+
+def test_collect_transitions_random_policy():
+    """Reference save_rng_sim.py equivalent: random-action collection."""
+    import numpy as np
+    from mppi_tf_tpu.collect import collect_transitions
+    from mppi_tf_tpu.envs import get_env
+    from mppi_tf_tpu.learning.replay import ReplayBuffer
+
+    env_cfg = {"env": "analytic:point_mass", "state-dim": 6, "action-dim": 3,
+               "dt": 0.1, "max-a": [1.0, 1.0, 1.0]}
+    env = get_env(env_cfg, render=False)
+    buf = ReplayBuffer(64, 6, 3)
+    collect_transitions(env, buf, 20, 3, -1.0, 1.0, seed=1, control_dt=0.1)
+    assert len(buf) == 20
+    data = buf.get_all_transitions()
+    assert data["obs"].shape == (20, 6)
+    assert np.all(np.abs(data["act"]) <= 1.0)
+    # transitions must chain: next_obs[i] == obs[i+1]
+    np.testing.assert_allclose(data["next_obs"][:-1], data["obs"][1:])
