@@ -147,17 +147,25 @@ class MPPI:
             # CPU interpret mode stubs pltpu.prng_* to zeros, so "auto" only
             # selects the fused path on real TPU; explicit "pallas" on CPU is
             # for interpret-mode debugging only.
+            from ..kernels.auv_mppi import FusedAUVMPPI
             from ..kernels.pm_mppi import FusedPointMassMPPI
 
-            try:
-                self._fused = FusedPointMassMPPI(
-                    model, cost, k=self._k, tau=self._tau, lam=self._lam,
-                    upsilon=self._upsilon, sigma=np.asarray(sigma, np.float64),
-                    interpret=not on_tpu,
-                )
-            except TypeError:
-                if kernel == "pallas":
-                    raise
+            err = None
+            for cls in (FusedPointMassMPPI, FusedAUVMPPI):
+                try:
+                    self._fused = cls(
+                        model, cost, k=self._k, tau=self._tau, lam=self._lam,
+                        upsilon=self._upsilon,
+                        sigma=np.asarray(sigma, np.float64),
+                        interpret=not on_tpu,
+                    )
+                    break
+                except TypeError as e:
+                    err = e
+            if self._fused is None and kernel == "pallas":
+                raise TypeError(
+                    f"no fused kernel supports {type(model).__name__} + "
+                    f"{type(cost).__name__}") from err
         self._base_seed = int(seed)
 
     def _next_fused(self, state):

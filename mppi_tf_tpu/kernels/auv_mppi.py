@@ -1,0 +1,541 @@
+"""Fused Pallas MPPI solve for the AUV (Fossen 6-DoF) flagship model.
+
+The XLA scan path for the AUV solve is layout-bound: every ``[k, 6]`` /
+``[k, 13]`` tensor puts only 6-13 elements on the 128-lane axis, wasting
+>90% of each vector register on every elementwise op (measured 2.1 ms at
+K=8192, H=25 on one v5e chip). This kernel transposes to a *component-major
+folded layout*: a K-tile of ``tile`` samples is reshaped to 8 sublanes x
+L = tile/8 lanes, and every per-sample scalar (each of the 13 state
+components, every intermediate) is a fully-utilised ``(8, L)`` f32 block.
+The entire Fossen dynamics — rotation application, quaternion kinematics,
+damping, Coriolis, restoring forces, mass-matrix solve, RK1/RK2, quaternion
+renormalisation — plus the StaticQuat cost become pure elementwise FMA
+chains over these blocks with scalar coefficients.
+
+Constant handling:
+- non-trainable model constants (damping matrices, cog/cob, buoyancy,
+  noise scale, cost Q, lambda/gamma/upsilon) are baked in at trace time as
+  Python floats — zero entries generate NO code (diagonal damping costs 6
+  FMAs, not 36);
+- trainable/dynamic quantities (total mass matrix + inverse, mass, goal,
+  x0, the nominal action sequence and its folded action-cost terms) arrive
+  through one SMEM scalar array per solve.
+
+Noise: in-kernel Box-Muller over 2-step chunks of (48, L) pairs — both
+cos and sin halves consumed, every sublane useful (see pm_mppi.py for the
+measured motivation); an injected-normals variant supports exact parity
+tests in interpret mode. Weighted noise leaves the kernel as per-(step,
+component) scalar sums over the standard normals, un-folded by ``scale``
+outside; the per-tile softmax is merged online across tiles and the same
+(m, l) algebra merges shards across a device mesh.
+
+Semantics match models/auv.AUVModel.step + costs/static.StaticQuatCost +
+ops/update.mppi_update exactly (reference: auv_model.py:285-559,
+static_cost.py:73-159, controller_base.py:299-346).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GRAVITY = 9.81
+NEG_BIG = -1e30
+_SUB = 8          # sublanes per block
+_CH = 2           # steps per noise chunk (2 * 6 comps * 8 rows = 96)
+_SLOT_ROWS = 96   # rows per noise chunk
+
+
+def _bits_to_uniform(bits):
+    mantissa = bits >> 9
+    one_to_two = pltpu.bitcast(mantissa | jnp.uint32(0x3F800000), jnp.float32)
+    return one_to_two - 1.0
+
+
+def _acos(x):
+    """Polynomial arccos (Abramowitz & Stegun 4.4.45-style minimax,
+    |err| < 2e-8 rad): Mosaic lowers neither acos nor atan2. Branchless
+    sign handling: acos(-t) = pi - acos(t)."""
+    t = jnp.abs(x)
+    p = -0.0012624911
+    for c in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
+              0.0889789874, -0.2145988016, 1.5707963050):
+        p = p * t + c
+    r = jnp.sqrt(jnp.maximum(1.0 - t, 0.0)) * p
+    return jnp.where(x >= 0.0, r, math.pi - r)
+
+
+class _Dyn:
+    """SMEM scalar-array layout for the dynamic (per-solve) parameters."""
+
+    def __init__(self, tau: int):
+        self.m_tot = 0          # 36: total mass matrix, row-major
+        self.inv_m = 36         # 36: its inverse
+        self.mass = 72          # 1
+        self.goal = 73          # 13
+        self.x0 = 86            # 13
+        self.useq = 99          # tau*6
+        self.rhs_z = 99 + 6 * tau   # tau*6: scale^T (gamma Sig^-1 u_t)
+        self.u_half = 99 + 12 * tau  # 1: sum_t 0.5 gamma u^T Sig^-1 u
+        self.size = self.u_half + 1
+
+
+def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool):
+    """Build the kernel body. ``mc`` is the compile-time constant dict:
+    dt, rk, lin_damp/lin_damp_fwd/quad_damp (6x6 numpy), cog, cob,
+    buoyancy (scalar rho*V*G), scale (6x6), Mz (6x6), Q (10x10),
+    lam, nc_half."""
+    L = tile // _SUB
+    n_chunks = (tau + _CH - 1) // _CH
+    dyn = _Dyn(tau)
+    dt = float(mc["dt"])
+    rk = int(mc["rk"])
+    lam = float(mc["lam"])
+    nc_half = float(mc["nc_half"])
+    LD = np.asarray(mc["lin_damp"], np.float64)
+    LDF = np.asarray(mc["lin_damp_fwd"], np.float64)
+    QD = np.asarray(mc["quad_damp"], np.float64)
+    COG = np.asarray(mc["cog"], np.float64)
+    COB = np.asarray(mc["cob"], np.float64)
+    BUOY = float(mc["buoyancy"])
+    SCALE = np.asarray(mc["scale"], np.float64)
+    MZ = np.asarray(mc["Mz"], np.float64)
+    QC = np.asarray(mc["Q"], np.float64)
+
+    def kernel(*refs):
+        if use_prng:
+            seed_ref, dyn_ref, s_ref, stats_ref, z_scr = refs
+        else:
+            seed_ref, dyn_ref, z_scr, s_ref, stats_ref = refs
+
+        pid = pl.program_id(0)
+
+        @pl.when(pid == 0)
+        def _init():
+            for i in range(tau * 6):
+                s_ref[i] = 0.0
+            stats_ref[0] = NEG_BIG
+            stats_ref[1] = 0.0
+            stats_ref[2] = -NEG_BIG
+            stats_ref[3] = NEG_BIG
+            stats_ref[4] = 0.0
+
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0] + pid)
+            for c in range(n_chunks):
+                b1 = pltpu.bitcast(pltpu.prng_random_bits((48, L)),
+                                   jnp.uint32)
+                b2 = pltpu.bitcast(pltpu.prng_random_bits((48, L)),
+                                   jnp.uint32)
+                u1 = _bits_to_uniform(b1) + (2.0 ** -24)
+                theta = (2.0 * math.pi) * _bits_to_uniform(b2)
+                r = jnp.sqrt(-2.0 * jnp.log(u1))
+                z_scr[c] = jnp.concatenate(
+                    [r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
+
+        def zrow(t, j):
+            """Standard normals for (step t, action dim j): (8, L)."""
+            c, d = divmod(t, _CH)
+            s = d * 6 + j
+            return z_scr[c, _SUB * s:_SUB * (s + 1), :]
+
+        def d_(i):
+            return dyn_ref[i]
+
+        # --- Fossen dynamics on 13 component blocks ------------------
+        # state x = [px py pz qx qy qz qw | u v w p q r]
+        def state_dot(x, gf):
+            px, py, pz, qx, qy, qz, qw = x[0:7]
+            nu = x[7:13]
+            v1, v2, v3, w1, w2, w3 = nu
+            # rotation matrix entries (body->inertial)
+            r11 = 1 - 2 * (qy * qy + qz * qz)
+            r12 = 2 * (qx * qy - qz * qw)
+            r13 = 2 * (qx * qz + qy * qw)
+            r21 = 2 * (qx * qy + qz * qw)
+            r22 = 1 - 2 * (qx * qx + qz * qz)
+            r23 = 2 * (qy * qz - qx * qw)
+            r31 = 2 * (qx * qz - qy * qw)
+            r32 = 2 * (qy * qz + qx * qw)
+            r33 = 1 - 2 * (qx * qx + qy * qy)
+            # pose rates
+            px_d = r11 * v1 + r12 * v2 + r13 * v3
+            py_d = r21 * v1 + r22 * v2 + r23 * v3
+            pz_d = r31 * v1 + r32 * v2 + r33 * v3
+            qx_d = 0.5 * (qw * w1 - qz * w2 + qy * w3)
+            qy_d = 0.5 * (qz * w1 + qw * w2 - qx * w3)
+            qz_d = 0.5 * (-qy * w1 + qx * w2 + qw * w3)
+            qw_d = 0.5 * (-qx * w1 - qy * w2 - qz * w3)
+
+            # damping: Dv_i = -(L nu)_i - v1 (Lf nu)_i - (Qd (|nu| nu))_i
+            absnu = [jnp.abs(c) * c for c in nu]
+
+            def mat_dot(M, vec, scale_arr=None):
+                out = []
+                for i in range(6):
+                    acc = None
+                    for j in range(6):
+                        m = float(M[i, j])
+                        if m == 0.0:
+                            continue
+                        term = m * vec[j]
+                        acc = term if acc is None else acc + term
+                    if acc is None:
+                        acc = jnp.zeros_like(vec[0])
+                    if scale_arr is not None:
+                        acc = acc * scale_arr
+                    out.append(acc)
+                return out
+
+            Dv_l = mat_dot(LD, nu)
+            Dv_q = mat_dot(QD, absnu)
+            if np.any(LDF != 0.0):
+                Dv_f = mat_dot(LDF, nu, scale_arr=v1)
+            else:
+                Dv_f = None
+            Dv = []
+            for i in range(6):
+                t_ = -Dv_l[i] - Dv_q[i]
+                if Dv_f is not None:
+                    t_ = t_ - Dv_f[i]
+                Dv.append(t_)
+
+            # Coriolis: a = M nu (SMEM scalars), Cv = [-a1 x w; -a1 x v - a2 x w]
+            def mrow(i, base):
+                acc = None
+                for j in range(6):
+                    term = d_(base + 6 * i + j) * nu[j]
+                    acc = term if acc is None else acc + term
+                return acc
+
+            a = [mrow(i, dyn.m_tot) for i in range(6)]
+            a1, a2 = a[0:3], a[3:6]
+
+            def cross(u, v):
+                return [u[1] * v[2] - u[2] * v[1],
+                        u[2] * v[0] - u[0] * v[2],
+                        u[0] * v[1] - u[1] * v[0]]
+
+            ww = [w1, w2, w3]
+            vv = [v1, v2, v3]
+            c_top = cross(a1, ww)
+            c_b1 = cross(a1, vv)
+            c_b2 = cross(a2, ww)
+            Cv = [-c_top[0], -c_top[1], -c_top[2],
+                  -c_b1[0] - c_b2[0], -c_b1[1] - c_b2[1], -c_b1[2] - c_b2[2]]
+
+            # restoring: fbg = R^T (0,0,-m g), fbb = R^T (0,0,rho V g)
+            fng_z = d_(dyn.mass) * (-GRAVITY)
+            fbg = [r31 * fng_z, r32 * fng_z, r33 * fng_z]
+            fbb = [r31 * BUOY, r32 * BUOY, r33 * BUOY]
+            mbg = cross([float(c) for c in COG], fbg)
+            mbb = cross([float(c) for c in COB], fbb)
+            g_vec = [-(fbg[i] + fbb[i]) for i in range(3)] + \
+                    [-(mbg[i] + mbb[i]) for i in range(3)]
+
+            rhs = [gf[i] - Cv[i] - Dv[i] - g_vec[i] for i in range(6)]
+            nu_d = []
+            for i in range(6):
+                acc = None
+                for j in range(6):
+                    term = d_(dyn.inv_m + 6 * i + j) * rhs[j]
+                    acc = term if acc is None else acc + term
+                nu_d.append(acc)
+            return [px_d, py_d, pz_d, qx_d, qy_d, qz_d, qw_d] + nu_d
+
+        def axpy(x, k_, s):
+            return [xi + s * ki for xi, ki in zip(x, k_)]
+
+        def norm_quat(x):
+            qx, qy, qz, qw = x[3:7]
+            n = jax.lax.rsqrt(
+                jnp.maximum(qx * qx + qy * qy + qz * qz + qw * qw, 1e-24))
+            return x[0:3] + [qx * n, qy * n, qz * n, qw * n] + x[7:13]
+
+        # --- rollout ---------------------------------------------------
+        x = [jnp.full((_SUB, L), 1.0, jnp.float32) * d_(dyn.x0 + i)
+             for i in range(13)]
+        acc_cost = jnp.zeros((_SUB, L), dtype=jnp.float32)
+
+        def state_cost(x):
+            gl = [d_(dyn.goal + i) for i in range(13)]
+            dvec = [x[0] - gl[0], x[1] - gl[1], x[2] - gl[2]]
+            qdot = x[3] * gl[3] + x[4] * gl[4] + x[5] * gl[5] + x[6] * gl[6]
+            theta = 2.0 * _acos(jnp.clip(qdot, -1.0, 1.0))
+            dvec.append(theta)
+            for i in range(6):
+                dvec.append(x[7 + i] - gl[7 + i])
+            out = None
+            for i in range(10):
+                qd = None
+                for j in range(10):
+                    qij = float(QC[i, j])
+                    if qij == 0.0:
+                        continue
+                    term = qij * dvec[j]
+                    qd = term if qd is None else qd + term
+                if qd is None:
+                    continue
+                term = dvec[i] * qd
+                out = term if out is None else out + term
+            return out
+
+        for t in range(tau):
+            z_t = [zrow(t, j) for j in range(6)]
+            # eps = scale @ z; gen_force = u_t + eps
+            gf = []
+            for i in range(6):
+                acc = jnp.full((_SUB, L), 1.0, jnp.float32) * \
+                    d_(dyn.useq + 6 * t + i)
+                for j in range(6):
+                    s_ = float(SCALE[i, j])
+                    if s_ != 0.0:
+                        acc = acc + s_ * z_t[j]
+                gf.append(acc)
+            k1 = state_dot(x, gf)
+            if rk == 1:
+                x = axpy(x, k1, dt)
+            else:  # rk2
+                xm = axpy(x, k1, dt)
+                k2 = state_dot(xm, gf)
+                x = [xi + (dt / 2.0) * (a_ + b_)
+                     for xi, a_, b_ in zip(x, k1, k2)]
+            x = norm_quat(x)
+            acc_cost = acc_cost + state_cost(x)
+            # action-cost z terms: rhs_z_t . z + nc_half z^T Mz z
+            for j in range(6):
+                acc_cost = acc_cost + d_(dyn.rhs_z + 6 * t + j) * z_t[j]
+            if nc_half != 0.0:
+                quad = None
+                for i in range(6):
+                    mz = None
+                    for j in range(6):
+                        mij = float(MZ[i, j])
+                        if mij == 0.0:
+                            continue
+                        term = mij * z_t[j]
+                        mz = term if mz is None else mz + term
+                    if mz is None:
+                        continue
+                    term = z_t[i] * mz
+                    quad = term if quad is None else quad + term
+                if quad is not None:
+                    acc_cost = acc_cost + nc_half * quad
+        # terminal
+        acc_cost = acc_cost + state_cost(x) + d_(dyn.u_half)
+
+        # --- masked online softmax over the folded tile ---------------
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 1)
+        valid = (pid * tile + sub_i * L + lane_i) < k_total
+        zarg = jnp.where(valid, -acc_cost / lam, NEG_BIG)
+        m_i = jnp.max(zarg)
+        w_arr = jnp.where(valid, jnp.exp(zarg - m_i), 0.0)
+        l_i = jnp.sum(w_arr)
+
+        m_old = stats_ref[0]
+        l_old = stats_ref[1]
+        m_new = jnp.maximum(m_old, m_i)
+        f_old = jnp.exp(m_old - m_new)
+        f_new = jnp.exp(m_i - m_new)
+        stats_ref[0] = m_new
+        stats_ref[1] = l_old * f_old + l_i * f_new
+
+        for t in range(tau):
+            for j in range(6):
+                val = jnp.sum(w_arr * zrow(t, j))
+                idx = t * 6 + j
+                s_ref[idx] = s_ref[idx] * f_old + val * f_new
+
+        stats_ref[2] = jnp.minimum(
+            stats_ref[2], jnp.min(jnp.where(valid, acc_cost, -NEG_BIG)))
+        stats_ref[3] = jnp.maximum(
+            stats_ref[3], jnp.max(jnp.where(valid, acc_cost, NEG_BIG)))
+        stats_ref[4] = stats_ref[4] + jnp.sum(
+            jnp.where(valid, acc_cost, 0.0))
+
+    return kernel, n_chunks, dyn
+
+
+def chunk_noise_auv(z_std, tile: int):
+    """[tau, 6, K] standard normals -> the kernel's folded chunk layout
+    [n_chunks, 96, n_tiles * L] (parity-test helper).
+
+    Sample s lives at (tile p = s // tile, sublane = (s % tile) // L,
+    lane = p * L + (s % L)); chunk slot for (step t, dim j) is
+    (t % 2) * 6 + j of chunk t // 2.
+    """
+    tau, adim, k = z_std.shape
+    assert adim == 6
+    L = tile // _SUB
+    n_tiles = (k + tile - 1) // tile
+    k_pad = n_tiles * tile
+    n_chunks = (tau + _CH - 1) // _CH
+    zp = np.zeros((tau, 6, k_pad), np.float32)
+    zp[..., :k] = np.asarray(z_std, np.float32)
+    # fold: [tau, 6, n_tiles, 8, L] -> rows
+    zf = zp.reshape(tau, 6, n_tiles, _SUB, L)
+    out = np.zeros((n_chunks, _SLOT_ROWS, n_tiles * L), np.float32)
+    for t in range(tau):
+        c, d = divmod(t, _CH)
+        for j in range(6):
+            s = d * 6 + j
+            for p in range(n_tiles):
+                out[c, _SUB * s:_SUB * (s + 1), p * L:(p + 1) * L] = \
+                    zf[t, j, p]
+    return out
+
+
+class FusedAUVMPPI:
+    """Fused Pallas solve for AUVModel + StaticQuatCost.
+
+    Mirrors kernels.pm_mppi.FusedPointMassMPPI: ``solve`` returns
+    (wnoise [tau, 6], info) or the raw merge pieces for a sharded caller.
+    """
+
+    def __init__(self, model, cost, k: int, tau: int, lam: float,
+                 upsilon: float, sigma, tile: int = 8192,
+                 interpret: bool = False):
+        from ..costs.static import StaticQuatCost
+        from ..models.auv import AUVModel
+
+        if not isinstance(model, AUVModel):
+            raise TypeError("fused AUV kernel supports AUVModel only")
+        if type(cost) is not StaticQuatCost:
+            raise TypeError("fused AUV kernel supports StaticQuatCost only")
+        if tile % _SUB:
+            raise ValueError("tile must be a multiple of 8")
+        self.model = model
+        self.cost = cost
+        self.k = int(k)
+        self.tau = int(tau)
+        self.lam = float(lam)
+        self.gamma = float(cost.gamma)
+        self.upsilon = float(upsilon)
+        self.tile = int(tile)
+        self.interpret = bool(interpret)
+        sigma = np.asarray(sigma, np.float64)
+        self._scale = upsilon * sigma
+        self._inv_sigma = np.linalg.inv(sigma)
+        nc_half = 0.5 * self.lam * (1.0 - 1.0 / self.upsilon)
+        self._mc = {
+            "dt": model.dt, "rk": model._rk, "lam": self.lam,
+            "nc_half": nc_half,
+            "lin_damp": np.asarray(model.lin_damp, np.float64),
+            "lin_damp_fwd": np.asarray(model.lin_damp_fwd, np.float64),
+            "quad_damp": np.asarray(model.quad_damp, np.float64),
+            "cog": np.asarray(model.cog, np.float64),
+            "cob": np.asarray(model.cob, np.float64),
+            "buoyancy": float(model._volume * model._density * GRAVITY),
+            "scale": self._scale,
+            "Mz": self._scale.T @ self._inv_sigma @ self._scale,
+            "Q": np.asarray(cost.Q, np.float64),
+        }
+        self._mc_key = tuple(sorted(self._mc))  # stable id for jit cache
+
+    def pack_dyn(self, mparams, cparams, x0, useq):
+        """Assemble the SMEM dynamic-scalar array for one solve."""
+        dyn = _Dyn(self.tau)
+        m_tot, inv_m = self.model._mass_matrices(mparams)
+        useq = jnp.asarray(useq, jnp.float32).reshape(self.tau, 6)
+        inv_sig = jnp.asarray(self._inv_sigma, jnp.float32)
+        scale = jnp.asarray(self._scale, jnp.float32)
+        rhs_u = self.gamma * (useq @ inv_sig.T)
+        rhs_z = rhs_u @ scale
+        u_half = 0.5 * self.gamma * jnp.einsum(
+            "ti,ij,tj->t", useq, inv_sig, useq)
+        out = jnp.zeros((dyn.size,), jnp.float32)
+        out = out.at[dyn.m_tot:dyn.m_tot + 36].set(
+            jnp.asarray(m_tot, jnp.float32).reshape(-1))
+        out = out.at[dyn.inv_m:dyn.inv_m + 36].set(
+            jnp.asarray(inv_m, jnp.float32).reshape(-1))
+        out = out.at[dyn.mass].set(
+            jnp.asarray(mparams["mass"], jnp.float32))
+        out = out.at[dyn.goal:dyn.goal + 13].set(
+            jnp.asarray(cparams["goal"], jnp.float32))
+        out = out.at[dyn.x0:dyn.x0 + 13].set(
+            jnp.asarray(x0, jnp.float32).reshape(13))
+        out = out.at[dyn.useq:dyn.useq + 6 * self.tau].set(useq.reshape(-1))
+        out = out.at[dyn.rhs_z:dyn.rhs_z + 6 * self.tau].set(
+            rhs_z.reshape(-1))
+        out = out.at[dyn.u_half].set(jnp.sum(u_half))
+        return out
+
+    def solve(self, seed, x0, useq, mparams, cparams, z=None,
+              use_prng: bool = True, return_raw: bool = False):
+        dyn_arr = self.pack_dyn(mparams, cparams, x0, useq)
+        return _fused_auv_call(
+            seed, dyn_arr, z, fused=self, use_prng=use_prng,
+            return_raw=return_raw)
+
+
+@functools.partial(jax.jit, static_argnames=("fused", "use_prng",
+                                             "return_raw"))
+def _fused_auv_call(seed, dyn_arr, z=None, *, fused: FusedAUVMPPI,
+                    use_prng: bool, return_raw: bool):
+    tau, tile, k = fused.tau, fused.tile, fused.k
+    L = tile // _SUB
+    n_tiles = (k + tile - 1) // tile
+    kernel, n_chunks, _dyn = _make_kernel(fused._mc, tau, tile, k, use_prng)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # dyn scalars
+    ]
+    args = [jnp.asarray(seed, jnp.int32).reshape(1), dyn_arr]
+    scratch_shapes = []
+    if use_prng:
+        scratch_shapes.append(
+            pltpu.VMEM((n_chunks, _SLOT_ROWS, L), jnp.float32))
+    else:
+        assert z is not None and z.shape == (n_chunks, _SLOT_ROWS,
+                                             n_tiles * L), (
+            None if z is None else z.shape, (n_chunks, _SLOT_ROWS,
+                                             n_tiles * L))
+        in_specs.append(
+            pl.BlockSpec((n_chunks, _SLOT_ROWS, L), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(z, jnp.float32))
+
+    out_shape = (
+        jax.ShapeDtypeStruct((tau * 6,), jnp.float32),   # weighted z sums
+        jax.ShapeDtypeStruct((8,), jnp.float32),         # stats
+    )
+    out_specs = (
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    )
+
+    S, stats = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=(pltpu.InterpretParams() if fused.interpret else False),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(*args)
+
+    l = stats[1]
+    zsum = S.reshape(tau, 6)
+    if return_raw:
+        return {"m": stats[0], "l": l, "zsum": zsum, "cost_min": stats[2],
+                "cost_max": stats[3], "cost_sum": stats[4]}
+    scale = jnp.asarray(fused._scale, jnp.float32)
+    wnoise = (zsum @ scale.T) / l
+    info = {
+        "cost_min": stats[2],
+        "cost_max": stats[3],
+        "cost_mean": stats[4] / k,
+        "nabla": l,
+    }
+    return wnoise, info
