@@ -60,8 +60,7 @@ def main():
     solve = ctrl._solve  # pure fn: (key, state, useq, mp, cp)
 
     if KERNEL == "pallas":
-        from mppi_tf_tpu.kernels.pm_mppi import (FusedPointMassMPPI,
-                                                 fused_pm_solve)
+        from mppi_tf_tpu.kernels.pm_mppi import FusedPointMassMPPI
         from mppi_tf_tpu.ops import update as upd
 
         fused = FusedPointMassMPPI(model, cost, k=K, tau=TAU, lam=0.8,
@@ -72,11 +71,8 @@ def main():
             # key is unused: the kernel seeds pltpu.prng per solve
             def body(i, carry):
                 state, useq = carry
-                consts, Bm = fused.consts_for(mp, cp, state)
-                wn, _info = fused_pm_solve(
-                    i * n_tiles, consts, Bm, useq, tau=TAU, adim=3,
-                    k=K, tile=fused.tile, lam=0.8, gamma=0.2, upsilon=1.0,
-                    use_prng=True, interpret=False)
+                wn, _info = fused.solve(i * n_tiles, state, useq, mp, cp,
+                                        use_prng=True)
                 new_useq = useq + wn
                 action = new_useq[0]
                 shifted = upd.shift(
@@ -120,10 +116,7 @@ def main():
     # single-call dispatch latency (incl. host round trip)
     if KERNEL == "pallas":
         def _single(key, state, useq, mp, cp):
-            consts, Bm = fused.consts_for(mp, cp, state)
-            return fused_pm_solve(0, consts, Bm, useq, tau=TAU, adim=3, k=K,
-                                  tile=fused.tile, lam=0.8, gamma=0.2,
-                                  upsilon=1.0, use_prng=True, interpret=False)
+            return fused.solve(0, state, useq, mp, cp, use_prng=True)
         single = jax.jit(_single)
     else:
         single = jax.jit(solve)

@@ -420,6 +420,8 @@ class FusedAUVMPPI:
         self.upsilon = float(upsilon)
         self.tile = int(tile)
         self.interpret = bool(interpret)
+        self.adim = 6
+        self.sdim = 13
         sigma = np.asarray(sigma, np.float64)
         self._scale = upsilon * sigma
         self._inv_sigma = np.linalg.inv(sigma)

@@ -5,37 +5,39 @@ solve at K=100k, H=50 on one v5e chip, bounded by materialising the noise
 tensor and the per-step scan carry in HBM. This kernel fuses noise
 generation, the tau-step rollout, the cost accumulation, and the
 softmax-weighted noise reduction into ONE pass over K-tiles that never
-leaves VMEM:
+leaves VMEM.
 
-- the K axis is tiled over a sequential grid; each tile keeps its state
-  [8, tile] and its standard-normal history resident in VMEM;
-- noise is drawn in-kernel (pltpu.prng_* + Box-Muller) so the [K, tau, aDim]
-  noise tensor NEVER exists in HBM; a variant takes pre-drawn normals as
-  input for exact parity testing;
-- the per-tile softmax is merged across tiles online (flash-attention style
-  running-max rescaling), so the weighted noise needs no second pass over
-  HBM: outputs are just a small [rows, 128] block + a few scalars per solve.
+Layout — *component-major folded* (same design as kernels/auv_mppi.py,
+where it was measured to beat both the [k, c] XLA layout and a
+[c, k]-transposed kernel):
 
-Performance-critical structure (measured on v5e, K=100k H=50):
-- Transcendentals dominate a naive design: Box-Muller's log/sqrt/cos on an
-  8-sublane [8, tile] block per step costs ~1.2 ms/solve when only aDim=3
-  rows are useful and the sin half of each pair is discarded (~5x waste).
-  Here normals are generated in CHUNK_STEPS-step blocks of [adim*CH, tile]
-  rows — every sublane useful — and BOTH halves (r*cos, r*sin) of each
-  Box-Muller pair are consumed, cutting transcendental work ~5x.
-- The noise-scale matrix is FOLDED into the constants: dynamics use
-  B@scale, the action-cost linear term uses scale^T(gamma Sig^-1 u), and the
-  quadratic term uses M_z = scale^T Sig^-1 scale, so the kernel only ever
-  touches raw normals z; eps = scale@z is never materialised. The weighted
-  noise is un-folded once at the end: sum_k w eps = scale @ (sum_k w z).
-- The horizon loop is Python-unrolled (tau is static) so all chunk/row
-  slices are static — no dynamic sublane indexing.
-- The small matmuls (8x8 @ 8xtile on the MXU) are effectively free — they
-  overlap with the VPU work.
+- a K-tile of ``tile`` samples is reshaped to 8 sublanes x L = tile/8
+  lanes; every state component and per-sample intermediate is a fully
+  utilised ``(8, L)`` f32 block;
+- the LTI step and the quadratic cost are emitted as scalar-coefficient
+  FMA chains over those blocks, with the (compile-time) A, B@scale, Q
+  matrices sparse-aware: zero entries generate NO code — the block-diagonal
+  point-mass A (point_mass_model.py:134-151) costs 2 FMAs per state row,
+  not a [8,8] MXU matmul at 6% utilisation;
+- noise is drawn in-kernel (pltpu.prng_* + Box-Muller over 2-step chunks,
+  both cos and sin halves consumed, every sublane useful) so the
+  [K, tau, aDim] noise tensor never exists in HBM; an injected-normals
+  variant supports exact parity testing in interpret mode;
+- the noise-scale matrix is folded into the constants (dynamics use
+  B@scale/m, the action-cost linear term scale^T(gamma Sig^-1 u), the
+  quadratic term M_z = scale^T Sig^-1 scale), so the kernel only ever
+  touches raw normals z; the weighted noise is un-folded once at the end:
+  sum_k w eps = scale @ (sum_k w z);
+- the per-tile softmax is merged across tiles online (flash-attention
+  style running-max rescaling); ``return_raw`` exposes the (m, l, zsum)
+  merge pieces so a mesh-sharded caller merges shards with pmax/psum using
+  the same algebra (parallel/fused.py).
 
-Layout notes (TPU): everything is transposed to [component, K-tile] so the
-lane axis is the 128-multiple sample axis; components (sDim=6, aDim=3) pad
-to 8 sublanes.
+Evolution (measured at K=100k, H=50, one v5e chip): naive transposed
+[8, tile] kernel 2.54 ms (Box-Muller on 8-row blocks with 3 useful rows
+dominated at ~1.2 ms); chunked two-sided BM + folding + unrolled horizon
+1.30 ms; full-width cost accumulators 1.14 ms; this folded layout removes
+the remaining (1, tile) ops, misaligned sublane reads and tiny matmuls.
 
 Semantics match ops/update.mppi_update + ops/rollout.rollout_costs exactly
 (reference: controller_base.py:299-346): per-step cost is state cost of the
@@ -54,17 +56,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROWS = 8  # padded component dimension (sDim, aDim <= 8)
 NEG_BIG = -1e30
-
-
-def chunk_steps(adim: int) -> int:
-    """Steps per noise chunk: smallest CH with adim*CH a multiple of 16
-    (so the Box-Muller pair block adim*CH/2 is sublane-aligned)."""
-    ch = 1
-    while (adim * ch) % 16:
-        ch += 1
-    return ch
+_SUB = 8   # sublanes per block
+_CH = 2    # steps per noise chunk
+_ROWS = 8  # legacy export (padded component dim of the pre-folded design)
 
 
 def _bits_to_uniform(bits):
@@ -79,116 +74,149 @@ def _bits_to_uniform(bits):
     return one_to_two - 1.0
 
 
-def _make_kernel(tau: int, adim: int, tile: int, k_total: int, lam: float,
-                 nc_half: float, use_prng: bool):
-    """Build the fused kernel body.
+class _Dyn:
+    """SMEM scalar-array layout for the dynamic (per-solve) parameters."""
 
-    Refs (in order):
-        seed_ref:   SMEM [1] int32 — per-solve seed (ignored if not use_prng)
-        consts_ref: VMEM [48, 128] — packed constant matrices (pack_consts)
-        steps_ref:  VMEM [tau, 128] — per-step constants (pack_steps)
-        [z_ref]:    VMEM [n_chunks, rows, tile] — pre-drawn normals in
-                    chunked layout (only if not use_prng); row j*adim+i of
-                    chunk c is (step c*CH+j, action dim i)
-        s_ref:      VMEM out [rows, 128] — col c = running sum_k w_k z_k for
-                    chunk c's rows
-        stats_ref:  SMEM out [8] — m, l, cost_min, cost_max, cost_sum
-        [z_scr]:    VMEM scratch [n_chunks, rows, tile] (only if use_prng)
-    """
-    ch = chunk_steps(adim)
-    rows = adim * ch
-    pairs = rows // 2
-    n_chunks = (tau + ch - 1) // ch
+    def __init__(self, tau: int, sdim: int, adim: int):
+        self.inv_mass = 0                    # 1
+        self.x0 = 1                          # sdim
+        self.goal = 1 + sdim                 # sdim
+        self.bu = 1 + 2 * sdim               # tau*sdim: B u_t (mass-free)
+        self.rhs_z = self.bu + tau * sdim    # tau*adim
+        self.u_half = self.rhs_z + tau * adim  # 1: summed pure-action cost
+        self.size = self.u_half + 1
+
+
+def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
+                 k_total: int, use_prng: bool):
+    """Kernel body. ``mc`` compile-time constants: A (sdim x sdim),
+    Bs = B @ scale (sdim x adim, mass-free), Q (sdim x sdim),
+    Mz = scale^T Sig^-1 scale (adim x adim), lam, nc_half."""
+    L = tile // _SUB
+    slots = adim * _CH
+    pair_rows = slots * _SUB // 2
+    n_chunks = (tau + _CH - 1) // _CH
+    dyn = _Dyn(tau, sdim, adim)
+    A = np.asarray(mc["A"], np.float64)
+    BS = np.asarray(mc["Bs"], np.float64)
+    Q = np.asarray(mc["Q"], np.float64)
+    MZ = np.asarray(mc["Mz"], np.float64)
+    lam = float(mc["lam"])
+    nc_half = float(mc["nc_half"])
 
     def kernel(*refs):
         if use_prng:
-            seed_ref, consts_ref, steps_ref, s_ref, stats_ref, z_scr = refs
+            seed_ref, dyn_ref, s_ref, stats_ref, z_scr = refs
         else:
-            seed_ref, consts_ref, steps_ref, z_scr, s_ref, stats_ref = refs
+            seed_ref, dyn_ref, z_scr, s_ref, stats_ref = refs
 
         pid = pl.program_id(0)
 
         @pl.when(pid == 0)
         def _init():
-            s_ref[:] = jnp.zeros_like(s_ref)
-            stats_ref[0] = NEG_BIG   # running max of z = -cost/lam
-            stats_ref[1] = 0.0       # running l = sum exp(z - m)
+            for i in range(tau * adim):
+                s_ref[i] = 0.0
+            stats_ref[0] = NEG_BIG   # running max of -cost/lam
+            stats_ref[1] = 0.0       # running normalizer l
             stats_ref[2] = -NEG_BIG  # cost min
             stats_ref[3] = NEG_BIG   # cost max
             stats_ref[4] = 0.0       # cost sum
 
-        consts = consts_ref[:]
-        A = consts[0:8, 0:8]
-        BmS = consts[8:16, 0:adim]   # (B/m) @ scale, adim useful columns
-        Q = consts[16:24, 0:8]
-        Mz = consts[24:32, 0:adim][0:adim]  # scale^T Sig^-1 scale
-        x0 = consts[40, 0:8]
-        goal = consts[41, 0:8]
-        steps = steps_ref[:]
-
-        # ---- noise generation: full-utilisation Box-Muller per chunk ----
         if use_prng:
             pltpu.prng_seed(seed_ref[0] + pid)
             for c in range(n_chunks):
-                b1 = pltpu.bitcast(pltpu.prng_random_bits((pairs, tile)),
-                                   jnp.uint32)
-                b2 = pltpu.bitcast(pltpu.prng_random_bits((pairs, tile)),
-                                   jnp.uint32)
-                u1 = _bits_to_uniform(b1) + (2.0 ** -24)  # (0, 1]
+                b1 = pltpu.bitcast(
+                    pltpu.prng_random_bits((pair_rows, L)), jnp.uint32)
+                b2 = pltpu.bitcast(
+                    pltpu.prng_random_bits((pair_rows, L)), jnp.uint32)
+                u1 = _bits_to_uniform(b1) + (2.0 ** -24)
                 theta = (2.0 * math.pi) * _bits_to_uniform(b2)
                 r = jnp.sqrt(-2.0 * jnp.log(u1))
                 z_scr[c] = jnp.concatenate(
                     [r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
 
-        def z_at(t):
-            c, j = divmod(t, ch)
-            return z_scr[c, j * adim:(j + 1) * adim, :]  # (adim, tile)
+        def zrow(t, j):
+            c, d = divmod(t, _CH)
+            s = d * adim + j
+            return z_scr[c, _SUB * s:_SUB * (s + 1), :]
 
-        # ---- rollout: tau unrolled steps, all-static slicing ----
-        # Per-step costs are accumulated WITHOUT row reductions: acc8/acc3
-        # keep full (rows, tile) partial products and the sublane reduction
-        # happens once per tile at the end — per-step (1, tile) ops would
-        # waste 7/8 of every vreg's sublanes. The sample-independent
-        # 0.5*gamma*u^T Sig^-1 u terms arrive pre-summed over t via
-        # steps_ref[0, 17] (pack_steps).
-        x = jnp.broadcast_to(x0[:, None], (_ROWS, tile))
-        acc8 = jnp.zeros((_ROWS, tile), dtype=jnp.float32)   # d * (Q d)
-        acc3 = jnp.zeros((adim, tile), dtype=jnp.float32)    # z-cost terms
+        def d_(i):
+            return dyn_ref[i]
+
+        def sparse_dot(M, vec):
+            """[Σ_j M_ij vec_j]_i with compile-time M; zeros emit no code."""
+            out = []
+            for i in range(M.shape[0]):
+                acc = None
+                for j in range(M.shape[1]):
+                    m = float(M[i, j])
+                    if m == 0.0:
+                        continue
+                    term = vec[j] if m == 1.0 else m * vec[j]
+                    acc = term if acc is None else acc + term
+                out.append(acc)
+            return out
+
+        # ---- rollout: x as sdim (8, L) blocks, tau unrolled -----------
+        x = [jnp.full((_SUB, L), 1.0, jnp.float32) * d_(dyn.x0 + i)
+             for i in range(sdim)]
+        acc_cost = jnp.zeros((_SUB, L), dtype=jnp.float32)
+
+        def state_cost(x):
+            dvec = [x[i] - d_(dyn.goal + i) for i in range(sdim)]
+            qd = sparse_dot(Q, dvec)
+            out = None
+            for i in range(sdim):
+                if qd[i] is None:
+                    continue
+                term = dvec[i] * qd[i]
+                out = term if out is None else out + term
+            return out
+
+        inv_m = d_(dyn.inv_mass)
         for t in range(tau):
-            z_t = z_at(t)
-            row = steps[t]
-            bu_t = row[0:8]          # B u_t / m
-            rhs_z = row[8:8 + adim]  # scale^T (gamma Sig^-1 u_t)
-            x = (jnp.dot(A, x, preferred_element_type=jnp.float32)
-                 + bu_t[:, None]
-                 + jnp.dot(BmS, z_t, preferred_element_type=jnp.float32))
-            # action cost: 0.5*gamma*u^T S^-1 u + gamma*(S^-1 u)^T eps
-            #            + 0.5*lam*(1-1/ups)*eps^T S^-1 eps, eps = scale z
-            d = x - goal[:, None]
-            acc8 = acc8 + d * jnp.dot(Q, d,
-                                      preferred_element_type=jnp.float32)
-            acc3 = acc3 + rhs_z[:, None] * z_t
+            z_t = [zrow(t, j) for j in range(adim)]
+            ax = sparse_dot(A, x)
+            bz = sparse_dot(BS, z_t)     # B @ scale @ z (mass-free)
+            x = []
+            for i in range(sdim):
+                xi = ax[i] if ax[i] is not None else jnp.zeros((_SUB, L),
+                                                               jnp.float32)
+                drive = d_(dyn.bu + t * sdim + i)
+                if bz[i] is not None:
+                    xi = xi + inv_m * (drive + bz[i])
+                else:
+                    xi = xi + inv_m * drive
+                x.append(xi)
+            sc = state_cost(x)
+            if sc is not None:
+                acc_cost = acc_cost + sc
+            for j in range(adim):
+                acc_cost = acc_cost + d_(dyn.rhs_z + t * adim + j) * z_t[j]
             if nc_half != 0.0:
-                acc3 = acc3 + nc_half * z_t * jnp.dot(
-                    Mz, z_t, preferred_element_type=jnp.float32)
-        # terminal cost phi(x) = state cost of the final state
-        d = x - goal[:, None]
-        acc8 = acc8 + d * jnp.dot(Q, d, preferred_element_type=jnp.float32)
-        u_cost_total = steps[0, 17]  # sum_t 0.5 gamma u_t^T Sig^-1 u_t
-        cost = (jnp.sum(acc8, axis=0, keepdims=True)
-                + jnp.sum(acc3, axis=0, keepdims=True) + u_cost_total)
+                mz = sparse_dot(MZ, z_t)
+                quad = None
+                for j in range(adim):
+                    if mz[j] is None:
+                        continue
+                    term = z_t[j] * mz[j]
+                    quad = term if quad is None else quad + term
+                if quad is not None:
+                    acc_cost = acc_cost + nc_half * quad
+        sc = state_cost(x)  # terminal
+        if sc is not None:
+            acc_cost = acc_cost + sc
+        acc_cost = acc_cost + d_(dyn.u_half)
 
-        # mask lanes beyond K
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-        valid = (pid * tile + lane) < k_total
-        zarg = jnp.where(valid, -cost / lam, NEG_BIG)
-
-        # tile-local softmax pieces
+        # ---- masked online softmax ------------------------------------
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 1)
+        valid = (pid * tile + sub_i * L + lane_i) < k_total
+        zarg = jnp.where(valid, -acc_cost / lam, NEG_BIG)
         m_i = jnp.max(zarg)
-        w = jnp.where(valid, jnp.exp(zarg - m_i), 0.0)  # [1, tile]
-        l_i = jnp.sum(w)
+        w_arr = jnp.where(valid, jnp.exp(zarg - m_i), 0.0)
+        l_i = jnp.sum(w_arr)
 
-        # online merge with the running (m, l, S)
         m_old = stats_ref[0]
         l_old = stats_ref[1]
         m_new = jnp.maximum(m_old, m_i)
@@ -197,87 +225,60 @@ def _make_kernel(tau: int, adim: int, tile: int, k_total: int, lam: float,
         stats_ref[0] = m_new
         stats_ref[1] = l_old * f_old + l_i * f_new
 
-        # weighted normals: col c of s_ref accumulates chunk c's row sums
-        s_ref[:] = s_ref[:] * f_old
-        for c in range(n_chunks):
-            col = jnp.sum(z_scr[c] * w, axis=1, keepdims=True)  # (rows, 1)
-            s_ref[:, c:c + 1] += col * f_new
+        for t in range(tau):
+            for j in range(adim):
+                val = jnp.sum(w_arr * zrow(t, j))
+                idx = t * adim + j
+                s_ref[idx] = s_ref[idx] * f_old + val * f_new
 
-        # cost stats
         stats_ref[2] = jnp.minimum(
-            stats_ref[2], jnp.min(jnp.where(valid, cost, -NEG_BIG)))
+            stats_ref[2], jnp.min(jnp.where(valid, acc_cost, -NEG_BIG)))
         stats_ref[3] = jnp.maximum(
-            stats_ref[3], jnp.max(jnp.where(valid, cost, NEG_BIG)))
-        stats_ref[4] = stats_ref[4] + jnp.sum(jnp.where(valid, cost, 0.0))
+            stats_ref[3], jnp.max(jnp.where(valid, acc_cost, NEG_BIG)))
+        stats_ref[4] = stats_ref[4] + jnp.sum(
+            jnp.where(valid, acc_cost, 0.0))
 
-    return kernel, rows, n_chunks
+    return kernel, n_chunks, slots, dyn
 
 
-def pack_consts(A, B_over_m, Q, scale, inv_sigma, x0, goal):
-    """Pack the constant matrices into one [48, 128] f32 VMEM array.
+def chunk_steps(adim: int) -> int:
+    """Steps per noise chunk (folded layout: always 2)."""
+    return _CH
 
-    Rows 0:8 A | 8:16 (B/m)@scale | 16:24 Q | 24:32 scale^T Sig^-1 scale |
-    40 x0 | 41 goal. All noise-scale folding happens here (module
-    docstring): the kernel only ever sees raw standard normals.
+
+def chunk_noise(z_std, tile: int = 8192):
+    """[tau, adim, K] standard normals -> folded chunk layout
+    [n_chunks, adim*2*8, n_tiles*L] (parity-test helper).
+
+    Sample s lives at (tile p = s // tile, sublane = (s % tile) // L,
+    lane = p*L + s % L); slot for (step t, dim j) is (t % 2)*adim + j of
+    chunk t // 2.
     """
-    consts = jnp.zeros((48, 128), dtype=jnp.float32)
-
-    def put(mat, row):
-        mat = jnp.asarray(mat, jnp.float32)
-        r, c = mat.shape
-        return consts.at[row:row + r, 0:c].set(mat)
-
-    scale = jnp.asarray(scale, jnp.float32)
-    inv_sigma = jnp.asarray(inv_sigma, jnp.float32)
-    consts = put(A, 0)
-    consts = put(jnp.asarray(B_over_m, jnp.float32) @ scale, 8)
-    consts = put(Q, 16)
-    consts = put(scale.T @ inv_sigma @ scale, 24)
-    consts = consts.at[40, 0:x0.shape[0]].set(jnp.asarray(x0, jnp.float32))
-    consts = consts.at[41, 0:goal.shape[0]].set(jnp.asarray(goal, jnp.float32))
-    return consts
-
-
-def pack_steps(useq, B_over_m, scale, inv_sigma, gamma):
-    """Per-step constants [tau, 128]: cols 0:8 = B u_t / m, 8:8+adim =
-    scale^T (gamma Sig^-1 u_t), 16 = 0.5 gamma u_t^T Sig^-1 u_t."""
-    tau, adim = useq.shape
-    useq = jnp.asarray(useq, jnp.float32)
-    B_over_m = jnp.asarray(B_over_m, jnp.float32)
-    scale = jnp.asarray(scale, jnp.float32)[:adim, :adim]
-    inv_sigma = jnp.asarray(inv_sigma, jnp.float32)[:adim, :adim]
-    bu = useq @ B_over_m[:, :adim].T  # [tau, 8]
-    rhs_u = gamma * (useq @ inv_sigma.T)       # gamma Sig^-1 u_t
-    rhs_z = rhs_u @ scale                      # scale^T (gamma Sig^-1 u_t)
-    u_cost_half = 0.5 * gamma * jnp.einsum("ti,ij,tj->t", useq, inv_sigma,
-                                           useq)
-    steps = jnp.zeros((tau, 128), dtype=jnp.float32)
-    steps = steps.at[:, 0:bu.shape[1]].set(bu)
-    steps = steps.at[:, 8:8 + adim].set(rhs_z)
-    steps = steps.at[:, 16].set(u_cost_half)
-    # col 17 of row 0: the horizon-summed pure-action cost (sample
-    # independent) so the kernel adds it once instead of per step
-    steps = steps.at[0, 17].set(jnp.sum(u_cost_half))
-    return steps
-
-
-def chunk_noise(z_std):
-    """[tau, adim, k_pad] standard normals -> the kernel's chunked layout
-    [n_chunks, adim*CH, k_pad] (parity-test helper; zero-pads tail steps)."""
-    tau, adim, k_pad = z_std.shape
-    ch = chunk_steps(adim)
-    n_chunks = (tau + ch - 1) // ch
-    z = np.zeros((n_chunks * ch, adim, k_pad), np.float32)
-    z[:tau] = np.asarray(z_std, np.float32)
-    return z.reshape(n_chunks, ch * adim, k_pad)
+    tau, adim, k = z_std.shape
+    L = tile // _SUB
+    n_tiles = (k + tile - 1) // tile
+    k_pad = n_tiles * tile
+    n_chunks = (tau + _CH - 1) // _CH
+    zp = np.zeros((tau, adim, k_pad), np.float32)
+    zp[..., :k] = np.asarray(z_std, np.float32)
+    zf = zp.reshape(tau, adim, n_tiles, _SUB, L)
+    out = np.zeros((n_chunks, adim * _CH * _SUB, n_tiles * L), np.float32)
+    for t in range(tau):
+        c, d = divmod(t, _CH)
+        for j in range(adim):
+            s = d * adim + j
+            for p in range(n_tiles):
+                out[c, _SUB * s:_SUB * (s + 1), p * L:(p + 1) * L] = \
+                    zf[t, j, p]
+    return out
 
 
 class FusedPointMassMPPI:
     """Drop-in fused solve for MPPI over PointMassModel + StaticCost.
 
     Used by controller.MPPI when ``kernel="pallas"``: computes the weighted
-    noise + cost stats with :func:`fused_pm_solve`, then the sequence
-    update/shift happens in plain XLA (ops/update.py).
+    noise + cost stats with the fused kernel, then the sequence update/shift
+    happens in plain XLA (ops/update.py).
     """
 
     def __init__(self, model, cost, k: int, tau: int, lam: float,
@@ -290,101 +291,106 @@ class FusedPointMassMPPI:
             raise TypeError("fused kernel supports PointMassModel only")
         if type(cost) is not StaticCost:
             raise TypeError("fused kernel supports StaticCost only")
+        if tile % _SUB:
+            raise ValueError("tile must be a multiple of 8")
         self.model = model
         self.cost = cost
         self.k = int(k)
         self.tau = int(tau)
         self.lam = float(lam)
-        self.gamma = cost.gamma
+        self.gamma = float(cost.gamma)
         self.upsilon = float(upsilon)
         self.tile = int(tile)
         self.interpret = bool(interpret)
         self.adim = model.get_action_dim()
         self.sdim = model.get_state_dim()
         sigma = np.asarray(sigma, np.float64)
-        self._scale = jnp.asarray(upsilon * sigma, jnp.float32)
-        self._inv_sigma = jnp.asarray(np.linalg.inv(sigma), jnp.float32)
+        self._scale = upsilon * sigma
+        self._inv_sigma = np.linalg.inv(sigma)
+        nc_half = 0.5 * self.lam * (1.0 - 1.0 / self.upsilon)
+        A = np.asarray(model._A, np.float64)
+        B = np.asarray(model._B, np.float64)
+        self._B = B
+        self._mc = {
+            "A": A,
+            "Bs": B @ self._scale,
+            "Q": np.asarray(cost.Q, np.float64),
+            "Mz": self._scale.T @ self._inv_sigma @ self._scale,
+            "lam": self.lam,
+            "nc_half": nc_half,
+        }
 
-    def consts_for(self, mparams, cparams, x0):
-        A = self.model._A
-        B_over_m = self.model._B / mparams["mass"]
-        consts = pack_consts(A, B_over_m, self.cost.Q, self._scale,
-                             self._inv_sigma,
-                             jnp.asarray(x0, jnp.float32), cparams["goal"])
-        # stash raw matrices the solve wrapper needs for steps packing /
-        # un-folding (rows 32:40 Sig^-1, 44:44+adim scale)
-        consts = consts.at[32:32 + self.adim, 0:self.adim].set(
-            self._inv_sigma[:self.adim, :self.adim])
-        consts = consts.at[44:44 + self.adim, 0:self.adim].set(
-            self._scale[:self.adim, :self.adim])
-        Bm = jnp.asarray(B_over_m, jnp.float32)
-        return consts, Bm
+    def pack_dyn(self, mparams, cparams, x0, useq):
+        """Assemble the SMEM dynamic-scalar array for one solve."""
+        dyn = _Dyn(self.tau, self.sdim, self.adim)
+        useq = jnp.asarray(useq, jnp.float32).reshape(self.tau, self.adim)
+        B = jnp.asarray(self._B, jnp.float32)
+        inv_sig = jnp.asarray(self._inv_sigma, jnp.float32)
+        scale = jnp.asarray(self._scale, jnp.float32)
+        bu = useq @ B.T                      # [tau, sdim] (mass-free)
+        rhs_z = (self.gamma * (useq @ inv_sig.T)) @ scale
+        u_half = 0.5 * self.gamma * jnp.einsum(
+            "ti,ij,tj->t", useq, inv_sig, useq)
+        out = jnp.zeros((dyn.size,), jnp.float32)
+        out = out.at[dyn.inv_mass].set(
+            1.0 / jnp.asarray(mparams["mass"], jnp.float32))
+        out = out.at[dyn.x0:dyn.x0 + self.sdim].set(
+            jnp.asarray(x0, jnp.float32).reshape(self.sdim))
+        out = out.at[dyn.goal:dyn.goal + self.sdim].set(
+            jnp.asarray(cparams["goal"], jnp.float32))
+        out = out.at[dyn.bu:dyn.bu + self.tau * self.sdim].set(
+            bu.reshape(-1))
+        out = out.at[dyn.rhs_z:dyn.rhs_z + self.tau * self.adim].set(
+            rhs_z.reshape(-1))
+        out = out.at[dyn.u_half].set(jnp.sum(u_half))
+        return out
 
     def solve(self, seed, x0, useq, mparams, cparams, z=None,
-              use_prng: bool = True):
-        consts, Bm = self.consts_for(mparams, cparams, x0)
-        return fused_pm_solve(
-            seed, consts, Bm, jnp.asarray(useq, jnp.float32), z,
-            tau=self.tau, adim=self.adim, k=self.k, tile=self.tile,
-            lam=self.lam, gamma=self.gamma, upsilon=self.upsilon,
-            use_prng=use_prng, interpret=self.interpret,
-        )
+              use_prng: bool = True, return_raw: bool = False):
+        dyn_arr = self.pack_dyn(mparams, cparams, x0, useq)
+        return fused_pm_call(seed, dyn_arr, z, fused=self,
+                             use_prng=use_prng, return_raw=return_raw)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tau", "adim", "k", "tile", "lam", "gamma", "upsilon",
-                     "use_prng", "interpret", "return_raw"),
-)
-def fused_pm_solve(seed, consts, Bm, useq, z=None, *, tau, adim, k,
-                   tile, lam, gamma, upsilon, use_prng, interpret,
-                   return_raw: bool = False):
-    """Run the fused solve. Returns (wnoise [tau, adim], stats dict).
-
-    consts: output of :func:`FusedPointMassMPPI.consts_for` (pack_consts +
-    stashed Sig^-1 / scale rows); Bm: raw [8, 8] B/mass for per-step
-    constant packing; useq: [tau, adim]; z: chunked pre-drawn normals from
-    :func:`chunk_noise` when use_prng=False. The returned weighted noise is
-    un-folded here: scale @ (sum_k w_k z_k) / l.
-
-    return_raw=True instead returns the online-softmax merge pieces
-    {m, l, zsum, cost_min, cost_max, cost_sum} so a mesh-sharded caller can
-    merge shards with pmax/psum exactly like the kernel merges tiles
-    (parallel/fused.py).
-    """
+@functools.partial(jax.jit, static_argnames=("fused", "use_prng",
+                                             "return_raw"))
+def fused_pm_call(seed, dyn_arr, z=None, *, fused: FusedPointMassMPPI,
+                  use_prng: bool, return_raw: bool = False):
+    """Run the fused solve. Returns (wnoise [tau, adim], stats dict), or —
+    with return_raw — the online-softmax merge pieces {m, l, zsum,
+    cost_min, cost_max, cost_sum} for a mesh-sharded caller
+    (parallel/fused.py merges shards with pmax/psum exactly like the kernel
+    merges tiles)."""
+    tau, tile, k = fused.tau, fused.tile, fused.k
+    adim = fused.adim
+    L = tile // _SUB
     n_tiles = (k + tile - 1) // tile
-    nc_half = 0.5 * lam * (1.0 - 1.0 / upsilon)
-    scale = consts[44:44 + adim, 0:adim]
-    inv_sigma = consts[32:40, 0:8]
-
-    kernel, rows, n_chunks = _make_kernel(tau, adim, tile, k, lam,
-                                          float(nc_half), use_prng)
-    steps = pack_steps(useq, Bm, scale, inv_sigma, gamma)
+    kernel, n_chunks, slots, _dyn = _make_kernel(
+        fused._mc, tau, fused.sdim, adim, tile, k, use_prng)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((48, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tau, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    args = [jnp.asarray(seed, jnp.int32).reshape(1), consts, steps]
+    args = [jnp.asarray(seed, jnp.int32).reshape(1), dyn_arr]
     scratch_shapes = []
+    rows = slots * _SUB
     if use_prng:
-        scratch_shapes.append(pltpu.VMEM((n_chunks, rows, tile), jnp.float32))
+        scratch_shapes.append(pltpu.VMEM((n_chunks, rows, L), jnp.float32))
     else:
-        k_padded = n_tiles * tile
-        assert z is not None and z.shape == (n_chunks, rows, k_padded), (
-            None if z is None else z.shape, (n_chunks, rows, k_padded))
+        assert z is not None and z.shape == (n_chunks, rows, n_tiles * L), (
+            None if z is None else z.shape, (n_chunks, rows, n_tiles * L))
         in_specs.append(
-            pl.BlockSpec((n_chunks, rows, tile), lambda i: (0, 0, i),
+            pl.BlockSpec((n_chunks, rows, L), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM))
         args.append(jnp.asarray(z, jnp.float32))
 
     out_shape = (
-        jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((tau * adim,), jnp.float32),
         jax.ShapeDtypeStruct((8,), jnp.float32),
     )
     out_specs = (
-        pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     )
 
@@ -395,18 +401,18 @@ def fused_pm_solve(seed, consts, Bm, useq, z=None, *, tau, adim, k,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
-        interpret=(pltpu.InterpretParams() if interpret else False),
+        interpret=(pltpu.InterpretParams() if fused.interpret else False),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(*args)
 
     l = stats[1]
-    ch = chunk_steps(adim)
-    zsum = S[:, :n_chunks].T.reshape(n_chunks * ch, adim)[:tau]
+    zsum = S.reshape(tau, adim)
     if return_raw:
         return {"m": stats[0], "l": l, "zsum": zsum, "cost_min": stats[2],
                 "cost_max": stats[3], "cost_sum": stats[4]}
+    scale = jnp.asarray(fused._scale, jnp.float32)
     wnoise = (zsum @ scale.T) / l
     info = {
         "cost_min": stats[2],
@@ -415,3 +421,9 @@ def fused_pm_solve(seed, consts, Bm, useq, z=None, *, tau, adim, k,
         "nabla": l,
     }
     return wnoise, info
+
+
+def fused_pm_solve(seed, consts_or_dyn, *args, **kwargs):  # pragma: no cover
+    raise NotImplementedError(
+        "fused_pm_solve was replaced by FusedPointMassMPPI.solve / "
+        "fused_pm_call in the folded-layout rewrite")

@@ -1,7 +1,7 @@
 """Mesh-sharded fused-kernel MPPI: Pallas per shard + collective merge.
 
-Composes the fused VMEM-resident point-mass kernel (kernels/pm_mppi.py)
-with the K-axis device mesh (parallel/sharded.py): every device runs the
+Composes the fused VMEM-resident kernels (kernels/pm_mppi.py point-mass,
+kernels/auv_mppi.py AUV) with the K-axis device mesh: every device runs the
 kernel on its K/n shard with raw outputs (return_raw=True), then the shards
 merge with the SAME online-softmax algebra the kernel uses to merge its
 K-tiles — ``pmax`` for the running max m, ``psum`` for the rescaled
@@ -16,14 +16,12 @@ SURVEY.md §2.8); these four collectives ride ICI on a real pod.
 from __future__ import annotations
 
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..kernels.pm_mppi import FusedPointMassMPPI, fused_pm_solve
 from ..ops import update as upd
 from .mesh import SAMPLE_AXIS
 
@@ -35,24 +33,30 @@ def _shard_map(f, mesh, in_specs, out_specs):
                          out_specs=out_specs, check_vma=False)
 
 
-def build_sharded_fused_solve(fused: FusedPointMassMPPI, mesh: Mesh,
+def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
                               axis: str = SAMPLE_AXIS):
     """Return (solve, solve_with_noise) jitted over ``mesh``.
 
-    solve(seed, state, useq, mparams, cparams) -> (action, next_useq, info);
-    all inputs replicated, K sharded internally. fused.k must be divisible
-    by the mesh size along ``axis``. solve_with_noise takes chunked normals
-    (kernels.pm_mppi.chunk_noise layout, lane dim = padded K) sharded over
-    the lane axis for parity tests.
+    ``local_fused`` is a FusedPointMassMPPI / FusedAUVMPPI built with the
+    PER-SHARD sample count (k_global // mesh size). solve(seed, state,
+    useq, mparams, cparams) -> (action, next_useq, info) with all inputs
+    replicated. solve_with_noise takes chunked normals (the kernel's
+    chunk_noise layout over all k_global samples) sharded over the lane
+    axis for parity tests.
     """
     n = mesh.shape[axis]
-    if fused.k % n != 0:
-        raise ValueError(f"k={fused.k} not divisible by mesh axis {axis}={n}")
-    k_local = fused.k // n
-    n_tiles_local = (k_local + fused.tile - 1) // fused.tile
-    tau, adim = fused.tau, fused.adim
+    if k_global % n != 0:
+        raise ValueError(f"k={k_global} not divisible by mesh axis "
+                         f"{axis}={n}")
+    if local_fused.k != k_global // n:
+        raise ValueError(
+            f"local_fused.k={local_fused.k} must equal k_global/n="
+            f"{k_global // n}")
+    n_tiles_local = (local_fused.k + local_fused.tile - 1) // local_fused.tile
+    tau, adim = local_fused.tau, local_fused.adim
+    scale = jnp.asarray(local_fused._scale, jnp.float32)
 
-    def _merge(useq, raw, scale, axis_name):
+    def _merge(useq, raw, axis_name):
         m_g = jax.lax.pmax(raw["m"], axis_name)
         f = jnp.exp(raw["m"] - m_g)
         l_g = jax.lax.psum(raw["l"] * f, axis_name)
@@ -65,32 +69,22 @@ def build_sharded_fused_solve(fused: FusedPointMassMPPI, mesh: Mesh,
         info = {
             "cost_min": jax.lax.pmin(raw["cost_min"], axis_name),
             "cost_max": jax.lax.pmax(raw["cost_max"], axis_name),
-            "cost_mean": jax.lax.psum(raw["cost_sum"], axis_name) / fused.k,
+            "cost_mean": jax.lax.psum(raw["cost_sum"], axis_name) / k_global,
             "nabla": l_g,
         }
         return action, shifted, info
 
     def _solve_shard(seed, state, useq, mparams, cparams):
         idx = jax.lax.axis_index(axis)
-        consts, Bm = fused.consts_for(mparams, cparams, state)
-        scale = consts[44:44 + adim, 0:adim]
-        raw = fused_pm_solve(
-            seed + idx * n_tiles_local, consts, Bm,
-            jnp.asarray(useq, jnp.float32),
-            tau=tau, adim=adim, k=k_local, tile=fused.tile, lam=fused.lam,
-            gamma=fused.gamma, upsilon=fused.upsilon, use_prng=True,
-            interpret=fused.interpret, return_raw=True)
-        return _merge(useq, raw, scale, axis)
+        raw = local_fused.solve(seed + idx * n_tiles_local, state, useq,
+                                mparams, cparams, use_prng=True,
+                                return_raw=True)
+        return _merge(useq, raw, axis)
 
     def _solve_with_noise_shard(z, state, useq, mparams, cparams):
-        consts, Bm = fused.consts_for(mparams, cparams, state)
-        scale = consts[44:44 + adim, 0:adim]
-        raw = fused_pm_solve(
-            0, consts, Bm, jnp.asarray(useq, jnp.float32), z,
-            tau=tau, adim=adim, k=k_local, tile=fused.tile, lam=fused.lam,
-            gamma=fused.gamma, upsilon=fused.upsilon, use_prng=False,
-            interpret=fused.interpret, return_raw=True)
-        return _merge(useq, raw, scale, axis)
+        raw = local_fused.solve(0, state, useq, mparams, cparams, z=z,
+                                use_prng=False, return_raw=True)
+        return _merge(useq, raw, axis)
 
     rep = P()
     solve = jax.jit(_shard_map(
@@ -107,27 +101,46 @@ def build_sharded_fused_solve(fused: FusedPointMassMPPI, mesh: Mesh,
 
 
 class ShardedFusedMPPI:
-    """ShardedMPPI with the fused Pallas kernel per device shard.
+    """ShardedMPPI with a fused Pallas kernel per device shard.
 
-    Same user-facing surface (next/set_goal/useq); PointMassModel +
-    StaticCost only (the kernel's domain).
+    Same user-facing surface (next/set_goal/useq). Supports the kernels'
+    model/cost domains: PointMassModel + StaticCost, or AUVModel +
+    StaticQuatCost.
     """
 
     def __init__(self, model, cost, mesh: Mesh, k: int, tau: int,
                  lam: float, upsilon: float, sigma, tile: int = 8192,
                  seed: int = 0, axis: str = SAMPLE_AXIS,
                  interpret: bool = False):
-        self._fused = FusedPointMassMPPI(model, cost, k=k, tau=tau, lam=lam,
-                                         upsilon=upsilon, sigma=sigma,
-                                         tile=tile, interpret=interpret)
-        self._solve, self._solve_with_noise = build_sharded_fused_solve(
-            self._fused, mesh, axis=axis)
+        from ..kernels.auv_mppi import FusedAUVMPPI
+        from ..kernels.pm_mppi import FusedPointMassMPPI
+
         n = mesh.shape[axis]
-        self._seed_stride = n * ((k // n + tile - 1) // tile)
+        if k % n != 0:
+            raise ValueError(f"k={k} not divisible by mesh axis {axis}={n}")
+        k_local = k // n
+        err = None
+        self._fused = None
+        for cls in (FusedPointMassMPPI, FusedAUVMPPI):
+            try:
+                self._fused = cls(model, cost, k=k_local, tau=tau, lam=lam,
+                                  upsilon=upsilon, sigma=sigma, tile=tile,
+                                  interpret=interpret)
+                break
+            except TypeError as e:
+                err = e
+        if self._fused is None:
+            raise TypeError("no fused kernel supports "
+                            f"{type(model).__name__} + "
+                            f"{type(cost).__name__}") from err
+        self._solve, self._solve_with_noise = build_sharded_fused_solve(
+            self._fused, mesh, k, axis=axis)
+        self._seed_stride = n * ((k_local + tile - 1) // tile)
         self._base_seed = int(seed)
         self._dtype = model.dtype
         self._cost = cost
-        self._useq = jnp.zeros((tau, model.get_action_dim()), dtype=self._dtype)
+        self._useq = jnp.zeros((tau, model.get_action_dim()),
+                               dtype=self._dtype)
         self._mparams = model.init_params()
         self._cparams = cost.init_params()
         self._steps = 0

@@ -48,10 +48,8 @@ def test_fused_matches_xla_path(k, tau, tile):
     mp, cp = ctrl.model_params, ctrl._cparams
 
     rng = np.random.RandomState(3)
-    n_tiles = (k + tile - 1) // tile
-    k_pad = n_tiles * tile
-    z_std = rng.randn(tau, 3, k_pad).astype(np.float32)
-    z = chunk_noise(z_std)
+    z_std = rng.randn(tau, 3, k).astype(np.float32)
+    z = chunk_noise(z_std, tile)
     x0 = np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0])
     useq = 0.1 * rng.randn(tau, 3).astype(np.float32)
 

@@ -44,14 +44,14 @@ def test_sharded_fused_matches_single_device(setup):
     fused_single = FusedPointMassMPPI(model, cost, k=k, tau=tau, lam=0.8,
                                       upsilon=1.2, sigma=sigma, tile=tile,
                                       interpret=True)
-    fused_sharded = FusedPointMassMPPI(model, cost, k=k, tau=tau, lam=0.8,
-                                       upsilon=1.2, sigma=sigma, tile=tile,
-                                       interpret=True)
-    _, solve_with_noise = build_sharded_fused_solve(fused_sharded, mesh)
+    fused_local = FusedPointMassMPPI(model, cost, k=k_local, tau=tau,
+                                     lam=0.8, upsilon=1.2, sigma=sigma,
+                                     tile=tile, interpret=True)
+    _, solve_with_noise = build_sharded_fused_solve(fused_local, mesh, k)
 
     rng = np.random.RandomState(5)
     z_std = rng.randn(tau, 3, k).astype(np.float32)
-    z = chunk_noise(z_std)  # [n_chunks, rows, k]
+    z = chunk_noise(z_std, tile)  # [n_chunks, rows, n_tiles*L]
     x0 = np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0])
     useq = jnp.asarray(0.1 * rng.randn(tau, 3), model.dtype)
     mp, cp = model.init_params(), cost.init_params()
