@@ -21,6 +21,7 @@ def get_controller(model, cost, config_dict, observer=None, **overrides):
         sigma=np.asarray(config_dict["noise"]),
         normalize_cost=config_dict.get("normalize", False),
         filter_seq=config_dict.get("filter", False),
+        kernel=config_dict.get("kernel", "auto"),
     )
     if "init-act" in config_dict:
         tau = kwargs["tau"]
