@@ -81,3 +81,23 @@ def test_sharded_fused_rejects_indivisible_k(setup):
     with pytest.raises(ValueError):
         ShardedFusedMPPI(model, cost, mesh, k=1001, tau=tau, lam=0.8,
                          upsilon=1.2, sigma=sigma, tile=tile, interpret=True)
+
+
+def test_sharded_fused_auv_runs():
+    """ShardedFusedMPPI dispatches the AUV kernel and the collective merge
+    produces finite actions on the 8-device mesh (interpret mode with the
+    stubbed PRNG still exercises the full pipeline shape/merge)."""
+    from tests.test_auv_kernel import _auv_cfg, _task
+
+    mesh = make_mesh(8, ("k",))
+    sigma = np.diag([40.0, 40.0, 40.0, 5.0, 5.0, 5.0])
+    model = get_model(_auv_cfg(), dt=0.1, action_dim=6)
+    cost = get_cost(_task(), lam=0.5, gamma=0.2, upsilon=1.0, sigma=sigma)
+    ctrl = ShardedFusedMPPI(model, cost, mesh, k=8 * 32, tau=2, lam=0.5,
+                            upsilon=1.0, sigma=sigma, tile=32,
+                            interpret=True)
+    x0 = np.zeros(13)
+    x0[6] = 1.0
+    a = ctrl.next(x0)
+    assert a.shape == (6,)
+    assert np.all(np.isfinite(a))
