@@ -110,3 +110,23 @@ def test_sharded_noise_shards_differ():
     for i in range(7):
         assert not np.allclose(shards[i], shards[i + 1]), \
             "adjacent device shards drew identical noise"
+
+
+def test_launch_helpers_single_host():
+    """Multi-host glue degrades cleanly to the single-process case."""
+    import jax
+
+    from mppi_tf_tpu.parallel import launch
+
+    launch.initialize()  # no cluster metadata -> no-op
+    mesh = launch.global_mesh(("k",))
+    assert mesh.shape["k"] == len(jax.devices())
+    mesh2 = launch.global_mesh(("dp", "tp"), (len(jax.devices()) // 2, 2))
+    assert mesh2.shape["dp"] * mesh2.shape["tp"] == len(jax.devices())
+    info = launch.process_info()
+    assert info["process_count"] == 1
+    assert info["global_devices"] == len(jax.devices())
+    import pytest
+
+    with pytest.raises(ValueError):
+        launch.global_mesh(("k",), (3,))
