@@ -151,6 +151,52 @@ def plot_filter_sweep(seq, windows=(5, 9, 15, 21), polyorder: int = 3,
     return path
 
 
+def plot_trajectory_3d(states, goal=None, path: str = "trajectory3d.png",
+                       pos_dims: Sequence[int] = (0, 1, 2),
+                       heading_quat_dims: Optional[Sequence[int]] = None,
+                       title: str = ""):
+    """3D path with start/goal markers and optional heading arrows.
+
+    Reference: utile.py:19-29 (Arrow3D) + the 3D branches of plt_paths —
+    used for AUV / ellipse-3D tasks. ``heading_quat_dims``: indices of the
+    xyzw quaternion block (e.g. (3, 4, 5, 6) for the AUV state) to draw
+    body-x heading arrows every few steps.
+    """
+    plt = _plt()
+    states = np.asarray(states)
+    i, j, k = pos_dims
+    fig = plt.figure(figsize=(6, 5))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.plot(states[:, i], states[:, j], states[:, k], "b.-", ms=3, lw=0.8,
+            label="path")
+    ax.scatter(*states[0, [i, j, k]], color="g", s=40, label="start")
+    if goal is not None:
+        g = np.asarray(goal)
+        ax.scatter(g[i], g[j], g[k], color="r", marker="*", s=120,
+                   label="goal")
+    if heading_quat_dims is not None:
+        qi = list(heading_quat_dims)
+        stride = max(len(states) // 12, 1)
+        for t in range(0, len(states), stride):
+            qx, qy, qz, qw = states[t, qi]
+            # body-x axis in world frame (first column of R(q))
+            hx = 1 - 2 * (qy * qy + qz * qz)
+            hy = 2 * (qx * qy + qz * qw)
+            hz = 2 * (qx * qz - qy * qw)
+            s = 0.15 * max(np.ptp(states[:, [i, j, k]], axis=0).max(), 1e-6)
+            ax.quiver(states[t, i], states[t, j], states[t, k],
+                      s * hx, s * hy, s * hz, color="m", lw=1.2)
+    ax.set_xlabel(f"state[{i}]")
+    ax.set_ylabel(f"state[{j}]")
+    ax.set_zlabel(f"state[{k}]")
+    ax.set_title(title or "3D trajectory")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return path
+
+
 def run_to_gif(states, out_path: str = "run.gif", goal=None,
                pos_dims: Sequence[int] = (0, 2), fps: int = 10,
                weights_per_step=None, noises_per_step=None):

@@ -43,3 +43,17 @@ def test_filter_sweep(tmp_path):
     seq = np.cumsum(np.random.randn(30, 2), axis=0)
     p = plotting.plot_filter_sweep(seq, path=str(tmp_path / "sgf.png"))
     assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+def test_plot_trajectory_3d(tmp_path):
+    n = 8
+    t = np.linspace(0, 1, n)
+    states = np.zeros((n, 13))
+    states[:, 0] = t
+    states[:, 1] = t ** 2
+    states[:, 2] = -t
+    states[:, 6] = 1.0  # unit quaternion
+    p = plotting.plot_trajectory_3d(
+        states, goal=[1, 1, -1] + [0] * 10, path=str(tmp_path / "t3.png"),
+        heading_quat_dims=(3, 4, 5, 6))
+    assert os.path.exists(p) and os.path.getsize(p) > 1000
