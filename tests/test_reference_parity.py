@@ -1,0 +1,190 @@
+"""Direct numeric parity against the ACTUAL reference implementation.
+
+The reference TF2 code at /root/reference is runnable on CPU (TensorFlow is
+installed), so instead of only testing against hand-derived numpy oracles,
+these tests execute the reference's own graph builders and compare outputs
+in float64 — the BASELINE.md north-star check ("control sequence matches
+reference on point_mass3d, same noise realization, within tolerance").
+
+The reference has stale-glue defects at HEAD (SURVEY.md §1) that the
+fixtures patch around without modifying the read-only tree:
+- controller_base.py:13-14 indexes GPU device [0] unconditionally -> the
+  module import is wrapped with a no-GPU patch;
+- PointMassModel.__init__ calls the nowhere-defined add_model_vars
+  (point_mass_model.py:61) -> injected onto ModelBase;
+- cpprb is imported but unused (controller_base.py:2) -> stub module.
+
+Skipped wholesale when TF or the reference tree is unavailable.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/scripts"
+
+tf = pytest.importorskip("tensorflow")
+
+if not os.path.isdir(REF):  # pragma: no cover
+    pytest.skip("reference tree unavailable", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference modules with the stale-glue patches."""
+    os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+    if "cpprb" not in sys.modules:
+        stub = types.ModuleType("cpprb")
+        stub.ReplayBuffer = object
+        sys.modules["cpprb"] = stub
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+    # controller_base module-level code does
+    # set_memory_growth(list_physical_devices('GPU')[0], ...) — make it a
+    # no-op on CPU-only hosts.
+    exp = tf.config.experimental
+    orig_list, orig_set = exp.list_physical_devices, exp.set_memory_growth
+    exp.list_physical_devices = lambda *a, **k: [None]
+    exp.set_memory_growth = lambda *a, **k: None
+    try:
+        from src.controllers.controller_base import ControllerBase
+        from src.costs.static_cost import StaticCost
+        from src.models import model_base, point_mass_model
+    finally:
+        exp.list_physical_devices, exp.set_memory_growth = orig_list, orig_set
+
+    # point_mass_model.py:61 calls the nowhere-defined add_model_vars
+    if not hasattr(model_base.ModelBase, "add_model_vars"):
+        model_base.ModelBase.add_model_vars = (
+            lambda self, name, var: self._modelVars.__setitem__(name, var))
+
+    return types.SimpleNamespace(
+        ControllerBase=ControllerBase,
+        StaticCost=StaticCost,
+        PointMassModel=point_mass_model.PointMassModel,
+    )
+
+
+@pytest.fixture(scope="module")
+def ours():
+    import jax.numpy as jnp
+
+    from mppi_tf_tpu.controller.mppi import MPPI
+    from mppi_tf_tpu.costs import get_cost
+    from mppi_tf_tpu.models import get_model
+
+    return types.SimpleNamespace(MPPI=MPPI, get_cost=get_cost,
+                                 get_model=get_model, jnp=jnp)
+
+
+K, TAU, SDIM, ADIM = 64, 10, 6, 3
+MASS, DT, LAM, GAMMA, UPSILON = 1.7, 0.1, 0.8, 0.2, 1.3
+GOAL = np.array([1.0, 0.0, 0.5, 0.0, -0.5, 0.0])
+QDIAG = np.array([5.0, 1.0, 5.0, 1.0, 5.0, 1.0])
+SIGMA = np.diag([0.25, 0.3, 0.2])
+
+
+def _ref_pair(ref):
+    model = ref.PointMassModel({}, mass=MASS, dt=DT, stateDim=SDIM,
+                               actionDim=ADIM)
+    cost = ref.StaticCost(LAM, GAMMA, UPSILON, SIGMA,
+                          GOAL.reshape(-1, 1), QDIAG, diag=True)
+    return model, cost
+
+
+def _our_pair(ours):
+    import jax.numpy as jnp
+
+    model = ours.get_model({"type": "point_mass", "mass": MASS}, dt=DT,
+                           state_dim=SDIM, action_dim=ADIM,
+                           dtype=jnp.float64)
+    cost = ours.get_cost(
+        {"type": "static", "diag": True, "goal": GOAL.tolist(),
+         "Q": QDIAG.tolist()},
+        lam=LAM, gamma=GAMMA, upsilon=UPSILON, sigma=SIGMA,
+        dtype=jnp.float64)
+    return model, cost
+
+
+def test_point_mass_step_matches_reference(ref, ours):
+    """One dynamics step == reference build_step_graph (f64 exact-ish)."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(K, SDIM, 1)
+    u = rng.randn(K, ADIM, 1)
+
+    ref_model, _ = _ref_pair(ref)
+    want = ref_model.build_step_graph(
+        "t", tf.constant(x, tf.float64), tf.constant(u, tf.float64)).numpy()
+
+    our_model, _ = _our_pair(ours)
+    got = np.asarray(our_model.step(our_model.init_params(),
+                                    x[:, :, 0], u[:, :, 0]))
+    np.testing.assert_allclose(got, want[:, :, 0], rtol=1e-6, atol=1e-12)
+
+
+def test_step_cost_matches_reference(ref, ours):
+    """State + gamma/upsilon action cost == reference build_step_cost_graph."""
+    rng = np.random.RandomState(1)
+    x = rng.randn(K, SDIM, 1)
+    u = rng.randn(ADIM, 1)  # the nominal action (un-batched, cost_base.py:63)
+    eps = rng.randn(K, ADIM, 1)
+
+    _, ref_cost = _ref_pair(ref)
+    want = ref_cost.build_step_cost_graph(
+        "t", tf.constant(x, tf.float64), tf.constant(u, tf.float64),
+        tf.constant(eps, tf.float64)).numpy().reshape(K)
+
+    _, our_cost = _our_pair(ours)
+    cp = our_cost.init_params()
+    got = np.asarray(
+        our_cost.state_cost(cp, x[:, :, 0])
+        + our_cost.action_cost(u.reshape(ADIM), eps[:, :, 0]))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_full_update_law_matches_reference(ref, ours):
+    """The whole solve with one injected noise realisation: rollout costs,
+    softmax update and updated sequence match the reference's
+    build_model + update chain (the §2.1 receding-horizon defect is in the
+    *carry*, not in one update — a single update is well-defined)."""
+    rng = np.random.RandomState(2)
+    x0 = np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0])
+    useq = 0.1 * rng.randn(TAU, ADIM)
+    eps = np.einsum("ij,ktj->kti", UPSILON * SIGMA,
+                    rng.randn(K, TAU, ADIM))
+
+    ref_model, ref_cost = _ref_pair(ref)
+    ctrl = ref.ControllerBase(
+        ref_model, ref_cost, k=K, tau=TAU, sDim=SDIM, aDim=ADIM, lam=LAM,
+        upsilon=UPSILON, sigma=SIGMA,
+        initSeq=useq.reshape(TAU, ADIM, 1))
+    costs_ref = ctrl.build_model(
+        "roll", K, tf.constant(x0.reshape(SDIM, 1), tf.float64),
+        tf.constant(eps.reshape(K, TAU, ADIM, 1), tf.float64),
+        tf.constant(useq.reshape(TAU, ADIM, 1), tf.float64)).numpy()
+    update_ref = ctrl.update(
+        "up", tf.constant(costs_ref),
+        tf.constant(eps.reshape(K, TAU, ADIM, 1), tf.float64)).numpy()
+
+    import jax.numpy as jnp
+
+    our_model, our_cost = _our_pair(ours)
+    mppi = ours.MPPI(our_model, our_cost, k=K, tau=TAU, lam=LAM,
+                     upsilon=UPSILON, sigma=SIGMA)
+    costs_our = np.asarray(mppi._rollout(
+        jnp.asarray(x0), jnp.asarray(useq), jnp.asarray(eps),
+        mppi.model_params, mppi._cparams))
+    np.testing.assert_allclose(costs_our, costs_ref.reshape(K), rtol=1e-6)
+
+    _, new_useq, _info = mppi._solve_with_noise_jit(
+        jnp.asarray(eps), jnp.asarray(x0), jnp.asarray(useq),
+        mppi.model_params, mppi._cparams)
+    # our solve returns the SHIFTED updated sequence; the reference update
+    # returns the un-shifted one
+    np.testing.assert_allclose(np.asarray(new_useq)[:-1],
+                               update_ref[1:, :, 0], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_useq)[-1], 0.0, atol=1e-14)
