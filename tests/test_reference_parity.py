@@ -188,3 +188,58 @@ def test_full_update_law_matches_reference(ref, ours):
     np.testing.assert_allclose(np.asarray(new_useq)[:-1],
                                update_ref[1:, :, 0], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(new_useq)[-1], 0.0, atol=1e-14)
+
+
+@pytest.fixture(scope="module")
+def ref_auv(ref):
+    """Reference AUVModel (needs extra stubs: tensorflow_graphics is
+    imported but never used, auv_model.py:4; inertial moments must be
+    1-element lists for its tf.concat-based matrix assembly,
+    auv_model.py:274)."""
+    if "tensorflow_graphics" not in sys.modules:
+        sys.modules["tensorflow_graphics"] = types.ModuleType(
+            "tensorflow_graphics")
+    from src.models.auv_model import AUVModel
+
+    return AUVModel
+
+
+def _auv_parameters(rk):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import _auv_params
+
+    p = _auv_params()
+    p.pop("type")
+    p.pop("rk")
+    p.update(height=1.6, length=2.5, width=1.5, rk=rk)
+    p["inertial"] = {k: [v] for k, v in p["inertial"].items()}
+    return p
+
+
+@pytest.mark.parametrize("rk", [1, 2])
+def test_auv_step_matches_reference(ref, ref_auv, ours, rk):
+    """Full Fossen step (damping, Coriolis, restoring, mass solve,
+    quaternion kinematics, RK integration, renormalisation) == the
+    reference AUVModel.step at machine epsilon in f64."""
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _auv_params
+
+    k = 5
+    ref_model = ref_auv({}, actionDim=6, dt=0.1,
+                        parameters=_auv_parameters(rk))
+    ref_model.set_k(k)
+    rng = np.random.RandomState(0)
+    x = rng.randn(k, 13, 1)
+    x[:, 3:7] /= np.linalg.norm(x[:, 3:7], axis=1, keepdims=True)
+    u = 100 * rng.randn(k, 6, 1)
+    want = ref_model.step("t", tf.constant(x, tf.float64),
+                          tf.constant(u, tf.float64), rk=rk).numpy()
+
+    our_model = ours.get_model(dict(_auv_params(), rk=rk), dt=0.1,
+                               action_dim=6, dtype=jnp.float64)
+    got = np.asarray(our_model.step(our_model.init_params(),
+                                    jnp.asarray(x[:, :, 0]),
+                                    jnp.asarray(u[:, :, 0])))
+    np.testing.assert_allclose(got, want[:, :, 0], rtol=1e-12, atol=1e-14)
