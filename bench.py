@@ -26,6 +26,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # honour an explicit CPU request: the axon sitecustomize rewrites
+    # jax_platforms at interpreter start, so the env var alone is ignored
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])

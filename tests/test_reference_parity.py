@@ -243,3 +243,29 @@ def test_auv_step_matches_reference(ref, ref_auv, ours, rk):
                                     jnp.asarray(x[:, :, 0]),
                                     jnp.asarray(u[:, :, 0])))
     np.testing.assert_allclose(got, want[:, :, 0], rtol=1e-12, atol=1e-14)
+
+
+def test_elipse2d_cost_matches_reference(ref, ours):
+    """2D ellipse state cost == the reference ElipseCost (tfg is imported
+    by the module but only used by the 3D class)."""
+    if "tensorflow_graphics" not in sys.modules:
+        sys.modules["tensorflow_graphics"] = types.ModuleType(
+            "tensorflow_graphics")
+    from src.costs.elipse_cost import ElipseCost as RefElipse
+
+    import jax.numpy as jnp
+
+    from mppi_tf_tpu.costs.elipse import ElipseCost
+
+    args = dict(a=2.0, b=1.5, center_x=0.3, center_y=-0.2, speed=1.2,
+                m_state=4.0, m_vel=0.5)
+    sig2 = np.diag([0.25, 0.3])
+    ref_cost = RefElipse(LAM, GAMMA, UPSILON, sig2, **args)
+    our_cost = ElipseCost(LAM, GAMMA, UPSILON, sig2, dtype=jnp.float64,
+                          **args)
+
+    rng = np.random.RandomState(3)
+    s = rng.randn(32, 4, 1)
+    want = ref_cost.state_cost("t", tf.constant(s, tf.float64)).numpy()
+    got = np.asarray(our_cost.state_cost({}, jnp.asarray(s[:, :, 0])))
+    np.testing.assert_allclose(got, want.reshape(32), rtol=1e-12)
