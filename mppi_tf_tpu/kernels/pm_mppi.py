@@ -99,10 +99,14 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
     dyn = _Dyn(tau, sdim, adim)
     A = np.asarray(mc["A"], np.float64)
     BS = np.asarray(mc["Bs"], np.float64)
-    Q = np.asarray(mc["Q"], np.float64)
     MZ = np.asarray(mc["Mz"], np.float64)
     lam = float(mc["lam"])
     nc_half = float(mc["nc_half"])
+    cost_kind = mc.get("cost_kind", "quadratic")
+    if cost_kind == "quadratic":
+        Q = np.asarray(mc["Q"], np.float64)
+    else:  # "elipse": fixed 2D ellipse-tracking parameters
+        EL = mc["elipse"]  # (a, b, cx, cy, gv, mx, mv)
 
     def kernel(*refs):
         if use_prng:
@@ -162,16 +166,29 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
              for i in range(sdim)]
         acc_cost = jnp.zeros((_SUB, L), dtype=jnp.float32)
 
-        def state_cost(x):
-            dvec = [x[i] - d_(dyn.goal + i) for i in range(sdim)]
-            qd = sparse_dot(Q, dvec)
-            out = None
-            for i in range(sdim):
-                if qd[i] is None:
-                    continue
-                term = dvec[i] * qd[i]
-                out = term if out is None else out + term
-            return out
+        if cost_kind == "quadratic":
+            def state_cost(x):
+                dvec = [x[i] - d_(dyn.goal + i) for i in range(sdim)]
+                qd = sparse_dot(Q, dvec)
+                out = None
+                for i in range(sdim):
+                    if qd[i] is None:
+                        continue
+                    term = dvec[i] * qd[i]
+                    out = term if out is None else out + term
+                return out
+        else:
+            # ellipse tracking over the interleaved [x, vx, y, vy] state
+            # (reference elipse_cost.py:46-79)
+            a_, b_, cx_, cy_, gv_, mx_, mv_ = (float(v) for v in EL)
+
+            def state_cost(x):
+                ex = (x[0] - cx_) * (1.0 / a_)
+                ey = (x[2] - cy_) * (1.0 / b_)
+                d = jnp.abs(ex * ex + ey * ey - 1.0)
+                v = jnp.sqrt(x[1] * x[1] + x[3] * x[3])
+                dv = v - gv_
+                return mx_ * d + mv_ * (dv * dv)
 
         inv_m = d_(dyn.inv_mass)
         for t in range(tau):
@@ -284,13 +301,22 @@ class FusedPointMassMPPI:
     def __init__(self, model, cost, k: int, tau: int, lam: float,
                  upsilon: float, sigma, tile: int = 8192,
                  interpret: bool = False):
+        from ..costs.elipse import ElipseCost
         from ..costs.static import StaticCost
         from ..models.point_mass import PointMassModel
 
         if not isinstance(model, PointMassModel):
             raise TypeError("fused kernel supports PointMassModel only")
-        if type(cost) is not StaticCost:
-            raise TypeError("fused kernel supports StaticCost only")
+        if type(cost) is StaticCost:
+            cost_kind = "quadratic"
+        elif type(cost) is ElipseCost:
+            if model.get_state_dim() != 4:
+                raise TypeError("elipse cost needs the 4-dim [x,vx,y,vy] "
+                                "point-mass state")
+            cost_kind = "elipse"
+        else:
+            raise TypeError(
+                "fused kernel supports StaticCost or ElipseCost only")
         if tile % _SUB:
             raise ValueError("tile must be a multiple of 8")
         self.model = model
@@ -314,11 +340,16 @@ class FusedPointMassMPPI:
         self._mc = {
             "A": A,
             "Bs": B @ self._scale,
-            "Q": np.asarray(cost.Q, np.float64),
             "Mz": self._scale.T @ self._inv_sigma @ self._scale,
             "lam": self.lam,
             "nc_half": nc_half,
+            "cost_kind": cost_kind,
         }
+        if cost_kind == "quadratic":
+            self._mc["Q"] = np.asarray(cost.Q, np.float64)
+        else:
+            self._mc["elipse"] = (cost.a, cost.b, cost.cx, cost.cy,
+                                  cost.gv, cost.mx, cost.mv)
 
     def pack_dyn(self, mparams, cparams, x0, useq):
         """Assemble the SMEM dynamic-scalar array for one solve."""
@@ -336,8 +367,9 @@ class FusedPointMassMPPI:
             1.0 / jnp.asarray(mparams["mass"], jnp.float32))
         out = out.at[dyn.x0:dyn.x0 + self.sdim].set(
             jnp.asarray(x0, jnp.float32).reshape(self.sdim))
-        out = out.at[dyn.goal:dyn.goal + self.sdim].set(
-            jnp.asarray(cparams["goal"], jnp.float32))
+        if "goal" in cparams:  # ellipse cost has no dynamic goal
+            out = out.at[dyn.goal:dyn.goal + self.sdim].set(
+                jnp.asarray(cparams["goal"], jnp.float32))
         out = out.at[dyn.bu:dyn.bu + self.tau * self.sdim].set(
             bu.reshape(-1))
         out = out.at[dyn.rhs_z:dyn.rhs_z + self.tau * self.adim].set(

@@ -103,3 +103,45 @@ def test_controller_kernel_flag():
     with pytest.raises(ValueError):
         MPPI(model, cost, k=64, tau=5, lam=0.8, upsilon=1.0, sigma=sigma,
              kernel="nope")
+
+
+def test_fused_elipse_matches_xla_path():
+    """Fused kernel with the 2D ellipse cost == the scan/update path."""
+    from mppi_tf_tpu.costs.elipse import ElipseCost
+
+    k, tau, tile = 512, 8, 128
+    sigma = np.diag([0.25, 0.3])
+    model = get_model({"type": "point_mass", "mass": 1.1}, dt=0.1,
+                      state_dim=4, action_dim=2)
+    cost = ElipseCost(0.8, 0.2, 1.2, sigma, a=2.0, b=1.5, center_x=0.3,
+                      center_y=-0.2, speed=1.2, m_state=4.0, m_vel=0.5,
+                      dtype=model.dtype)
+    ctrl = MPPI(model, cost, k=k, tau=tau, lam=0.8, upsilon=1.2, sigma=sigma)
+    mp, cp = ctrl.model_params, ctrl._cparams
+    fused = FusedPointMassMPPI(model, cost, k=k, tau=tau, lam=0.8,
+                               upsilon=1.2, sigma=sigma, tile=tile,
+                               interpret=True)
+
+    rng = np.random.RandomState(7)
+    z_std = rng.randn(tau, 2, k).astype(np.float32)
+    z = chunk_noise(z_std, tile)
+    eps = np.einsum("ij,tjk->kti", 1.2 * sigma, z_std)
+    x0 = np.array([1.8, 0.1, 0.2, 0.4])
+    useq = 0.1 * rng.randn(tau, 2).astype(np.float32)
+
+    _, _, info = ctrl._solve_with_noise_jit(
+        jnp.asarray(eps, ctrl._dtype), jnp.asarray(x0, ctrl._dtype),
+        jnp.asarray(useq, ctrl._dtype), mp, cp)
+    wn_ref = np.asarray(info["weighted_noise"])
+    costs_ref = np.asarray(ctrl._rollout(
+        jnp.asarray(x0, ctrl._dtype), jnp.asarray(useq, ctrl._dtype),
+        jnp.asarray(eps, ctrl._dtype), mp, cp))
+
+    wn, stats = fused.solve(0, x0, useq, mp, cp, z=jnp.asarray(z),
+                            use_prng=False)
+    np.testing.assert_allclose(np.asarray(wn), wn_ref, rtol=1e-2,
+                               atol=1e-3 * max(np.abs(wn_ref).max(), 1e-6))
+    np.testing.assert_allclose(float(stats["cost_min"]), costs_ref.min(),
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(stats["cost_mean"]), costs_ref.mean(),
+                               rtol=1e-3)
