@@ -106,7 +106,11 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool):
     BUOY = float(mc["buoyancy"])
     SCALE = np.asarray(mc["scale"], np.float64)
     MZ = np.asarray(mc["Mz"], np.float64)
-    QC = np.asarray(mc["Q"], np.float64)
+    cost_kind = mc.get("cost_kind", "static_quat")
+    if cost_kind == "static_quat":
+        QC = np.asarray(mc["Q"], np.float64)
+    else:  # "elipse3d": fixed plane-tracking parameters
+        E3 = mc["elipse3d"]
 
     def kernel(*refs):
         if use_prng:
@@ -263,28 +267,93 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool):
              for i in range(13)]
         acc_cost = jnp.zeros((_SUB, L), dtype=jnp.float32)
 
-        def state_cost(x):
-            gl = [d_(dyn.goal + i) for i in range(13)]
-            dvec = [x[0] - gl[0], x[1] - gl[1], x[2] - gl[2]]
-            qdot = x[3] * gl[3] + x[4] * gl[4] + x[5] * gl[5] + x[6] * gl[6]
-            theta = 2.0 * _acos(jnp.clip(qdot, -1.0, 1.0))
-            dvec.append(theta)
-            for i in range(6):
-                dvec.append(x[7 + i] - gl[7 + i])
-            out = None
-            for i in range(10):
-                qd = None
-                for j in range(10):
-                    qij = float(QC[i, j])
-                    if qij == 0.0:
+        if cost_kind == "static_quat":
+            def state_cost(x):
+                gl = [d_(dyn.goal + i) for i in range(13)]
+                dvec = [x[0] - gl[0], x[1] - gl[1], x[2] - gl[2]]
+                qdot = (x[3] * gl[3] + x[4] * gl[4] + x[5] * gl[5]
+                        + x[6] * gl[6])
+                theta = 2.0 * _acos(jnp.clip(qdot, -1.0, 1.0))
+                dvec.append(theta)
+                for i in range(6):
+                    dvec.append(x[7 + i] - gl[7 + i])
+                out = None
+                for i in range(10):
+                    qd = None
+                    for j in range(10):
+                        qij = float(QC[i, j])
+                        if qij == 0.0:
+                            continue
+                        term = qij * dvec[j]
+                        qd = term if qd is None else qd + term
+                    if qd is None:
                         continue
-                    term = qij * dvec[j]
-                    qd = term if qd is None else qd + term
-                if qd is None:
-                    continue
-                term = dvec[i] * qd
-                out = term if out is None else out + term
-            return out
+                    term = dvec[i] * qd
+                    out = term if out is None else out + term
+                return out
+        else:
+            # 3D ellipse tracking (reference elipse_cost.py:101-246 /
+            # costs/elipse.ElipseCost3D): rotate the pose into the fixed
+            # plane frame, score algebraic ellipse distance, tangent
+            # alignment and speed error — all compile-time coefficients.
+            RP = np.asarray(E3["R_plane"], np.float64)    # 3x3
+            QP = np.asarray(E3["q_plane"], np.float64)    # xyzw
+            CEN = np.asarray(E3["center"], np.float64)
+            AX = np.asarray(E3["axis3"], np.float64)
+            MAP = np.asarray(E3["mapping"], np.float64)
+            GV, MS, MV = (float(E3[k_]) for k_ in ("gv", "mS", "mV"))
+
+            def state_cost(x):
+                # plane-frame position: R_plane @ (p - center)
+                pc = [x[i] - float(CEN[i]) for i in range(3)]
+                pf = []
+                for i in range(3):
+                    acc = None
+                    for j in range(3):
+                        r = float(RP[i, j])
+                        if r == 0.0:
+                            continue
+                        term = r * pc[j]
+                        acc = term if acc is None else acc + term
+                    pf.append(acc if acc is not None
+                              else jnp.zeros_like(pc[0]))
+                # position error: |sum((p/ax)^2) - 1|
+                p_err = jnp.abs(
+                    (pf[0] * float(1.0 / AX[0])) ** 2
+                    + (pf[1] * float(1.0 / AX[1])) ** 2
+                    + (pf[2] * float(1.0 / AX[2])) ** 2 - 1.0)
+                # plane-frame quaternion: q_pf = q_plane (x) q — a fixed
+                # left Hamilton factor is a linear map on q
+                px_, py_, pz_, pw_ = (float(v) for v in QP)
+                qx, qy, qz, qw = x[3], x[4], x[5], x[6]
+                qfx = px_ * qw + py_ * qz - pz_ * qy + pw_ * qx
+                qfy = -px_ * qz + py_ * qw + pz_ * qx + pw_ * qy
+                qfz = px_ * qy - py_ * qx + pz_ * qw + pw_ * qz
+                qfw = -px_ * qx - py_ * qy - pz_ * qz + pw_ * qw
+                # ellipse tangent at the (plane-frame) position
+                tx = pf[1] * float(MAP[0])
+                ty = pf[0] * float(MAP[1])
+                tz = pf[2] * float(MAP[2])
+                tn = jax.lax.rsqrt(
+                    jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-24))
+                tx, ty, tz = tx * tn, ty * tn, tz * tn
+                # q_tangent = between_two_vectors(x_axis, t):
+                # cross = (0, -tz, ty), w = 1 + tx; antiparallel -> [0,0,1,0]
+                w_t = 1.0 + tx
+                deg = w_t < 1e-10
+                btx = jnp.where(deg, 0.0, 0.0)
+                bty = jnp.where(deg, 0.0, -tz)
+                btz = jnp.where(deg, 1.0, ty)
+                btw = jnp.where(deg, 0.0, w_t)
+                bn = jax.lax.rsqrt(jnp.maximum(
+                    btx * btx + bty * bty + btz * btz + btw * btw, 1e-24))
+                btx, bty, btz, btw = btx * bn, bty * bn, btz * bn, btw * bn
+                qdot = btx * qfx + bty * qfy + btz * qfz + btw * qfw
+                o_err = 2.0 * _acos(jnp.clip(jnp.abs(qdot), -1.0, 1.0))
+                # velocity error: ||v_lin|^2 - gv^2|
+                v2 = x[7] * x[7] + x[8] * x[8] + x[9] * x[9]
+                v_err = jnp.abs(v2 - GV * GV)
+                return MS * p_err + MS * o_err + MV * v_err
 
         for t in range(tau):
             z_t = [zrow(t, j) for j in range(6)]
@@ -402,13 +471,19 @@ class FusedAUVMPPI:
     def __init__(self, model, cost, k: int, tau: int, lam: float,
                  upsilon: float, sigma, tile: int = 8192,
                  interpret: bool = False):
+        from ..costs.elipse import ElipseCost3D
         from ..costs.static import StaticQuatCost
         from ..models.auv import AUVModel
 
         if not isinstance(model, AUVModel):
             raise TypeError("fused AUV kernel supports AUVModel only")
-        if type(cost) is not StaticQuatCost:
-            raise TypeError("fused AUV kernel supports StaticQuatCost only")
+        if type(cost) is StaticQuatCost:
+            cost_kind = "static_quat"
+        elif type(cost) is ElipseCost3D:
+            cost_kind = "elipse3d"
+        else:
+            raise TypeError("fused AUV kernel supports StaticQuatCost or "
+                            "ElipseCost3D only")
         if tile % _SUB:
             raise ValueError("tile must be a multiple of 8")
         self.model = model
@@ -437,8 +512,23 @@ class FusedAUVMPPI:
             "buoyancy": float(model._volume * model._density * GRAVITY),
             "scale": self._scale,
             "Mz": self._scale.T @ self._inv_sigma @ self._scale,
-            "Q": np.asarray(cost.Q, np.float64),
+            "cost_kind": cost_kind,
         }
+        if cost_kind == "static_quat":
+            self._mc["Q"] = np.asarray(cost.Q, np.float64)
+        else:
+            from ..ops import quaternion as quat
+
+            qp = np.asarray(cost.q_plane, np.float64)
+            self._mc["elipse3d"] = {
+                "R_plane": np.asarray(
+                    quat.to_rotation_matrix(jnp.asarray(qp)), np.float64),
+                "q_plane": qp,
+                "center": np.asarray(cost.center, np.float64),
+                "axis3": np.asarray(cost.axis, np.float64),
+                "mapping": np.asarray(cost.mapping, np.float64),
+                "gv": cost.gv, "mS": cost.mS, "mV": cost.mV,
+            }
         self._mc_key = tuple(sorted(self._mc))  # stable id for jit cache
 
     def pack_dyn(self, mparams, cparams, x0, useq):
@@ -459,8 +549,9 @@ class FusedAUVMPPI:
             jnp.asarray(inv_m, jnp.float32).reshape(-1))
         out = out.at[dyn.mass].set(
             jnp.asarray(mparams["mass"], jnp.float32))
-        out = out.at[dyn.goal:dyn.goal + 13].set(
-            jnp.asarray(cparams["goal"], jnp.float32))
+        if "goal" in cparams:  # elipse3d has no dynamic goal
+            out = out.at[dyn.goal:dyn.goal + 13].set(
+                jnp.asarray(cparams["goal"], jnp.float32))
         out = out.at[dyn.x0:dyn.x0 + 13].set(
             jnp.asarray(x0, jnp.float32).reshape(13))
         out = out.at[dyn.useq:dyn.useq + 6 * self.tau].set(useq.reshape(-1))

@@ -94,3 +94,46 @@ def test_fused_auv_rejects_unsupported():
     with pytest.raises(TypeError):
         FusedAUVMPPI(pm, cost, k=64, tau=3, lam=0.8, upsilon=1.0,
                      sigma=sigma)
+
+
+def test_fused_auv_elipse3d_matches_xla_path():
+    """Fused AUV kernel with the 3D ellipse-tracking cost == the XLA path."""
+    from mppi_tf_tpu.costs.elipse import ElipseCost3D
+
+    k, tau, tile = 64, 2, 32
+    sigma = np.diag([40.0, 40.0, 40.0, 5.0, 5.0, 5.0])
+    model = get_model(_auv_cfg(), dt=0.1, action_dim=6)
+    cost = ElipseCost3D(
+        0.5, 0.2, 1.0, sigma,
+        normal=[0.0, 0.0, 1.0], aVec=[1.0, 0.0, 0.0], axis=[3.0, 2.0],
+        center=[0.5, -0.5, -4.0], speed=0.8, m_state=10.0, m_vel=1.0,
+        dtype=model.dtype)
+    ctrl = MPPI(model, cost, k=k, tau=tau, lam=0.5, upsilon=1.0, sigma=sigma)
+    mp, cp = ctrl.model_params, ctrl._cparams
+    fused = FusedAUVMPPI(model, cost, k=k, tau=tau, lam=0.5, upsilon=1.0,
+                         sigma=sigma, tile=tile, interpret=True)
+
+    rng = np.random.RandomState(4)
+    z_std = rng.randn(tau, 6, k).astype(np.float32)
+    z = chunk_noise_auv(z_std, tile)
+    eps = np.einsum("ij,tjk->kti", 1.0 * sigma, z_std)
+    x0 = np.zeros(13)
+    x0[0], x0[2], x0[6] = 2.5, -4.0, 1.0
+    useq = (5.0 * rng.randn(tau, 6)).astype(np.float32)
+
+    _, _, info = ctrl._solve_with_noise_jit(
+        jnp.asarray(eps, ctrl._dtype), jnp.asarray(x0, ctrl._dtype),
+        jnp.asarray(useq, ctrl._dtype), mp, cp)
+    wn_ref = np.asarray(info["weighted_noise"])
+    costs_ref = np.asarray(ctrl._rollout(
+        jnp.asarray(x0, ctrl._dtype), jnp.asarray(useq, ctrl._dtype),
+        jnp.asarray(eps, ctrl._dtype), ctrl._model.precompute(mp), cp))
+
+    wn, stats = fused.solve(0, x0, useq, mp, cp, z=jnp.asarray(z),
+                            use_prng=False)
+    np.testing.assert_allclose(float(stats["cost_min"]), costs_ref.min(),
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(stats["cost_mean"]), costs_ref.mean(),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(wn), wn_ref, rtol=1e-2,
+                               atol=2e-3 * np.abs(wn_ref).max())
