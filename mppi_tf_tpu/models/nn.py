@@ -43,20 +43,26 @@ def mlp_init(key, sizes: Sequence[int], dtype=jnp.float32):
     return params
 
 
-def mlp_apply(layers, x: jax.Array) -> jax.Array:
+def mlp_apply(layers, x: jax.Array, compute_dtype=None) -> jax.Array:
     """ReLU MLP forward pass; final layer linear. x: [k, in] -> [k, out].
 
-    Mirrors the reference network topology (nn_model.py:54-60). Matmuls get
-    ``preferred_element_type`` so the MXU accumulates at f32 under bf16.
+    Mirrors the reference network topology (nn_model.py:54-60).
+    ``compute_dtype=jnp.bfloat16`` runs the matmuls at bf16 MXU rate with
+    f32 accumulation (``preferred_element_type``) — the rollout sampling
+    path tolerates bf16 inputs; training keeps full precision.
     """
+    acc = x.dtype
+    cd = compute_dtype if compute_dtype is not None else acc
     h = x
     for layer in layers[:-1]:
         h = jnp.maximum(
-            jnp.dot(h, layer["w"], preferred_element_type=h.dtype) + layer["b"],
+            jnp.dot(h.astype(cd), layer["w"].astype(cd),
+                    preferred_element_type=acc) + layer["b"],
             0.0,
         )
     last = layers[-1]
-    return jnp.dot(h, last["w"], preferred_element_type=h.dtype) + last["b"]
+    return (jnp.dot(h.astype(cd), last["w"].astype(cd),
+                    preferred_element_type=acc) + last["b"])
 
 
 class NNModel(ModelBase):
@@ -78,11 +84,14 @@ class NNModel(ModelBase):
         act_min=None,
         seed: int = 0,
         dtype=jnp.float32,
+        compute_dtype=None,
     ):
         super().__init__(state_dim, action_dim, dt=dt, name=name,
                          act_max=act_max, act_min=act_min, dtype=dtype)
         self._hidden = tuple(hidden)
         self._seed = seed
+        # bf16 matmul rate for the rollout sampling path (f32 accumulate)
+        self._compute_dtype = compute_dtype
 
     # --- feature/topology hooks (overridden by the AUV variants) --------
     def input_dim(self) -> int:
@@ -140,7 +149,8 @@ class NNModel(ModelBase):
 
     def predict_nn(self, params, feats_norm: jax.Array) -> jax.Array:
         """Normalized-space network forward. Reference: nn_model.py:174-175."""
-        return mlp_apply(params["net"], feats_norm)
+        return mlp_apply(params["net"], feats_norm,
+                         compute_dtype=self._compute_dtype)
 
     def step(self, params, x: jax.Array, u: jax.Array) -> jax.Array:
         """x_next = apply_delta(x, denorm(net(norm(features(x, u))))).
@@ -191,10 +201,12 @@ class NNAUVModel(NNModel):
     def __init__(self, action_dim: int = 6, dt: float = 0.1,
                  hidden: Sequence[int] = (32, 32, 32),
                  name: str = "auv_nn_model", seed: int = 0,
-                 act_max=None, act_min=None, dtype=jnp.float32):
+                 act_max=None, act_min=None, dtype=jnp.float32,
+                 compute_dtype=None):
         super().__init__(state_dim=self.STATE_DIM, action_dim=action_dim,
                          dt=dt, hidden=hidden, name=name, seed=seed,
-                         act_max=act_max, act_min=act_min, dtype=dtype)
+                         act_max=act_max, act_min=act_min, dtype=dtype,
+                         compute_dtype=compute_dtype)
 
     def input_dim(self) -> int:
         # state minus position (13-3=10) + action
@@ -236,10 +248,12 @@ class NNAUVModelSpeed(NNAUVModel):
     def __init__(self, action_dim: int = 6, dt: float = 0.1,
                  hidden: Sequence[int] = (16, 16, 16),
                  name: str = "auv_nn_speed_model", seed: int = 0,
-                 act_max=None, act_min=None, dtype=jnp.float32):
+                 act_max=None, act_min=None, dtype=jnp.float32,
+                 compute_dtype=None):
         super().__init__(action_dim=action_dim, dt=dt, hidden=hidden,
                          name=name, seed=seed, act_max=act_max,
-                         act_min=act_min, dtype=dtype)
+                         act_min=act_min, dtype=dtype,
+                         compute_dtype=compute_dtype)
 
     def input_dim(self) -> int:
         # euler state (12) minus position (3) = 9, + action
