@@ -145,3 +145,27 @@ def test_fused_elipse_matches_xla_path():
                                rtol=1e-3)
     np.testing.assert_allclose(float(stats["cost_mean"]), costs_ref.mean(),
                                rtol=1e-3)
+
+
+def test_fused_path_with_observer(tmp_path):
+    """The controller's fused path feeds the observer without error
+    (interpret mode; the stubbed RNG makes the solve degenerate but the
+    info-dict plumbing is fully exercised)."""
+    from mppi_tf_tpu.observer import Observer
+
+    sigma = np.diag([0.25, 0.3, 0.2])
+    model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                      state_dim=6, action_dim=3)
+    cost = get_cost(
+        {"type": "static", "diag": True, "goal": [1.0, 0, 0, 0, 0, 0],
+         "Q": [1.0] * 6},
+        lam=0.8, gamma=0.2, upsilon=1.0, sigma=sigma,
+    )
+    obs = Observer(log_path=str(tmp_path))
+    ctrl = MPPI(model, cost, k=128, tau=4, lam=0.8, upsilon=1.0, sigma=sigma,
+                kernel="pallas", observer=obs)
+    assert ctrl._fused is not None
+    a = ctrl.next(np.zeros(6))
+    assert a.shape == (3,)
+    ctrl.save(np.zeros(6), a, np.zeros(6))
+    obs.close()

@@ -126,3 +126,27 @@ class TestNoise:
         a = sample_noise(key, 8, 3, 2, sigma)
         b = sample_noise(key, 8, 3, 2, sigma)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSoftmaxStabilityAtScale:
+    """f32 update-law stability with huge costs (SURVEY.md §7 hard part:
+    'exp/softmax stability at K=100k with f32')."""
+
+    def test_update_no_nan_at_large_cost_scale(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mppi_tf_tpu.ops import update as upd
+
+        rng = np.random.RandomState(0)
+        k, tau, adim = 4096, 10, 3
+        costs = jnp.asarray(1e6 + 1e5 * rng.rand(k), jnp.float32)
+        eps = jnp.asarray(rng.randn(k, tau, adim), jnp.float32)
+        for normalize in (False, True):
+            wn = upd.mppi_update(costs, eps, 0.8, normalize=normalize)
+            assert np.all(np.isfinite(np.asarray(wn))), normalize
+        # weights stay a simplex even when exp args would overflow raw f32
+        b = upd.beta(costs)
+        e = upd.exp(upd.exp_arg(upd.norm_arg(costs, b, normalize=False), 0.8))
+        w = upd.weights(e, upd.nabla(e))
+        np.testing.assert_allclose(float(jnp.sum(w)), 1.0, rtol=1e-5)
