@@ -147,36 +147,50 @@ class MPPI:
             # CPU interpret mode stubs pltpu.prng_* to zeros, so "auto" only
             # selects the fused path on real TPU; explicit "pallas" on CPU is
             # for interpret-mode debugging only.
-            from ..kernels.auv_mppi import FusedAUVMPPI
-            from ..kernels.pm_mppi import FusedPointMassMPPI
-
-            err = None
-            for cls in (FusedPointMassMPPI, FusedAUVMPPI):
-                try:
-                    self._fused = cls(
-                        model, cost, k=self._k, tau=self._tau, lam=self._lam,
-                        upsilon=self._upsilon,
-                        sigma=np.asarray(sigma, np.float64),
-                        interpret=not on_tpu,
-                    )
-                    break
-                except TypeError as e:
-                    err = e
-            if self._fused is None and kernel == "pallas":
+            # The fused kernels compute softmax(-(cost-beta)/lam) in one
+            # online pass — the (cost-beta)/max normalization variant needs
+            # a second global pass, and the kernels are f32: both fall back
+            # to the XLA path ("auto") or reject loudly ("pallas").
+            unsupported = None
+            if self._normalize_cost:
+                unsupported = "normalize_cost=True"
+            elif dtype != jnp.float32:
+                unsupported = f"dtype={jnp.dtype(dtype).name} (kernel is f32)"
+            if unsupported and kernel == "pallas":
                 raise TypeError(
-                    f"no fused kernel supports {type(model).__name__} + "
-                    f"{type(cost).__name__}") from err
-        self._base_seed = int(seed)
+                    f"kernel='pallas' does not support {unsupported}; "
+                    "use the XLA path")
+            if not unsupported:
+                from ..kernels.auv_mppi import FusedAUVMPPI
+                from ..kernels.pm_mppi import FusedPointMassMPPI
 
-    def _next_fused(self, state):
-        """Fused-kernel control step: Pallas solve + XLA sequence update."""
-        fused = self._fused
-        n_tiles = (self._k + fused.tile - 1) // fused.tile
-        # non-overlapping per-solve seed blocks (kernel uses seed+pid per tile)
-        seed = np.int32(self._base_seed + self._steps * n_tiles)
-        wnoise, info = fused.solve(seed, state, self._useq,
-                                   self._mparams, self._cparams)
-        new_useq = self._useq + wnoise.astype(self._dtype)
+                err = None
+                for cls in (FusedPointMassMPPI, FusedAUVMPPI):
+                    try:
+                        self._fused = cls(
+                            model, cost, k=self._k, tau=self._tau,
+                            lam=self._lam, upsilon=self._upsilon,
+                            sigma=np.asarray(sigma, np.float64),
+                            interpret=not on_tpu,
+                        )
+                        break
+                    except TypeError as e:
+                        err = e
+                if self._fused is None and kernel == "pallas":
+                    raise TypeError(
+                        f"no fused kernel supports {type(model).__name__} + "
+                        f"{type(cost).__name__}") from err
+        self._base_seed = int(seed)
+        if self._fused is not None:
+            # one jitted function for the WHOLE fused control step (Pallas
+            # solve + sequence update/shift) — the hot path must not pay
+            # ~10 eager per-op dispatches per replan
+            self._fused_step_jit = jax.jit(self._fused_step)
+
+    def _fused_step(self, seed, state, useq, mparams, cparams):
+        """Pallas solve + XLA sequence update as one pure function."""
+        wnoise, info = self._fused.solve(seed, state, useq, mparams, cparams)
+        new_useq = useq + wnoise.astype(useq.dtype)
         if self._clip_actions:
             new_useq = jnp.clip(new_useq, self._model.min_act(),
                                 self._model.max_act())
@@ -184,10 +198,19 @@ class MPPI:
             new_useq = self._S @ new_useq
         action = upd.get_next(new_useq, 1)[0]
         init = upd.init_zeros(1, self._adim, dtype=new_useq.dtype)
-        self._useq = upd.shift(new_useq, init, 1)
+        shifted = upd.shift(new_useq, init, 1)
         info = dict(info)
         info["useq"] = new_useq
         info["weighted_noise"] = wnoise
+        return action, shifted, info
+
+    def _next_fused(self, state):
+        """Fused-kernel control step."""
+        n_tiles = (self._k + self._fused.tile - 1) // self._fused.tile
+        # non-overlapping per-solve seed blocks (kernel uses seed+pid per tile)
+        seed = np.int32(self._base_seed + self._steps * n_tiles)
+        action, self._useq, info = self._fused_step_jit(
+            seed, state, self._useq, self._mparams, self._cparams)
         return action, info
 
     # ------------------------------------------------------------------

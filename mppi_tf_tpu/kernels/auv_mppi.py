@@ -47,6 +47,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 GRAVITY = 9.81
 NEG_BIG = -1e30
+
+def _freeze(v):
+    """Nested config -> hashable key (numpy arrays by shape+bytes)."""
+    if isinstance(v, np.ndarray):
+        return ("nd", v.shape, str(v.dtype), v.tobytes())
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (tuple, list)):
+        return tuple(_freeze(x) for x in v)
+    return v
+
 _SUB = 8          # sublanes per block
 _CH = 2           # steps per noise chunk (2 * 6 comps * 8 rows = 96)
 _SLOT_ROWS = 96   # rows per noise chunk
@@ -529,7 +540,18 @@ class FusedAUVMPPI:
                 "mapping": np.asarray(cost.mapping, np.float64),
                 "gv": cost.gv, "mS": cost.mS, "mV": cost.mV,
             }
-        self._mc_key = tuple(sorted(self._mc))  # stable id for jit cache
+        self._jit_key = (type(self).__name__, _freeze(self._mc),
+                         _freeze(self._scale), _freeze(self._inv_sigma),
+                         self.k, self.tau, self.tile, self.interpret)
+
+    # config-based equality: identical controllers share jit cache entries
+    # (the instance is a static argument of _fused_auv_call)
+    def __hash__(self):
+        return hash(self._jit_key)
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and other._jit_key == self._jit_key)
 
     def pack_dyn(self, mparams, cparams, x0, useq):
         """Assemble the SMEM dynamic-scalar array for one solve."""

@@ -57,6 +57,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_BIG = -1e30
+
+def _freeze(v):
+    """Nested config -> hashable key (numpy arrays by shape+bytes)."""
+    if isinstance(v, np.ndarray):
+        return ("nd", v.shape, str(v.dtype), v.tobytes())
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (tuple, list)):
+        return tuple(_freeze(x) for x in v)
+    return v
+
 _SUB = 8   # sublanes per block
 _CH = 2    # steps per noise chunk
 _ROWS = 8  # legacy export (padded component dim of the pre-folded design)
@@ -350,6 +361,21 @@ class FusedPointMassMPPI:
         else:
             self._mc["elipse"] = (cost.a, cost.b, cost.cx, cost.cy,
                                   cost.gv, cost.mx, cost.mv)
+        self._jit_key = (type(self).__name__, _freeze(self._mc),
+                         _freeze(self._scale), _freeze(self._inv_sigma),
+                         self.k, self.tau, self.tile, self.sdim, self.adim,
+                         self.interpret)
+
+    # the fused instance is a jit static argument (fused_pm_call):
+    # config-based equality lets identical controllers share compilations
+    # instead of leaking one executable per instance
+    def __hash__(self):
+        return hash(self._jit_key)
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and other._jit_key == self._jit_key)
+
 
     def pack_dyn(self, mparams, cparams, x0, useq):
         """Assemble the SMEM dynamic-scalar array for one solve."""

@@ -114,7 +114,7 @@ class Learner:
     # ------------------------------------------------------------------
     def _loss(self, net, X, Y):
         p = self.model.with_trainable(self.params, net)
-        pred = self.model.predict_nn(p, X)
+        pred = self.model.predict_nn(p, X, training=True)
         return jnp.mean((pred - Y) ** 2)
 
     def _make_step(self, lr: float):

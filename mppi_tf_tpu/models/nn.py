@@ -147,10 +147,15 @@ class NNModel(ModelBase):
         """Reference: nn_model.py:295-297."""
         return y_norm * params["y_std"] + params["y_mean"]
 
-    def predict_nn(self, params, feats_norm: jax.Array) -> jax.Array:
-        """Normalized-space network forward. Reference: nn_model.py:174-175."""
-        return mlp_apply(params["net"], feats_norm,
-                         compute_dtype=self._compute_dtype)
+    def predict_nn(self, params, feats_norm: jax.Array,
+                   training: bool = False) -> jax.Array:
+        """Normalized-space network forward. Reference: nn_model.py:174-175.
+
+        ``training=True`` (the Learner's loss path) always runs at full
+        precision; compute_dtype only downcasts the rollout sampling path.
+        """
+        cd = None if training else self._compute_dtype
+        return mlp_apply(params["net"], feats_norm, compute_dtype=cd)
 
     def step(self, params, x: jax.Array, u: jax.Array) -> jax.Array:
         """x_next = apply_delta(x, denorm(net(norm(features(x, u))))).

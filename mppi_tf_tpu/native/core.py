@@ -32,7 +32,10 @@ def _load_lib():
                            capture_output=True, timeout=120)
         except Exception as e:  # pragma: no cover
             raise ImportError(f"native mppi core unavailable: {e}") from e
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:  # unloadable .so (stale build, missing runtime dep)
+        raise ImportError(f"native mppi core unloadable: {e}") from e
     d = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
     i64, dbl, c_int = ctypes.c_int64, ctypes.c_double, ctypes.c_int
     lib.mppi_update.argtypes = [d, d, i64, i64, i64, dbl, c_int, d, d]

@@ -30,13 +30,29 @@ def initialize(coordinator_address: Optional[str] = None,
     No-op on a single process with no coordinator configured — safe to call
     unconditionally at program start.
     """
+    import logging
+    import os
+
     import jax
 
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
-        except Exception:
-            # single-process / no cluster metadata: run locally
+        except Exception as e:
+            # A REAL cluster that fails to initialize must not silently
+            # degrade to a single-process run (each worker would shard K
+            # over only its local chips): re-raise when cluster metadata
+            # is evidently present.
+            multi_host = (
+                os.environ.get("COORDINATOR_ADDRESS")
+                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+                # multiple workers listed => a real slice, not localhost
+                or "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+            )
+            if multi_host:
+                raise
+            logging.getLogger(__name__).info(
+                "no cluster metadata, running single-process (%s)", e)
             return
     else:
         jax.distributed.initialize(

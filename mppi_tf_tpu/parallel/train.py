@@ -66,7 +66,7 @@ def make_sharded_train_step(
 
     def loss_fn(net, params, X, Y):
         p = model.with_trainable(params, net)
-        pred = model.predict_nn(p, X)
+        pred = model.predict_nn(p, X, training=True)
         return jnp.mean((pred - Y) ** 2)
 
     def train_step(params, opt_state, X, Y):

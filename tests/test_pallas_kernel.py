@@ -169,3 +169,46 @@ def test_fused_path_with_observer(tmp_path):
     assert a.shape == (3,)
     ctrl.save(np.zeros(6), a, np.zeros(6))
     obs.close()
+
+
+def test_kernel_rejects_unsupported_options():
+    """Review findings: normalize_cost and non-f32 dtypes must not silently
+    fall through to the fused kernel (it computes the un-normalized softmax
+    in f32 only)."""
+    sigma = np.diag([0.25, 0.3, 0.2])
+    model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                      state_dim=6, action_dim=3)
+    cost = get_cost(
+        {"type": "static", "diag": True, "goal": [1.0, 0, 0, 0, 0, 0],
+         "Q": [1.0] * 6},
+        lam=0.8, gamma=0.2, upsilon=1.0, sigma=sigma,
+    )
+    with pytest.raises(TypeError, match="normalize_cost"):
+        MPPI(model, cost, k=32, tau=3, lam=0.8, upsilon=1.0, sigma=sigma,
+             kernel="pallas", normalize_cost=True)
+    # auto + normalize: falls back to XLA silently (correct, not fused)
+    ctrl = MPPI(model, cost, k=32, tau=3, lam=0.8, upsilon=1.0, sigma=sigma,
+                kernel="auto", normalize_cost=True)
+    assert ctrl._fused is None
+
+    model64 = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                        state_dim=6, action_dim=3, dtype=jnp.float64)
+    cost64 = get_cost(
+        {"type": "static", "diag": True, "goal": [1.0, 0, 0, 0, 0, 0],
+         "Q": [1.0] * 6},
+        lam=0.8, gamma=0.2, upsilon=1.0, sigma=sigma, dtype=jnp.float64)
+    with pytest.raises(TypeError, match="f32"):
+        MPPI(model64, cost64, k=32, tau=3, lam=0.8, upsilon=1.0, sigma=sigma,
+             kernel="pallas")
+
+
+def test_fused_instances_share_jit_cache_key():
+    """Config-based equality: identical configs hash equal (the instance is
+    a jit static arg; identity hashing would leak one executable per
+    controller)."""
+    ctrl_a, fused_a, sigma = _setup(128, 4)
+    ctrl_b, fused_b, _ = _setup(128, 4)
+    assert fused_a == fused_b
+    assert hash(fused_a) == hash(fused_b)
+    _, fused_c, _ = _setup(256, 4)
+    assert fused_a != fused_c
