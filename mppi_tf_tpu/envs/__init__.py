@@ -1,18 +1,22 @@
-from .analytic import PointMassEnv
+from .analytic import AUVEnv, PointMassEnv
 from .runner import ClosedLoopRunner, run_experiment
 
-__all__ = ["PointMassEnv", "ClosedLoopRunner", "run_experiment", "get_env"]
+__all__ = ["AUVEnv", "PointMassEnv", "ClosedLoopRunner", "run_experiment",
+           "get_env"]
 
 
-def get_env(env_cfg, render: bool = False):
+def get_env(env_cfg, render: bool = False, model_cfg=None):
     """Build a simulation environment from an env config dict.
 
     Reference: scripts/src/mujoco/simulation.py (mujoco_py wrapper) — the
     env file is named by the config's ``env`` key (e.g.
     ``../envs/point_mass3d.xml``, config/envs/point_mass.default.yaml).
     Here: ``.xml`` files load through the MuJoCo bindings when available;
-    the name ``analytic:point_massNd`` (or a missing ``env`` key with
-    state/action dims) selects the MJCF-equivalent analytic integrator.
+    ``analytic:point_massNd`` (or a missing ``env`` key) selects the
+    MJCF-equivalent analytic integrator; ``analytic:auv`` (or a missing
+    ``env`` key with a 13-dim state) uses the Fossen dynamics as the plant
+    (vehicle parameters from ``model_cfg`` or the env config's ``plant``
+    sub-dict).
     """
     sdim = env_cfg.get("state-dim", 2)
     adim = env_cfg.get("action-dim", 1)
@@ -21,4 +25,11 @@ def get_env(env_cfg, render: bool = False):
         from .mujoco_env import MujocoEnv
 
         return MujocoEnv(name, sdim, adim, render=render)
+    if str(name) == "analytic:auv" or sdim == AUVEnv.STATE_DIM:
+        plant_cfg = env_cfg.get("plant") or model_cfg
+        if plant_cfg is None:
+            raise ValueError(
+                "AUV env needs vehicle parameters: pass model_cfg or put a "
+                "'plant' sub-dict in the env config")
+        return AUVEnv(plant_cfg, render=render)
     return PointMassEnv(n_dof=adim, render=render)

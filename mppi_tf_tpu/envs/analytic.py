@@ -78,3 +78,75 @@ class PointMassEnv:
         else:
             self.setState(x0)
         return self.getState()
+
+
+class AUVEnv:
+    """Analytic AUV plant: the Fossen dynamics themselves as the simulator.
+
+    The reference has no AUV simulation environment in-tree (its live AUV
+    consumers were external ROS/uuv_sim nodes, SURVEY.md §1 status caveat);
+    closed-loop AUV experiments therefore use the analytic AUVModel as the
+    plant, stepped at a finer physics dt than the controller (the same
+    sim/control rate decoupling as the point-mass env). The 13-dim state is
+    NOT interleaved: [x y z | qx qy qz qw | u v w p q r].
+    """
+
+    STATE_DIM = 13
+
+    def __init__(self, model_cfg: dict, dt: float = 0.02, goal=None,
+                 x0=None, render: bool = False):
+        import jax
+
+        from ..models import get_model
+
+        self.dt = float(dt)
+        self.render = render
+        cfg = dict(model_cfg)
+        cfg.setdefault("type", "auv")
+        # the plant integrates at the fine dt
+        self._model = get_model(cfg, dt=self.dt, action_dim=6)
+        self._params = self._model.precompute(self._model.init_params())
+        self._step_jit = jax.jit(
+            lambda x, u: self._model.step(self._params, x[None, :],
+                                          u[None, :])[0])
+        self._t = 0.0
+        if goal is None:
+            goal = np.zeros(self.STATE_DIM)
+            goal[6] = 1.0
+        self.goal = np.asarray(goal, np.float64).reshape(-1, 1)
+        self._x = np.zeros(self.STATE_DIM)
+        self._x[6] = 1.0
+        if x0 is not None:
+            self._x = np.asarray(x0, np.float64).reshape(-1).copy()
+
+    def getTime(self) -> float:
+        return self._t
+
+    def getGoal(self) -> np.ndarray:
+        return self.goal
+
+    def getState(self) -> np.ndarray:
+        return self._x.reshape(-1, 1).copy()
+
+    def setState(self, x) -> None:
+        self._x = np.asarray(x, np.float64).reshape(-1).copy()
+
+    def step(self, u, goal=None) -> np.ndarray:
+        import jax.numpy as jnp
+
+        u = np.asarray(u, np.float64).reshape(-1)[:6]
+        self._x = np.asarray(
+            self._step_jit(jnp.asarray(self._x, self._model.dtype),
+                           jnp.asarray(u, self._model.dtype)),
+            np.float64)
+        self._t += self.dt
+        return self.getState()
+
+    def reset(self, x0=None) -> np.ndarray:
+        self._t = 0.0
+        if x0 is None:
+            self._x = np.zeros(self.STATE_DIM)
+            self._x[6] = 1.0
+        else:
+            self.setState(x0)
+        return self.getState()

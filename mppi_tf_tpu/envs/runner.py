@@ -81,7 +81,7 @@ def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
     dt = env_cfg.get("dt", 0.1)
     sigma = np.asarray(env_cfg["noise"], np.float64)
 
-    env = get_env(env_cfg, render=render)
+    env = get_env(env_cfg, render=render, model_cfg=model_cfg)
     model = get_model(model_cfg, dt=dt, state_dim=sdim, action_dim=adim,
                       dtype=dtype)
     cost = get_cost(task_cfg, lam=env_cfg.get("lambda", 1.0),

@@ -121,3 +121,23 @@ class TestRunner:
         runner = ClosedLoopRunner(env, ctrl, control_dt=0.1)
         states, _ = runner.run(60)
         assert abs(states[-1, 0] - 1.0) < 0.2, states[-1]
+
+
+def test_flagship_auv_elipse3d_experiment():
+    """The bluerov + elipse3d + rexrov2 config combo runs closed loop
+    (regression: a missing env key used to silently build a point-mass
+    plant for the 13-dim AUV state)."""
+    import numpy as np
+
+    from mppi_tf_tpu.cfg import default_config
+    from mppi_tf_tpu.envs.runner import run_experiment
+
+    env_cfg = dict(default_config("envs/bluerov"), samples=64, horizon=4)
+    task_cfg = default_config("tasks/elipse3d_task")
+    model_cfg = default_config("models/rexrov2")
+    out = run_experiment(env_cfg, task_cfg, model_cfg, steps=3, log=False)
+    states = out["states"]
+    assert states.shape[1] == 13
+    assert np.all(np.isfinite(states))
+    qn = np.linalg.norm(states[-1][3:7])
+    assert abs(qn - 1.0) < 1e-5, qn
