@@ -23,6 +23,54 @@ class TestConfig:
         assert model["type"] == "auv"
         assert np.asarray(model["Ma"]).shape == (6, 6)
 
+    def test_every_bundled_default_builds(self):
+        """Every bundled YAML loads and constructs through its factory.
+
+        Mirrors the reference config inventory: envs/{point_mass, bluerov,
+        uuv_sim, falcon_vaarst}, models/{point_mass_model, rexrov2, bluerov,
+        falcon_vaarst, nn_model, auv_nn_model_quat, auv_nn_model_euler},
+        tasks/{static_cost, static_cost_auv, elipse_task, elipse3d_task,
+        vaarst_trials/static_task1}.
+        """
+        from mppi_tf_tpu.cfg.config import _DEFAULTS_DIR
+        from mppi_tf_tpu.costs import get_cost
+        from mppi_tf_tpu.models import get_model
+
+        names = []
+        for root, _dirs, files in os.walk(_DEFAULTS_DIR):
+            for f in sorted(files):
+                if f.endswith(".yaml"):
+                    names.append(os.path.relpath(
+                        os.path.join(root, f[:-5]), _DEFAULTS_DIR))
+        envs = [n for n in names if n.startswith("envs/")]
+        models = [n for n in names if n.startswith("models/")]
+        tasks = [n for n in names if n.startswith("tasks/")]
+        assert len(envs) >= 4 and len(models) >= 7 and len(tasks) >= 5
+
+        for n in envs:
+            cfg = default_config(n)
+            noise = np.asarray(cfg["noise"])
+            assert noise.shape == (cfg["action-dim"], cfg["action-dim"])
+            assert cfg["dt"] > 0
+        for n in models:
+            cfg = default_config(n)
+            s_dim, a_dim = (6, 3) if cfg["type"] in ("point_mass",
+                                                     "neural_net") else (13, 6)
+            model = get_model(cfg, dt=0.1, state_dim=s_dim, action_dim=a_dim)
+            assert model is not None
+            if cfg["type"] == "auv":
+                # neutral-ish buoyancy sanity: mass within 2x of displaced
+                # water mass
+                assert 0.5 < cfg["mass"] / (cfg["volume"] * cfg["density"]) < 2.0
+        for n in tasks:
+            cfg = default_config(n)
+            a_dim = 6 if "auv" in n or "elipse3d" in n or "vaarst" in n else 3
+            if cfg["type"] in ("elipse",):
+                a_dim = 2
+            sigma = np.eye(a_dim)
+            cost = get_cost(cfg, lam=1.0, gamma=1.0, upsilon=1.0, sigma=sigma)
+            assert cost is not None
+
     def test_unknown_default_lists_available(self):
         with pytest.raises(FileNotFoundError) as e:
             default_config("envs/nonexistent")
