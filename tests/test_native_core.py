@@ -79,6 +79,60 @@ def test_update_matches(problem, normalize):
     assert stats["beta"] == pytest.approx(costs.min())
 
 
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_random_configs_match(trial):
+    """Property-based parity: random problem instances (dims, temperature,
+    gamma/upsilon, sigma, mass, dt, normalize) agree between the JAX solve
+    and the native f64 golden core.
+
+    Generalises the reference's single shared-constants cross-check
+    (scripts/test.py:1427-1468 == test/test_controller.cpp:109-167) to a
+    swept family of instances.
+    """
+    rng = np.random.RandomState(100 + trial)
+    adim = int(rng.randint(1, 5))
+    sdim = 2 * adim
+    k = int(rng.randint(2, 400))
+    tau = int(rng.randint(1, 30))
+    dt = float(rng.uniform(0.01, 0.5))
+    mass = float(rng.uniform(0.3, 20.0))
+    lam = float(rng.uniform(0.05, 5.0))
+    gamma = float(rng.uniform(0.0, 2.0))
+    upsilon = float(rng.uniform(1.0, 3.0))
+    normalize = bool(rng.randint(2))
+    # random SPD, well-conditioned sigma
+    Z = rng.randn(adim, adim)
+    sigma = Z @ Z.T + adim * np.eye(adim)
+
+    model = get_model({"type": "point_mass", "mass": mass}, dt=dt,
+                      state_dim=sdim, action_dim=adim, dtype=jnp.float64)
+    goal = rng.randn(sdim)
+    Qd = rng.uniform(0.1, 10.0, size=sdim)
+    cost = get_cost({"type": "static", "diag": True, "goal": goal.tolist(),
+                     "Q": Qd.tolist()},
+                    lam=lam, gamma=gamma, upsilon=upsilon, sigma=sigma,
+                    dtype=jnp.float64)
+    ctrl = MPPI(model, cost, k=k, tau=tau, lam=lam, upsilon=upsilon,
+                sigma=sigma, normalize_cost=normalize)
+    eps = np.einsum("ij,ktj->kti", upsilon * sigma, rng.randn(k, tau, adim))
+    x0 = rng.randn(sdim)
+    useq = 0.3 * rng.randn(tau, adim)
+
+    a_jax, useq_jax, _ = ctrl._solve_with_noise_jit(
+        jnp.asarray(eps), jnp.asarray(x0), jnp.asarray(useq),
+        ctrl.model_params, ctrl._cparams)
+    A = np.asarray(model._A, np.float64)
+    Bm = np.asarray(model._B, np.float64) / mass
+    a_nat, useq_nat, stats = native_core.pm_solve(
+        A, Bm, x0, useq, eps, np.diag(Qd), goal, np.linalg.inv(sigma),
+        lam=lam, gamma=gamma, upsilon=upsilon, normalize=normalize)
+    np.testing.assert_allclose(a_nat, np.asarray(a_jax), rtol=1e-8,
+                               atol=1e-10)
+    np.testing.assert_allclose(useq_nat, np.asarray(useq_jax), rtol=1e-8,
+                               atol=1e-10)
+    assert np.isfinite(stats["nabla"]) and stats["nabla"] > 0
+
+
 def test_full_solve_matches_controller(problem):
     p = problem
     ctrl = p["ctrl"]
