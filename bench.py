@@ -9,8 +9,11 @@ a 10 ms replan budget at K>=100k, H=50. ``vs_baseline`` is therefore
 Methodology: the solve is chained S times inside one jitted ``lax.fori_loop``
 (carrying key/state/sequence like a real receding-horizon loop) and timed
 with ``block_until_ready``, so the number reflects device time rather than
-per-call host dispatch (which, under the axon tunnel, costs ~ms of RTT).
-Single-call dispatch latency is reported alongside in "extra".
+per-call host dispatch. Measured: one dispatch over the axon HTTP relay
+costs ~22-33 ms of RTT regardless of content (an empty 50-step fori_loop
+times identically), so the chain must be long to amortize it — at
+CHAIN=2000 the RTT share is ~11-16 us/solve. Single-call dispatch latency
+is reported alongside in "extra".
 """
 
 import json
@@ -45,7 +48,7 @@ def main():
     backend = jax.default_backend()
     K = int(os.environ.get("BENCH_K", 100_000))
     TAU = int(os.environ.get("BENCH_TAU", 50))
-    CHAIN = int(os.environ.get("BENCH_CHAIN", 50))
+    CHAIN = int(os.environ.get("BENCH_CHAIN", 2000))
     # pallas = fused VMEM-resident kernel (TPU only); xla = lax.scan path
     KERNEL = os.environ.get("BENCH_KERNEL",
                             "pallas" if backend == "tpu" else "xla")

@@ -22,6 +22,7 @@ def get_controller(model, cost, config_dict, observer=None, **overrides):
         normalize_cost=config_dict.get("normalize", False),
         filter_seq=config_dict.get("filter", False),
         kernel=config_dict.get("kernel", "auto"),
+        antithetic=config_dict.get("antithetic", False),
     )
     if "init-act" in config_dict:
         tau = kwargs["tau"]

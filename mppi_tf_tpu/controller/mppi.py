@@ -70,6 +70,9 @@ class MPPI:
             (fused VMEM-resident Pallas kernel, PointMassModel+StaticCost
             only — see kernels/pm_mppi.py). "auto" picks pallas when
             supported.
+        antithetic: draw k/2 noise sequences and mirror them (eps, -eps) —
+            a variance-reduction option absent from the reference; XLA
+            path only (the fused kernels draw i.i.d. in-kernel noise).
     """
 
     def __init__(
@@ -91,6 +94,7 @@ class MPPI:
         observer=None,
         log: bool = False,
         kernel: str = "xla",
+        antithetic: bool = False,
     ):
         self._model = model
         self._cost = cost
@@ -102,6 +106,7 @@ class MPPI:
         self._adim = model.get_action_dim()
         self._normalize_cost = bool(normalize_cost)
         self._clip_actions = bool(clip_actions)
+        self._antithetic = bool(antithetic)
         self._observer = observer
         self._log = log
         dtype = model.dtype
@@ -154,6 +159,8 @@ class MPPI:
             unsupported = None
             if self._normalize_cost:
                 unsupported = "normalize_cost=True"
+            elif self._antithetic:
+                unsupported = "antithetic=True"
             elif dtype != jnp.float32:
                 unsupported = f"dtype={jnp.dtype(dtype).name} (kernel is f32)"
             if unsupported and kernel == "pallas":
@@ -280,7 +287,9 @@ class MPPI:
     def _solve(self, key, state, useq, mparams, cparams):
         """Full solve: sample noise, rollout, update, shift."""
         mparams = self._model.precompute(mparams)
-        eps = noise_ops.sample_noise(
+        sampler = (noise_ops.sample_noise_antithetic if self._antithetic
+                   else noise_ops.sample_noise)
+        eps = sampler(
             key, self._k, self._tau, self._adim, self._sigma,
             self._upsilon, dtype=useq.dtype,
         )

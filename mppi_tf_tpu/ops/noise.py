@@ -50,3 +50,27 @@ def sample_noise(
     """
     z = jax.random.normal(key, (k, tau, adim), dtype=dtype)
     return scale_noise(z, jnp.asarray(sigma, dtype=dtype), upsilon)
+
+
+def sample_noise_antithetic(
+    key: jax.Array,
+    k: int,
+    tau: int,
+    adim: int,
+    sigma: jax.Array,
+    upsilon=1.0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Antithetic (mirrored-pair) variant of :func:`sample_noise`.
+
+    Draws ceil(k/2) standard-normal sequences and mirrors them:
+    eps[i + k//2] = -eps[i]. Each marginal is still exactly
+    (upsilon*sigma) @ N(0, I); the pairing is a classic variance-reduction
+    device for Monte-Carlo rollout estimators (and halves RNG work). Not in
+    the reference (which draws k i.i.d. sequences,
+    controller_base.py:348-369) — an additive option, off by default.
+    """
+    half = (k + 1) // 2
+    z = jax.random.normal(key, (half, tau, adim), dtype=dtype)
+    z = jnp.concatenate([z, -z], axis=0)[:k]
+    return scale_noise(z, jnp.asarray(sigma, dtype=dtype), upsilon)

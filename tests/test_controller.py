@@ -126,6 +126,42 @@ def test_closed_loop_converges_to_goal():
     assert np.all(np.abs(final[1::2]) < 0.5), f"velocities too large: {final}"
 
 
+def test_antithetic_noise_properties():
+    """sample_noise_antithetic: mirrored pairs, exact marginal scaling."""
+    from mppi_tf_tpu.ops import noise as noise_ops
+
+    sigma = jnp.asarray(np.diag([0.25, 0.3, 0.2]), jnp.float64)
+    key = jax.random.PRNGKey(3)
+    for k in (10, 11):
+        eps = np.asarray(noise_ops.sample_noise_antithetic(
+            key, k, 7, 3, sigma, upsilon=1.5, dtype=jnp.float64))
+        assert eps.shape == (k, 7, 3)
+        half = (k + 1) // 2
+        n_mirror = k - half
+        np.testing.assert_allclose(eps[half:], -eps[:n_mirror])
+        # pairwise sums cancel exactly -> strong variance reduction signal
+        assert abs(eps[: 2 * n_mirror].mean()) < (
+            abs(eps[:half].mean()) + 1e-12)
+
+
+def test_antithetic_closed_loop_converges():
+    ctrl, _ = _mk_controller(k=500, tau=25, lam=0.8, gamma=0.2, ups=1.0,
+                             mass=1.0, antithetic=True)
+    model = ctrl._model
+    mp = ctrl.model_params
+    x = jnp.zeros(6, dtype=jnp.float64)
+    for _ in range(60):
+        u = ctrl.next(np.asarray(x))
+        x = model.predict(mp, x, jnp.asarray(u))
+    final = np.asarray(x)
+    assert abs(final[0] - 1.0) < 0.2, f"did not reach goal: {final}"
+
+
+def test_antithetic_rejects_pallas_kernel():
+    with pytest.raises(TypeError, match="antithetic"):
+        _mk_controller(k=16, tau=4, antithetic=True, kernel="pallas")
+
+
 def test_clip_actions():
     ctrl, _ = _mk_controller(k=20, tau=4, clip_actions=True)
     rng = np.random.default_rng(10)
