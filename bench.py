@@ -46,45 +46,57 @@ def main():
     from mppi_tf_tpu.models import get_model
 
     backend = jax.default_backend()
-    K = int(os.environ.get("BENCH_K", 100_000))
-    TAU = int(os.environ.get("BENCH_TAU", 50))
+    # point_mass (BASELINE workload, default) or auv (rexrov2 + static_quat)
+    WORKLOAD = os.environ.get("BENCH_WORKLOAD", "point_mass")
+    K = int(os.environ.get("BENCH_K",
+                           100_000 if WORKLOAD == "point_mass" else 65_536))
+    TAU = int(os.environ.get("BENCH_TAU",
+                             50 if WORKLOAD == "point_mass" else 25))
     CHAIN = int(os.environ.get("BENCH_CHAIN", 2000))
     # pallas = fused VMEM-resident kernel (TPU only); xla = lax.scan path
     KERNEL = os.environ.get("BENCH_KERNEL",
                             "pallas" if backend == "tpu" else "xla")
 
-    sigma = np.diag([0.25, 0.25, 0.25])
-    model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
-                      state_dim=6, action_dim=3)
-    cost = get_cost(
-        {"type": "static", "diag": True,
-         "goal": [1.0, 0.0, 0.5, 0.0, -0.5, 0.0],
-         "Q": [5.0, 1.0, 5.0, 1.0, 5.0, 1.0]},
-        lam=0.8, gamma=0.2, upsilon=1.0, sigma=sigma,
-    )
-    ctrl = MPPI(model, cost, k=K, tau=TAU, lam=0.8, upsilon=1.0, sigma=sigma)
+    if WORKLOAD == "point_mass":
+        sigma = np.diag([0.25, 0.25, 0.25])
+        model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                          state_dim=6, action_dim=3)
+        cost = get_cost(
+            {"type": "static", "diag": True,
+             "goal": [1.0, 0.0, 0.5, 0.0, -0.5, 0.0],
+             "Q": [5.0, 1.0, 5.0, 1.0, 5.0, 1.0]},
+            lam=0.8, gamma=0.2, upsilon=1.0, sigma=sigma,
+        )
+        lam = 0.8
+        state0 = np.zeros(6)
+    else:
+        import __graft_entry__ as g
+
+        sigma = np.diag([1500.0] * 6)
+        model = get_model(g._auv_params(), dt=0.1, action_dim=6)
+        cost = get_cost(g._auv_task(), lam=0.5, gamma=0.2, upsilon=1.0,
+                        sigma=sigma)
+        lam = 0.5
+        state0 = np.zeros(13)
+        state0[6] = 1.0
+    sdim = model.get_state_dim()
+    adim = model.get_action_dim()
+    ctrl = MPPI(model, cost, k=K, tau=TAU, lam=lam, upsilon=1.0, sigma=sigma,
+                kernel=KERNEL if backend == "tpu" else "xla")
     mp, cp = ctrl.model_params, ctrl._cparams
 
     solve = ctrl._solve  # pure fn: (key, state, useq, mp, cp)
 
-    if KERNEL == "pallas":
-        from mppi_tf_tpu.kernels.pm_mppi import FusedPointMassMPPI
-        from mppi_tf_tpu.ops import update as upd
-
-        fused = FusedPointMassMPPI(model, cost, k=K, tau=TAU, lam=0.8,
-                                   upsilon=1.0, sigma=sigma)
+    if ctrl._fused is not None:
+        fused = ctrl._fused
         n_tiles = (K + fused.tile - 1) // fused.tile
 
         def chained(key, state, useq):
             # key is unused: the kernel seeds pltpu.prng per solve
             def body(i, carry):
                 state, useq = carry
-                wn, _info = fused.solve(i * n_tiles, state, useq, mp, cp,
-                                        use_prng=True)
-                new_useq = useq + wn
-                action = new_useq[0]
-                shifted = upd.shift(
-                    new_useq, upd.init_zeros(1, 3, dtype=new_useq.dtype), 1)
+                action, shifted, _info = ctrl._fused_step(
+                    i * n_tiles, state, useq, mp, cp)
                 state = model.step(mp, state[None, :], action[None, :])[0]
                 return (state, shifted)
 
@@ -104,8 +116,8 @@ def main():
     chained_jit = jax.jit(chained)
 
     key = jax.random.PRNGKey(0)
-    state = jnp.zeros((6,), dtype=model.dtype)
-    useq = jnp.zeros((TAU, 3), dtype=model.dtype)
+    state = jnp.asarray(state0, dtype=model.dtype)
+    useq = jnp.zeros((TAU, adim), dtype=model.dtype)
 
     # compile + warmup
     out = chained_jit(key, state, useq)
@@ -122,9 +134,9 @@ def main():
     per_solve = float(np.median(times))
 
     # single-call dispatch latency (incl. host round trip)
-    if KERNEL == "pallas":
+    if ctrl._fused is not None:
         def _single(key, state, useq, mp, cp):
-            return fused.solve(0, state, useq, mp, cp, use_prng=True)
+            return ctrl._fused.solve(0, state, useq, mp, cp, use_prng=True)
         single = jax.jit(_single)
     else:
         single = jax.jit(solve)
@@ -138,9 +150,10 @@ def main():
         lat.append(time.perf_counter() - t0)
     dispatch_p50 = float(np.median(lat))
 
+    wname = "point_mass3d" if WORKLOAD == "point_mass" else "auv_rexrov2"
     p50_ms = per_solve * 1e3
     result = {
-        "metric": f"p50_replan_latency_ms@K={K},H={TAU},point_mass3d,{backend}",
+        "metric": f"p50_replan_latency_ms@K={K},H={TAU},{wname},{backend}",
         "value": round(p50_ms, 4),
         "unit": "ms",
         "vs_baseline": round(10.0 / p50_ms, 3),
@@ -149,8 +162,9 @@ def main():
             "rollouts_per_s_per_chip": round(K / per_solve, 0),
             "single_call_p50_ms": round(dispatch_p50 * 1e3, 3),
             "backend": backend,
-            "kernel": KERNEL,
+            "kernel": "pallas" if ctrl._fused is not None else "xla",
             "chain": CHAIN,
+            "workload": WORKLOAD,
         },
     }
     print(json.dumps(result))

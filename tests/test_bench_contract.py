@@ -8,9 +8,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_json_contract():
-    env = dict(os.environ, BENCH_K="256", BENCH_TAU="5", BENCH_CHAIN="2",
-               JAX_PLATFORMS="cpu", BENCH_KERNEL="xla")
+def _run_bench(**extra_env):
+    env = {**os.environ, "BENCH_K": "256", "BENCH_TAU": "5",
+           "BENCH_CHAIN": "2", "JAX_PLATFORMS": "cpu",
+           "BENCH_KERNEL": "xla", **extra_env}
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          capture_output=True, text=True, timeout=400,
                          env=env, cwd=REPO)
@@ -22,3 +23,15 @@ def test_bench_json_contract():
     assert rec["unit"] == "ms"
     assert rec["value"] > 0
     assert rec["extra"]["kernel"] == "xla"
+    return rec
+
+
+def test_bench_json_contract():
+    rec = _run_bench()
+    assert "point_mass3d" in rec["metric"]
+
+
+def test_bench_auv_workload():
+    rec = _run_bench(BENCH_WORKLOAD="auv", BENCH_K="128", BENCH_TAU="4")
+    assert "auv_rexrov2" in rec["metric"]
+    assert rec["extra"]["workload"] == "auv"
