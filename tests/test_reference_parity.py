@@ -269,3 +269,170 @@ def test_elipse2d_cost_matches_reference(ref, ours):
     want = ref_cost.state_cost("t", tf.constant(s, tf.float64)).numpy()
     got = np.asarray(our_cost.state_cost({}, jnp.asarray(s[:, :, 0])))
     np.testing.assert_allclose(got, want.reshape(32), rtol=1e-12)
+
+
+def test_static_quat_cost_matches_reference(ref, ours):
+    """13-dim quaternion-state cost == the reference StaticQuatCost
+    (static_cost.py:73-159: pos error, 2*acos(q.g) angle, vel error vs a
+    10x10 Q)."""
+    from src.costs.static_cost import StaticQuatCost as RefSQ
+
+    import jax.numpy as jnp
+
+    from mppi_tf_tpu.costs.static import StaticQuatCost
+
+    sig6 = np.diag([0.25, 0.3, 0.2, 0.1, 0.15, 0.12])
+    goal = np.zeros(13)
+    goal[2] = -5.0
+    q = np.array([0.1, -0.2, 0.3, 0.9])
+    goal[3:7] = q / np.linalg.norm(q)
+    goal[8] = 0.4
+    Qd = np.array([100.0, 100.0, 100.0, 10.0, 1.0, 2.0, 3.0, 1.0, 1.0, 1.0])
+
+    ref_cost = RefSQ(LAM, GAMMA, UPSILON, sig6, goal.reshape(-1, 1), Qd,
+                     diag=True)
+    our_cost = StaticQuatCost(LAM, GAMMA, UPSILON, sig6, goal, Qd, diag=True,
+                              dtype=jnp.float64)
+    cp = our_cost.init_params()
+
+    rng = np.random.RandomState(11)
+    s = rng.randn(32, 13, 1)
+    s[:, 3:7, 0] /= np.linalg.norm(s[:, 3:7, 0], axis=-1, keepdims=True)
+    want = ref_cost.state_cost("t", tf.constant(s, tf.float64)).numpy()
+    got = np.asarray(our_cost.state_cost(cp, jnp.asarray(s[:, :, 0])))
+    np.testing.assert_allclose(got, want.reshape(32), rtol=1e-9, atol=1e-11)
+
+
+def _install_tfg_stub():
+    """Install a faithful tensorflow_graphics quaternion stub (xyzw).
+
+    tfg is not installed in this image; the reference's ElipseCost3D uses
+    exactly five quaternion functions (elipse_cost.py:163-225). They are
+    implemented here with TF ops following the published tfg semantics —
+    from_rotation_matrix delegates to scipy (an independent oracle); the
+    rest are the standard published formulas. Rotation results are
+    invariant to the quaternion sign convention, and relative_angle takes
+    |dot|, so any valid unit quaternion for R yields identical costs.
+    """
+    import scipy.spatial.transform as st
+
+    mod = sys.modules.get("tensorflow_graphics")
+    if mod is None:
+        mod = types.ModuleType("tensorflow_graphics")
+        sys.modules["tensorflow_graphics"] = mod
+
+    quat_ns = types.SimpleNamespace()
+
+    def from_rotation_matrix(R):
+        Rnp = np.asarray(R)
+        return tf.constant(st.Rotation.from_matrix(Rnp).as_quat(),
+                           tf.float64)  # scipy returns xyzw like tfg
+
+    def multiply(q1, q2):
+        q1 = tf.convert_to_tensor(q1, tf.float64)
+        q2 = tf.convert_to_tensor(q2, tf.float64)
+        x1, y1, z1, w1 = tf.unstack(q1, axis=-1)
+        x2, y2, z2, w2 = tf.unstack(q2, axis=-1)
+        return tf.stack([
+            x1 * w2 + y1 * z2 - z1 * y2 + w1 * x2,
+            -x1 * z2 + y1 * w2 + z1 * x2 + w1 * y2,
+            x1 * y2 - y1 * x2 + z1 * w2 + w1 * z2,
+            -x1 * x2 - y1 * y2 - z1 * z2 + w1 * w2,
+        ], axis=-1)
+
+    def rotate(point, q):
+        point = tf.convert_to_tensor(point, tf.float64)
+        q = tf.broadcast_to(tf.convert_to_tensor(q, tf.float64),
+                            tf.shape(point)[:-1].shape.num_elements() * [0]
+                            if False else
+                            tf.concat([tf.shape(point)[:-1], [4]], axis=0))
+        xyz, w = q[..., :3], q[..., 3:4]
+        t = 2.0 * tf.linalg.cross(xyz, point)
+        return point + w * t + tf.linalg.cross(xyz, t)
+
+    def between_two_vectors_3d(v1, v2):
+        v1 = tf.convert_to_tensor(v1, tf.float64)
+        v2 = tf.convert_to_tensor(v2, tf.float64)
+        v1, v2 = tf.broadcast_to(v1, tf.shape(v2)), v2
+        v1n = tf.linalg.normalize(v1, axis=-1)[0]
+        v2n = tf.linalg.normalize(v2, axis=-1)[0]
+        w = 1.0 + tf.reduce_sum(v1n * v2n, axis=-1, keepdims=True)
+        xyz = tf.linalg.cross(v1n, v2n)
+        return tf.linalg.normalize(tf.concat([xyz, w], axis=-1), axis=-1)[0]
+
+    def relative_angle(q1, q2):
+        q1 = tf.linalg.normalize(q1, axis=-1)[0]
+        q2 = tf.linalg.normalize(q2, axis=-1)[0]
+        dot = tf.clip_by_value(tf.reduce_sum(q1 * q2, axis=-1), -1.0, 1.0)
+        return 2.0 * tf.acos(tf.abs(dot))
+
+    quat_ns.from_rotation_matrix = from_rotation_matrix
+    quat_ns.multiply = multiply
+    quat_ns.rotate = rotate
+    quat_ns.between_two_vectors_3d = between_two_vectors_3d
+    quat_ns.relative_angle = relative_angle
+    mod.geometry = types.SimpleNamespace(
+        transformation=types.SimpleNamespace(quaternion=quat_ns))
+    return mod
+
+
+def test_elipse3d_cost_matches_reference(ref, ours):
+    """3D ellipse-tracking state cost == the reference ElipseCost3D run with
+    a faithful tfg quaternion stub (elipse_cost.py:101-246). Center is zero:
+    the reference never applies the stored center (elipse_cost.py:165-170);
+    ours translates by it (documented intent fix) — parity holds where the
+    semantics agree."""
+    _install_tfg_stub()
+    from src.costs.elipse_cost import ElipseCost3D as RefE3
+
+    import jax.numpy as jnp
+
+    from mppi_tf_tpu.costs.elipse import ElipseCost3D
+
+    sig6 = np.diag([0.25, 0.3, 0.2, 0.1, 0.15, 0.12])
+    normal = np.array([0.0, 1.0 / np.sqrt(2.0), 1.0 / np.sqrt(2.0)])
+    a_vec = np.array([1.0, 0.0, 0.0])
+    axis = np.array([2.0, 1.5])
+    center = np.zeros(3)
+
+    ref_cost = RefE3(LAM, GAMMA, UPSILON, sig6,
+                     normal=normal.reshape(3, 1), aVec=a_vec.reshape(3, 1),
+                     axis=axis.reshape(2, 1), center=center.reshape(3, 1),
+                     speed=1.2, v_speed=0.0, mState=4.0, mVel=0.5)
+    our_cost = ElipseCost3D(LAM, GAMMA, UPSILON, sig6, normal=normal,
+                            aVec=a_vec, axis=axis, center=center, speed=1.2,
+                            m_state=4.0, m_vel=0.5, dtype=jnp.float64)
+    cp = our_cost.init_params()
+
+    rng = np.random.RandomState(17)
+    s = rng.randn(32, 13, 1)
+    s[:, 3:7, 0] /= np.linalg.norm(s[:, 3:7, 0], axis=-1, keepdims=True)
+    st_tf = tf.constant(s, tf.float64)
+    sj = jnp.asarray(s[:, :, 0])
+
+    # the reference's state_cost mixes ragged term shapes ([k,1,1] + [k]),
+    # so compare the three error terms individually, then the composition.
+    tfgq = sys.modules["tensorflow_graphics"].geometry.transformation.quaternion
+    pos_pf_ref = tfgq.rotate(tf.squeeze(st_tf[:, 0:3], axis=-1), ref_cost.q)
+    quat_pf_ref = tfgq.multiply(ref_cost.q, tf.squeeze(st_tf[:, 3:7], axis=-1))
+    pose_pf_ref = tf.concat([tf.expand_dims(pos_pf_ref, -1),
+                             tf.expand_dims(quat_pf_ref, -1)], axis=1)
+    p_ref = ref_cost.position_error(
+        tf.expand_dims(pos_pf_ref, -1)).numpy().reshape(32)
+    o_ref = np.asarray(ref_cost.orientation_error(pose_pf_ref)).reshape(32)
+    v_ref = ref_cost.velocity_error(st_tf[:, 7:13]).numpy().reshape(32)
+
+    from mppi_tf_tpu.ops import quaternion as quatops
+    qp = jnp.broadcast_to(our_cost.q_plane, (32, 4))
+    pos_pf_our = quatops.rotate(sj[:, 0:3] - our_cost.center, qp)
+    quat_pf_our = quatops.multiply(qp, sj[:, 3:7])
+    p_our = np.asarray(our_cost.position_error(pos_pf_our))
+    o_our = np.asarray(our_cost.orientation_error(pos_pf_our, quat_pf_our))
+    v_our = np.asarray(our_cost.velocity_error(sj[:, 7:13]))
+
+    np.testing.assert_allclose(p_our, p_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(o_our, o_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(v_our, v_ref, rtol=1e-8, atol=1e-10)
+    got = np.asarray(our_cost.state_cost(cp, sj))
+    np.testing.assert_allclose(got, 4.0 * (p_ref + o_ref) + 0.5 * v_ref,
+                               rtol=1e-8, atol=1e-10)
