@@ -125,6 +125,18 @@ class NpAUV:
         nxt[3:7] /= np.linalg.norm(nxt[3:7])
         return nxt
 
+    def step_rk4(self, x, u, dt):
+        """Standard RK4 (the reference's rk==4 branch mis-scales k4 by dt,
+        auv_model.py:297-301 — our model deliberately uses the textbook
+        weighting, models/auv.py step docstring)."""
+        k1 = self.state_dot(x, u)
+        k2 = self.state_dot(x + dt * k1 / 2.0, u)
+        k3 = self.state_dot(x + dt * k2 / 2.0, u)
+        k4 = self.state_dot(x + dt * k3, u)
+        nxt = x + dt / 6.0 * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        nxt[3:7] /= np.linalg.norm(nxt[3:7])
+        return nxt
+
 
 def _mk(rk=1):
     model = AUVModel(rexrov2_params(rk=rk), dt=0.1, dtype=jnp.float64)
@@ -198,6 +210,17 @@ def test_step_rk1_matches_numpy():
     nxt = np.asarray(model.step(params, jnp.asarray(x), jnp.asarray(u)))
     for i in range(4):
         np.testing.assert_allclose(nxt[i], npm.step_rk1(x[i], u[i], 0.1),
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_step_rk4_matches_numpy():
+    model, params, npm = _mk(rk=4)
+    rng = np.random.default_rng(29)
+    x = _rand_state(rng, 4)
+    u = rng.normal(size=(4, 6)) * 100.0
+    nxt = np.asarray(model.step(params, jnp.asarray(x), jnp.asarray(u)))
+    for i in range(4):
+        np.testing.assert_allclose(nxt[i], npm.step_rk4(x[i], u[i], 0.1),
                                    rtol=1e-8, atol=1e-10)
 
 
