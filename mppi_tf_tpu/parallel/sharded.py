@@ -56,6 +56,7 @@ def build_sharded_solve(
     normalize_cost: bool = False,
     clip_actions: bool = False,
     axis: str = SAMPLE_AXIS,
+    antithetic: bool = False,
 ):
     """Return (solve, solve_with_noise) jitted over ``mesh``.
 
@@ -103,7 +104,10 @@ def build_sharded_solve(
         mparams = model.precompute(mparams)
         idx = jax.lax.axis_index(axis)
         key = jax.random.fold_in(key, idx)
-        eps = noise_ops.sample_noise(
+        # antithetic mirrors pairs within each shard (ops/noise.py)
+        sampler = (noise_ops.sample_noise_antithetic if antithetic
+                   else noise_ops.sample_noise)
+        eps = sampler(
             key, k_local, tau, adim, sigma, upsilon, dtype=useq.dtype
         )
         costs = _local_costs(state, useq, eps, mparams, cparams)
@@ -156,6 +160,7 @@ class ShardedMPPI:
         clip_actions: bool = False,
         seed: int = 0,
         axis: str = SAMPLE_AXIS,
+        antithetic: bool = False,
     ):
         if sigma is None:
             raise ValueError("sigma (noise scale matrix) is required")
@@ -169,7 +174,7 @@ class ShardedMPPI:
         self._solve, self._solve_with_noise = build_sharded_solve(
             model, cost, k, tau, lam, upsilon, sigma, mesh,
             normalize_cost=normalize_cost, clip_actions=clip_actions,
-            axis=axis,
+            axis=axis, antithetic=antithetic,
         )
         self._useq = jnp.zeros((tau, self._adim), dtype=self._dtype)
         self._key = jax.random.PRNGKey(seed)

@@ -74,6 +74,20 @@ def test_sharded_controller_closed_loop():
     assert abs(final[0] - 1.0) < 0.25, f"did not reach goal: {final}"
 
 
+def test_sharded_antithetic_closed_loop():
+    model, cost, sigma, lam, ups = _setup()
+    mesh = make_mesh()
+    ctrl = ShardedMPPI(model, cost, mesh, k=512, tau=20, lam=0.8, upsilon=1.0,
+                       sigma=sigma, antithetic=True)
+    mp = ctrl.model_params
+    x = jnp.zeros(6, dtype=jnp.float64)
+    for _ in range(40):
+        u = ctrl.next(np.asarray(x))
+        x = model.predict(mp, x, jnp.asarray(u))
+    final = np.asarray(x)
+    assert abs(final[0] - 1.0) < 0.25, f"did not reach goal: {final}"
+
+
 def test_k_not_divisible_raises():
     model, cost, sigma, lam, ups = _setup()
     mesh = make_mesh()
