@@ -67,3 +67,46 @@ def test_mbrl_loop_reaches_goal():
             x = env.step(np.reshape(u, (1, -1)))
     err = abs(float(np.reshape(x, (-1,))[0]) - 1.0)
     assert err < 0.3, f"learned-model control missed the goal: pos err {err}"
+
+
+def test_mbrl_loop_on_mujoco_env():
+    """Same MBRL loop against the MuJoCo plant (1-DoF slide-joint
+    point-mass, generated MJCF): the learned model trained on MuJoCo
+    transitions must control the MuJoCo env to the target site."""
+    import pytest
+
+    pytest.importorskip("mujoco")
+    from mppi_tf_tpu.envs.mujoco_env import make_point_mass_env
+
+    env = make_point_mass_env(n_dof=1, goal=(1.0,))
+
+    buf = ReplayBuffer(512, 2, 1)
+    collect_transitions(env, buf, 400, 1, -1.0, 1.0, seed=2, control_dt=0.1)
+
+    model = NNModel(state_dim=2, action_dim=1, dt=0.1, hidden=(16, 16),
+                    dtype=jnp.float64, seed=3)
+    learner = Learner(model)
+    data = buf.get_all_transitions()
+    for x, u, xn in zip(data["obs"], data["act"], data["next_obs"]):
+        learner.add_rb(x.reshape(-1, 1), u.reshape(-1, 1), xn.reshape(-1, 1))
+    learner.stats()
+    learner.train_all(epoch=300, learning_rate=1e-2)
+
+    sigma = np.asarray([[0.4]])
+    cost = get_cost({"type": "static", "diag": True, "goal": [1.0, 0.0],
+                     "Q": [8.0, 1.5]},
+                    lam=0.6, gamma=0.2, upsilon=1.0, sigma=sigma,
+                    dtype=jnp.float64)
+    ctrl = MPPI(model, cost, k=256, tau=20, lam=0.6, upsilon=1.0,
+                sigma=sigma, seed=5)
+    ctrl.model_params = learner.params
+
+    env.reset(np.zeros(2))
+    x = env.getState()
+    for _ in range(60):
+        u = ctrl.next(x)
+        prev = env.getTime()
+        while env.getTime() - prev < 0.1 - 1e-12:
+            x = env.step(np.reshape(u, (1, -1)))
+    err = abs(float(np.reshape(x, (-1,))[0]) - 1.0)
+    assert err < 0.3, f"mujoco MBRL control missed the goal: pos err {err}"
