@@ -81,8 +81,10 @@ def main():
         state0[6] = 1.0
     sdim = model.get_state_dim()
     adim = model.get_action_dim()
+    # honour an explicit BENCH_KERNEL even off-TPU (pallas -> interpret
+    # mode, for debugging); MPPI rejects genuinely unsupported combos
     ctrl = MPPI(model, cost, k=K, tau=TAU, lam=lam, upsilon=1.0, sigma=sigma,
-                kernel=KERNEL if backend == "tpu" else "xla")
+                kernel=KERNEL)
     mp, cp = ctrl.model_params, ctrl._cparams
 
     solve = ctrl._solve  # pure fn: (key, state, useq, mp, cp)

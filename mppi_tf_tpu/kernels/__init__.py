@@ -17,6 +17,7 @@ Both kernels are measured at/near the VPU issue-rate bound for their op
 sequence (see kernels/pm_mppi.py header and the perf notes in README.md).
 """
 
+from .auv_mppi import FusedAUVMPPI
 from .pm_mppi import FusedPointMassMPPI, fused_pm_solve
 
-__all__ = ["FusedPointMassMPPI", "fused_pm_solve"]
+__all__ = ["FusedAUVMPPI", "FusedPointMassMPPI", "fused_pm_solve"]

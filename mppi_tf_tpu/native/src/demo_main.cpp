@@ -30,6 +30,10 @@ int main(int argc, char** argv) {
   const int64_t k = argc > 1 ? std::atoll(argv[1]) : 2048;
   const int64_t tau = argc > 2 ? std::atoll(argv[2]) : 25;
   const int steps = argc > 3 ? std::atoi(argv[3]) : 60;
+  if (k <= 0 || tau <= 0 || steps <= 0) {
+    std::fprintf(stderr, "usage: demo_main [k>0] [tau>0] [steps>0]\n");
+    return 2;
+  }
   const int64_t sdim = 6, adim = 3;
   const double dt = 0.1, mass = 1.0, lam = 0.8, gamma = 0.2, ups = 1.0;
 

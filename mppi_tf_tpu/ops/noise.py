@@ -63,8 +63,8 @@ def sample_noise_antithetic(
 ) -> jax.Array:
     """Antithetic (mirrored-pair) variant of :func:`sample_noise`.
 
-    Draws ceil(k/2) standard-normal sequences and mirrors them:
-    eps[i + k//2] = -eps[i]. Each marginal is still exactly
+    Draws half = ceil(k/2) standard-normal sequences and mirrors them:
+    eps[half + i] = -eps[i] for i < k - half. Each marginal is still exactly
     (upsilon*sigma) @ N(0, I); the pairing is a classic variance-reduction
     device for Monte-Carlo rollout estimators (and halves RNG work). Not in
     the reference (which draws k i.i.d. sequences,

@@ -139,9 +139,10 @@ def test_antithetic_noise_properties():
         half = (k + 1) // 2
         n_mirror = k - half
         np.testing.assert_allclose(eps[half:], -eps[:n_mirror])
-        # pairwise sums cancel exactly -> strong variance reduction signal
-        assert abs(eps[: 2 * n_mirror].mean()) < (
-            abs(eps[:half].mean()) + 1e-12)
+        # the paired subset (rows [0:n_mirror] + their mirrors) sums to
+        # exactly zero — the variance-reduction cancellation
+        paired = np.concatenate([eps[:n_mirror], eps[half:half + n_mirror]])
+        np.testing.assert_allclose(paired.sum(axis=0), 0.0, atol=1e-12)
 
 
 def test_antithetic_closed_loop_converges():
