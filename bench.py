@@ -6,6 +6,12 @@ samples per solve, f32, single chip. The reference publishes no numbers
 a 10 ms replan budget at K>=100k, H=50. ``vs_baseline`` is therefore
 (10 ms / measured p50): >= 1.0 means the budget is met, higher is better.
 
+Env knobs: BENCH_WORKLOAD=point_mass|auv, BENCH_KERNEL=pallas|xla,
+BENCH_K / BENCH_TAU / BENCH_CHAIN, BENCH_SHARDED=1 (shard K over a mesh of
+all visible devices — the multi-host harness; combine with
+XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu to
+exercise an N-device virtual mesh).
+
 Methodology: the solve is chained S times inside one jitted ``lax.fori_loop``
 (carrying key/state/sequence like a real receding-horizon loop) and timed
 with ``block_until_ready``, so the number reflects device time rather than
@@ -56,6 +62,12 @@ def main():
     # pallas = fused VMEM-resident kernel (TPU only); xla = lax.scan path
     KERNEL = os.environ.get("BENCH_KERNEL",
                             "pallas" if backend == "tpu" else "xla")
+    # BENCH_SHARDED=1: shard K over a mesh of ALL visible devices (the
+    # multi-host harness, SURVEY.md §7.8) — pmin/pmax/psum merge the shards
+    SHARDED = os.environ.get("BENCH_SHARDED", "") == "1"
+    n_dev = len(jax.devices())
+    if SHARDED:
+        K -= K % n_dev  # k must divide evenly over the mesh
 
     if WORKLOAD == "point_mass":
         sigma = np.diag([0.25, 0.25, 0.25])
@@ -81,15 +93,66 @@ def main():
         state0[6] = 1.0
     sdim = model.get_state_dim()
     adim = model.get_action_dim()
-    # honour an explicit BENCH_KERNEL even off-TPU (pallas -> interpret
-    # mode, for debugging); MPPI rejects genuinely unsupported combos
-    ctrl = MPPI(model, cost, k=K, tau=TAU, lam=lam, upsilon=1.0, sigma=sigma,
-                kernel=KERNEL)
-    mp, cp = ctrl.model_params, ctrl._cparams
 
-    solve = ctrl._solve  # pure fn: (key, state, useq, mp, cp)
+    if SHARDED:
+        from mppi_tf_tpu.parallel import make_mesh
 
-    if ctrl._fused is not None:
+        mesh = make_mesh(n_dev, ("k",))
+        if KERNEL == "pallas":
+            from mppi_tf_tpu.parallel.fused import ShardedFusedMPPI
+
+            sctrl = ShardedFusedMPPI(model, cost, mesh, k=K, tau=TAU,
+                                     lam=lam, upsilon=1.0, sigma=sigma,
+                                     interpret=(backend != "tpu"))
+            stride = sctrl._seed_stride
+            ssolve = sctrl._solve
+
+            def chained(key, state, useq):
+                def body(i, carry):
+                    state, useq = carry
+                    action, useq, _info = ssolve(
+                        i * stride, state, useq, sctrl._mparams,
+                        sctrl._cparams)
+                    state = model.step(sctrl._mparams, state[None, :],
+                                       action[None, :])[0]
+                    return (state, useq)
+
+                return jax.lax.fori_loop(0, CHAIN, body, (state, useq))
+
+            single = jax.jit(lambda key, state, useq, mp_, cp_: ssolve(
+                0, state, useq, mp_, cp_))
+            mp, cp = sctrl._mparams, sctrl._cparams
+        else:
+            from mppi_tf_tpu.parallel import ShardedMPPI
+
+            sctrl = ShardedMPPI(model, cost, mesh, k=K, tau=TAU, lam=lam,
+                                upsilon=1.0, sigma=sigma)
+            ssolve = sctrl._solve
+            mp, cp = sctrl._mparams, sctrl._cparams
+
+            def chained(key, state, useq):
+                def body(_, carry):
+                    key, state, useq = carry
+                    key, sub = jax.random.split(key)
+                    action, useq, _info = ssolve(sub, state, useq, mp, cp)
+                    state = model.step(mp, state[None, :],
+                                       action[None, :])[0]
+                    return (key, state, useq)
+
+                return jax.lax.fori_loop(0, CHAIN, body, (key, state, useq))
+
+            single = jax.jit(ssolve)
+        ctrl = None
+    else:
+        # honour an explicit BENCH_KERNEL even off-TPU (pallas -> interpret
+        # mode, for debugging); MPPI rejects genuinely unsupported combos
+        ctrl = MPPI(model, cost, k=K, tau=TAU, lam=lam, upsilon=1.0,
+                    sigma=sigma, kernel=KERNEL)
+        mp, cp = ctrl.model_params, ctrl._cparams
+
+        solve = ctrl._solve  # pure fn: (key, state, useq, mp, cp)
+
+    if ctrl is not None and ctrl._fused is not None:
         fused = ctrl._fused
         n_tiles = (K + fused.tile - 1) // fused.tile
 
@@ -103,7 +166,7 @@ def main():
                 return (state, shifted)
 
             return jax.lax.fori_loop(0, CHAIN, body, (state, useq))
-    else:
+    elif ctrl is not None:
         def chained(key, state, useq):
             def body(_, carry):
                 key, state, useq = carry
@@ -135,12 +198,13 @@ def main():
         times.append((time.perf_counter() - t0) / CHAIN)
     per_solve = float(np.median(times))
 
-    # single-call dispatch latency (incl. host round trip)
-    if ctrl._fused is not None:
+    # single-call dispatch latency (incl. host round trip); the sharded
+    # branch defined `single` above
+    if ctrl is not None and ctrl._fused is not None:
         def _single(key, state, useq, mp, cp):
             return ctrl._fused.solve(0, state, useq, mp, cp, use_prng=True)
         single = jax.jit(_single)
-    else:
+    elif ctrl is not None:
         single = jax.jit(solve)
     r = single(key, state, useq, mp, cp)
     jax.block_until_ready(r)
@@ -161,12 +225,16 @@ def main():
         "vs_baseline": round(10.0 / p50_ms, 3),
         "extra": {
             "solves_per_s": round(1.0 / per_solve, 2),
-            "rollouts_per_s_per_chip": round(K / per_solve, 0),
+            "rollouts_per_s_per_chip": round(
+                K / per_solve / (n_dev if SHARDED else 1), 0),
             "single_call_p50_ms": round(dispatch_p50 * 1e3, 3),
             "backend": backend,
-            "kernel": "pallas" if ctrl._fused is not None else "xla",
+            "kernel": ("pallas" if (ctrl._fused if ctrl is not None
+                                    else KERNEL == "pallas") else "xla"),
             "chain": CHAIN,
             "workload": WORKLOAD,
+            "sharded": SHARDED,
+            "n_devices": n_dev,
         },
     }
     print(json.dumps(result))

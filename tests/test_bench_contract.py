@@ -35,3 +35,10 @@ def test_bench_auv_workload():
     rec = _run_bench(BENCH_WORKLOAD="auv", BENCH_K="128", BENCH_TAU="4")
     assert "auv_rexrov2" in rec["metric"]
     assert rec["extra"]["workload"] == "auv"
+
+
+def test_bench_sharded_mode():
+    rec = _run_bench(BENCH_SHARDED="1",
+                     XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    assert rec["extra"]["sharded"] is True
+    assert rec["extra"]["n_devices"] == 8
