@@ -22,3 +22,31 @@ fused rollout hot path.
 __version__ = "0.1.0"
 
 from . import ops  # noqa: F401
+
+_TOP_LEVEL = {
+    "MPPI": ("mppi_tf_tpu.controller.mppi", "MPPI"),
+    "ShardedMPPI": ("mppi_tf_tpu.parallel", "ShardedMPPI"),
+    "get_controller": ("mppi_tf_tpu.controller", "get_controller"),
+    "get_model": ("mppi_tf_tpu.models", "get_model"),
+    "get_cost": ("mppi_tf_tpu.costs", "get_cost"),
+    "get_env": ("mppi_tf_tpu.envs", "get_env"),
+    "Learner": ("mppi_tf_tpu.learning", "Learner"),
+    "Observer": ("mppi_tf_tpu.observer", "Observer"),
+    "default_config": ("mppi_tf_tpu.cfg", "default_config"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level exports: ``from mppi_tf_tpu import MPPI`` without
+    importing every subsystem at package-import time."""
+    try:
+        mod_name, attr = _TOP_LEVEL[name]
+    except KeyError:
+        raise AttributeError(name) from None
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_TOP_LEVEL))
