@@ -349,8 +349,11 @@ class MPPI:
         fake = np.zeros((self._sdim,))
         if self._sdim >= 7:
             fake[6] = 1.0  # unit quaternion for AUV-style states
+        key = self._key
         _ = self.next(fake)
-        # reset mutable state disturbed by the warmup
+        # reset mutable state disturbed by the warmup (incl. the PRNG key,
+        # so a traced controller emits the same sequence as an untraced one)
+        self._key = key
         self._useq = jnp.zeros_like(self._useq)
         self._steps = 0
         self._timing = {"total": 0.0, "calls": 0}

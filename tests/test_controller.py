@@ -258,3 +258,52 @@ class TestControllerCheckpoint:
         b = MPPI(model, cost, k=16, tau=9, lam=0.8, upsilon=1.0, sigma=sigma)
         with pytest.raises(ValueError):
             b.load_state(ckpt)
+
+
+class TestProfilingSurface:
+    """The reference's tracing/profiling hooks (SURVEY.md §5.1):
+    trace() pre-build (controller_base.py:562-585), profile() under the
+    profiler (:587-595), and the graph dump analogue dump_hlo()
+    (observer_base.py:84-93 / utile.cpp:46-54)."""
+
+    def test_trace_precompiles_and_resets_state(self):
+        ctrl, _ = _mk_controller(k=12, tau=4)
+        ctrl.trace()
+        # warmup must not leak into the mutable state
+        assert ctrl.timing["calls"] == 0
+        np.testing.assert_array_equal(np.asarray(ctrl.useq), 0.0)
+        # a real call after trace() behaves normally
+        u = ctrl.next(np.zeros(6))
+        assert u.shape == (3,)
+        assert ctrl.timing["calls"] == 1
+
+    def test_trace_matches_untracd_sequence(self):
+        # tracing first must not change the control sequence produced after
+        a, _ = _mk_controller(k=24, tau=5)
+        b, _ = _mk_controller(k=24, tau=5)
+        a.trace()
+        ua = [a.next(np.zeros(6)) for _ in range(3)]
+        ub = [b.next(np.zeros(6)) for _ in range(3)]
+        np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
+
+    def test_profile_writes_trace_dir(self, tmp_path):
+        ctrl, _ = _mk_controller(k=12, tau=4)
+        logdir = str(tmp_path / "prof")
+        ctrl.profile(logdir=logdir)
+        import os
+        found = []
+        for root, _dirs, files in os.walk(logdir):
+            found.extend(files)
+        assert found, "jax.profiler.trace produced no files"
+
+    def test_profile_without_logdir_runs(self):
+        ctrl, _ = _mk_controller(k=12, tau=4)
+        ctrl.profile()  # no observer, no logdir: plain warm run
+        assert ctrl.timing["calls"] == 1
+
+    def test_dump_hlo_contains_solve(self):
+        ctrl, _ = _mk_controller(k=12, tau=4)
+        txt = ctrl.dump_hlo()
+        assert isinstance(txt, str) and len(txt) > 100
+        # compiled module text mentions HLO structure
+        assert "HloModule" in txt or "ENTRY" in txt
