@@ -57,12 +57,15 @@ def build_sharded_solve(
     clip_actions: bool = False,
     axis: str = SAMPLE_AXIS,
     antithetic: bool = False,
+    filter_mat=None,
 ):
     """Return (solve, solve_with_noise) jitted over ``mesh``.
 
     solve(key, state, useq, mparams, cparams) -> (action, next_useq, info)
     with all inputs replicated; K is sharded internally. ``k`` must be
-    divisible by the mesh size along ``axis``.
+    divisible by the mesh size along ``axis``. ``filter_mat`` (optional
+    [tau, tau]) applies Savitzky–Golay smoothing as a linear operator —
+    same semantics as the single-device controller (mppi.savgol_matrix).
     """
     n = mesh.shape[axis]
     if k % n != 0:
@@ -70,6 +73,9 @@ def build_sharded_solve(
     k_local = k // n
     adim = model.get_action_dim()
     sigma = jnp.asarray(np.asarray(sigma, np.float64), dtype=model.dtype)
+    if filter_mat is not None:
+        filter_mat = jnp.asarray(np.asarray(filter_mat, np.float64),
+                                 dtype=model.dtype)
 
     def _local_costs(state, useq, eps, mparams, cparams):
         return rollout_costs(
@@ -89,6 +95,8 @@ def build_sharded_solve(
         new_useq = useq + wnoise
         if clip_actions:
             new_useq = jnp.clip(new_useq, model.min_act(), model.max_act())
+        if filter_mat is not None:
+            new_useq = filter_mat @ new_useq
         action = new_useq[0]
         shifted = upd.shift(
             new_useq, jnp.zeros((1, adim), dtype=new_useq.dtype), 1
@@ -161,6 +169,9 @@ class ShardedMPPI:
         seed: int = 0,
         axis: str = SAMPLE_AXIS,
         antithetic: bool = False,
+        filter_seq: bool = False,
+        filter_window: int = 9,
+        filter_polyorder: int = 3,
     ):
         if sigma is None:
             raise ValueError("sigma (noise scale matrix) is required")
@@ -171,10 +182,15 @@ class ShardedMPPI:
         self._adim = model.get_action_dim()
         self._dtype = model.dtype
         self._k = int(k)
+        filter_mat = None
+        if filter_seq:
+            from ..controller.mppi import savgol_matrix
+
+            filter_mat = savgol_matrix(tau, filter_window, filter_polyorder)
         self._solve, self._solve_with_noise = build_sharded_solve(
             model, cost, k, tau, lam, upsilon, sigma, mesh,
             normalize_cost=normalize_cost, clip_actions=clip_actions,
-            axis=axis, antithetic=antithetic,
+            axis=axis, antithetic=antithetic, filter_mat=filter_mat,
         )
         self._useq = jnp.zeros((tau, self._adim), dtype=self._dtype)
         self._key = jax.random.PRNGKey(seed)

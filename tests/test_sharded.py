@@ -144,3 +144,46 @@ def test_launch_helpers_single_host():
 
     with pytest.raises(ValueError):
         launch.global_mesh(("k",), (3,))
+
+
+def test_sharded_filter_seq_equals_single_device():
+    # Savitzky-Golay smoothing on the sharded path == single-device path
+    # with the same injected noise (option parity: mppi.filter_seq).
+    from mppi_tf_tpu.controller.mppi import savgol_matrix
+
+    model, cost, sigma, lam, ups = _setup(tau=12)
+    k, tau = 64, 12
+    mesh = make_mesh()
+    S = savgol_matrix(tau, 9, 3)
+    _, sharded_with_noise = build_sharded_solve(
+        model, cost, k, tau, lam, ups, sigma, mesh, filter_mat=S,
+    )
+    ctrl = MPPI(model, cost, k=k, tau=tau, lam=lam, upsilon=ups, sigma=sigma,
+                filter_seq=True, filter_window=9, filter_polyorder=3)
+
+    rng = np.random.default_rng(7)
+    eps = jnp.asarray(rng.normal(size=(k, tau, 3)) * 0.3)
+    x0 = jnp.asarray(rng.normal(size=6))
+    useq = jnp.asarray(rng.normal(size=(tau, 3)) * 0.1)
+
+    a_s, u_s, _ = sharded_with_noise(
+        eps, x0, useq, ctrl.model_params, ctrl._cparams)
+    a_1, u_1, _ = ctrl._solve_with_noise_jit(
+        eps, x0, useq, ctrl.model_params, ctrl._cparams)
+    np.testing.assert_allclose(a_s, a_1, rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(u_s, u_1, rtol=1e-10, atol=1e-14)
+
+
+def test_sharded_controller_filter_seq_closed_loop():
+    model, cost, sigma, lam, ups = _setup(tau=12)
+    mesh = make_mesh()
+    ctrl = ShardedMPPI(model, cost, mesh, k=64, tau=12, lam=lam,
+                       upsilon=ups, sigma=sigma, filter_seq=True,
+                       filter_window=9, filter_polyorder=3)
+    x = np.zeros(6)
+    p = ctrl.model_params if hasattr(ctrl, "model_params") else ctrl._mparams
+    for _ in range(10):
+        u = ctrl.next(x)
+        x = np.asarray(model.predict(p, jnp.asarray(x), jnp.asarray(u))
+                       ).reshape(-1)
+    assert np.isfinite(x).all()
