@@ -187,3 +187,25 @@ def test_sharded_controller_filter_seq_closed_loop():
         x = np.asarray(model.predict(p, jnp.asarray(x), jnp.asarray(u))
                        ).reshape(-1)
     assert np.isfinite(x).all()
+
+
+def test_get_controller_mesh_dispatch():
+    # the factory returns a mesh-sharded controller when given a mesh
+    from mppi_tf_tpu.controller import get_controller
+
+    model, cost, sigma, lam, ups = _setup()
+    mesh = make_mesh()
+    cfg = {"samples": 64, "horizon": 8, "lambda": lam, "upsilon": ups,
+           "noise": sigma.tolist()}
+    ctrl = get_controller(model, cost, cfg, mesh=mesh)
+    assert isinstance(ctrl, ShardedMPPI)  # CPU backend: XLA sharded path
+    u = ctrl.next(np.zeros(6))
+    assert u.shape == (3,)
+
+    # filter/antithetic/normalize options pass through
+    cfg2 = dict(cfg, filter=True, antithetic=True, normalize=True,
+                horizon=12)
+    ctrl2 = get_controller(model, cost, cfg2, mesh=mesh)
+    assert isinstance(ctrl2, ShardedMPPI)
+    u2 = ctrl2.next(np.zeros(6))
+    assert np.isfinite(u2).all()
