@@ -55,7 +55,8 @@ def main():
     # point_mass (BASELINE workload, default) or auv (rexrov2 + static_quat)
     WORKLOAD = os.environ.get("BENCH_WORKLOAD", "point_mass")
     K = int(os.environ.get("BENCH_K",
-                           100_000 if WORKLOAD == "point_mass" else 65_536))
+                           {"point_mass": 100_000, "nn": 16_384}.get(
+                               WORKLOAD, 65_536)))
     TAU = int(os.environ.get("BENCH_TAU",
                              50 if WORKLOAD == "point_mass" else 25))
     CHAIN = int(os.environ.get("BENCH_CHAIN", 2000))
@@ -81,6 +82,24 @@ def main():
         )
         lam = 0.8
         state0 = np.zeros(6)
+    elif WORKLOAD == "nn":
+        # learned-dynamics workload: NNAUVModel 3x32 MLP, static_quat cost
+        # (the MBRL sampling hot path; no fused kernel — XLA MXU path,
+        # bf16 matmuls with f32 accumulation)
+        import jax.numpy as _jnp
+
+        import __graft_entry__ as g
+
+        sigma = np.diag([1500.0] * 6)
+        model = get_model({"type": "auv_nn"}, dt=0.1, action_dim=6,
+                          compute_dtype=_jnp.bfloat16)
+        cost = get_cost(g._auv_task(), lam=0.5, gamma=0.2, upsilon=1.0,
+                        sigma=sigma)
+        lam = 0.5
+        state0 = np.zeros(13)
+        state0[6] = 1.0
+        if KERNEL == "pallas":
+            KERNEL = "xla"  # no fused kernel for NN dynamics (by design)
     else:
         import __graft_entry__ as g
 
@@ -216,7 +235,8 @@ def main():
         lat.append(time.perf_counter() - t0)
     dispatch_p50 = float(np.median(lat))
 
-    wname = "point_mass3d" if WORKLOAD == "point_mass" else "auv_rexrov2"
+    wname = {"point_mass": "point_mass3d", "nn": "auv_nn_mlp"}.get(
+        WORKLOAD, "auv_rexrov2")
     p50_ms = per_solve * 1e3
     result = {
         "metric": f"p50_replan_latency_ms@K={K},H={TAU},{wname},{backend}",

@@ -55,12 +55,13 @@ def get_model(model_dict, dt=0.1, state_dim=2, action_dim=1, name=None,
     if mtype == "auv_nn":
         from .nn import NNAUVModel
 
-        return NNAUVModel(dt=dt, name=name or "auv_nn_model", dtype=dtype,
-                          **kwargs)
+        return NNAUVModel(action_dim=action_dim if action_dim else 6, dt=dt,
+                          name=name or "auv_nn_model", dtype=dtype, **kwargs)
     if mtype == "auv_nn_speed":
         from .nn import NNAUVModelSpeed
 
-        return NNAUVModelSpeed(dt=dt, name=name or "auv_nn_speed_model",
+        return NNAUVModelSpeed(action_dim=action_dim if action_dim else 6,
+                               dt=dt, name=name or "auv_nn_speed_model",
                                dtype=dtype, **kwargs)
     raise ValueError(f"unknown model type: {mtype!r}")
 

@@ -677,3 +677,73 @@ def test_nnauv_speed_prepare_training_data_matches_reference(ref_nn, ours):
                                    atol=1e-12)
         np.testing.assert_allclose(np.asarray(Yg), Yw.numpy(), rtol=1e-12,
                                    atol=1e-12)
+
+
+def test_full_nn_solve_matches_reference(ref, ref_nn, ours):
+    """End-to-end MBRL hot path oracle: the complete solve (rollout through
+    the LEARNED NNAUVModel dynamics + StaticQuatCost, softmax update) with
+    one injected noise realisation matches the reference
+    ControllerBase.build_model/update composition (controller_base.py:371-498)
+    with identical network weights."""
+    from src.costs.static_cost import StaticQuatCost as RefSQ
+
+    import jax.numpy as jnp
+
+    from mppi_tf_tpu.costs.static import StaticQuatCost
+    from mppi_tf_tpu.models.nn import NNAUVModel
+
+    k, tau, sdim, adim = 32, 5, 13, 6
+    lam, gamma, ups = 0.6, 0.3, 1.2
+    sig6 = np.diag([0.25, 0.3, 0.2, 0.1, 0.15, 0.12])
+    goal = np.zeros(13)
+    goal[2] = -2.0
+    goal[6] = 1.0
+    Qd = np.array([10.0, 10.0, 10.0, 2.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0])
+
+    rng = np.random.RandomState(23)
+    xm, xs = rng.randn(16), 0.5 + rng.rand(16)
+    ym, ys = 0.01 * rng.randn(13), 0.02 + 0.02 * rng.rand(13)
+
+    our_model = NNAUVModel(action_dim=adim, dtype=jnp.float64)
+    p = our_model.init_params()
+    p = our_model.set_normalization(p, xm, xs, ym, ys)
+    our_cost = StaticQuatCost(lam, gamma, ups, sig6, goal, Qd, diag=True,
+                              dtype=jnp.float64)
+
+    ref_model = ref_nn.NNAUVModel({})
+    ref_model.set_Xmean_Xstd(xm, xs)
+    ref_model.set_Ymean_Ystd(ym, ys)
+    _inject_weights(ref_model, p)
+    ref_cost = RefSQ(lam, gamma, ups, sig6, goal.reshape(-1, 1), Qd,
+                     diag=True)
+
+    x0 = np.zeros(sdim)
+    x0[6] = 1.0
+    x0[2] = -0.5
+    useq = 0.05 * rng.randn(tau, adim)
+    eps = np.einsum("ij,ktj->kti", ups * sig6, rng.randn(k, tau, adim))
+
+    ctrl = ref.ControllerBase(
+        ref_model, ref_cost, k=k, tau=tau, sDim=sdim, aDim=adim, lam=lam,
+        upsilon=ups, sigma=sig6, initSeq=useq.reshape(tau, adim, 1))
+    costs_ref = ctrl.build_model(
+        "roll", k, tf.constant(x0.reshape(sdim, 1), tf.float64),
+        tf.constant(eps.reshape(k, tau, adim, 1), tf.float64),
+        tf.constant(useq.reshape(tau, adim, 1), tf.float64)).numpy()
+    update_ref = ctrl.update(
+        "up", tf.constant(costs_ref),
+        tf.constant(eps.reshape(k, tau, adim, 1), tf.float64)).numpy()
+
+    mppi = ours.MPPI(our_model, our_cost, k=k, tau=tau, lam=lam,
+                     upsilon=ups, sigma=sig6)
+    mppi.model_params = p
+    costs_our = np.asarray(mppi._rollout(
+        jnp.asarray(x0), jnp.asarray(useq), jnp.asarray(eps), p,
+        mppi._cparams))
+    np.testing.assert_allclose(costs_our, costs_ref.reshape(k), rtol=1e-8)
+
+    _, new_useq, _ = mppi._solve_with_noise_jit(
+        jnp.asarray(eps), jnp.asarray(x0), jnp.asarray(useq), p,
+        mppi._cparams)
+    np.testing.assert_allclose(np.asarray(new_useq)[:-1],
+                               update_ref[1:, :, 0], rtol=1e-6, atol=1e-9)
