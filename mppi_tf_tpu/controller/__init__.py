@@ -34,6 +34,9 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
         tau = kwargs["tau"]
         ia = np.asarray(config_dict["init-act"], dtype=np.float64).reshape(1, -1)
         kwargs["init_seq"] = np.tile(ia, (tau, 1))
+    # an attached observer implies the full per-sample metrics catalogue
+    # (observer_base.py:101-187) unless explicitly overridden
+    kwargs["log"] = observer is not None
     kwargs.update(overrides)
     if mesh is not None:
         import jax.numpy as jnp

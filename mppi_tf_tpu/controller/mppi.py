@@ -270,6 +270,7 @@ class MPPI:
                 weights=upd.weights(e, n),
                 nabla=n,
                 arg=arg,
+                noise=eps,
             )
         return action, shifted, info
 

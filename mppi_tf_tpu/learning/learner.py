@@ -134,7 +134,13 @@ class Learner:
     def train_all(self, learning_rate: Optional[float] = None,
                   batch_size: Optional[int] = None,
                   epoch: Optional[int] = None, val=None, augment=True):
-        """Full-buffer training. Reference: learner_base.py:146-153."""
+        """Full-buffer training. Reference: learner_base.py:146-153.
+
+        ``batch_size`` is accepted for signature parity but unused — the
+        reference trains full-batch too (its batchSize is plumbed through
+        grid_search as the sentinel -1 and never consumed by train(),
+        learner_base.py:92, 324-335).
+        """
         lr = learning_rate or self.learning_rate
         epochs = epoch or self.num_epochs
         data = self.rb_trans()

@@ -111,7 +111,7 @@ class Observer:
                     k = np.asarray(info["sample_costs"]).shape[0]
                     self.scalar("Controller/nabla_percent",
                                 100.0 * float(np.asarray(info["nabla"])) / k)
-            for key in ("sample_costs", "weights", "arg"):
+            for key in ("sample_costs", "weights", "arg", "noise"):
                 if key in info:
                     self.histogram(f"Controller/{key}", info[key])
             if "weighted_noise" in info:

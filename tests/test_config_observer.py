@@ -131,12 +131,14 @@ class TestObserver:
             "nabla": 5.0, "sample_costs": np.ones(10),
             "weights": np.full(10, 0.1), "arg": np.zeros(10),
             "weighted_noise": np.zeros((4, 2)),
+            "noise": np.zeros((10, 4, 2)),
         }
         obs.write_control(state=np.zeros(6), action=np.ones(3), info=info)
         obs.close()
         text = open(os.path.join(obs.get_logdir(), "metrics.jsonl")).read()
         assert "Cost/cost_min" in text
         assert "Controller/nabla_percent" in text
+        assert "Controller/noise" in text
         assert "Input/axis_2" in text
 
     def test_write_predict_quaternion_decomposition(self, tmp_path):
