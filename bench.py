@@ -86,13 +86,11 @@ def main():
         # learned-dynamics workload: NNAUVModel 3x32 MLP, static_quat cost
         # (the MBRL sampling hot path; no fused kernel — XLA MXU path,
         # bf16 matmuls with f32 accumulation)
-        import jax.numpy as _jnp
-
         import __graft_entry__ as g
 
         sigma = np.diag([1500.0] * 6)
         model = get_model({"type": "auv_nn"}, dt=0.1, action_dim=6,
-                          compute_dtype=_jnp.bfloat16)
+                          compute_dtype=jnp.bfloat16)
         cost = get_cost(g._auv_task(), lam=0.5, gamma=0.2, upsilon=1.0,
                         sigma=sigma)
         lam = 0.5

@@ -39,33 +39,46 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
     kwargs["log"] = observer is not None
     kwargs.update(overrides)
     if mesh is not None:
+        import jax
         import jax.numpy as jnp
 
         from ..parallel.fused import ShardedFusedMPPI
         from ..parallel.sharded import ShardedMPPI
 
         kernel = kwargs.pop("kernel", "auto")
-        kwargs.pop("init_seq", None)  # sharded controllers start from zeros
-        base = dict(k=kwargs["k"], tau=kwargs["tau"], lam=kwargs["lam"],
-                    upsilon=kwargs["upsilon"], sigma=kwargs["sigma"])
+        kwargs.pop("log", None)  # sharded info is the collective-reduced set
+        base = dict(k=kwargs.pop("k"), tau=kwargs.pop("tau"),
+                    lam=kwargs.pop("lam"), upsilon=kwargs.pop("upsilon"),
+                    sigma=kwargs.pop("sigma"), observer=observer,
+                    init_seq=kwargs.pop("init_seq", None),
+                    seed=kwargs.pop("seed", 0))
         # the fused kernels are f32, draw i.i.d. in-kernel noise, and do the
         # beta-softmax in one pass — same eligibility rules as MPPI(kernel=)
-        import jax
-
-        fused_ok = (not kwargs.get("normalize_cost")
-                    and not kwargs.get("antithetic")
-                    and not kwargs.get("filter_seq")
-                    and jnp.dtype(model.dtype) == jnp.float32
-                    and jax.default_backend() == "tpu")
-        if kernel == "pallas" or (kernel == "auto" and fused_ok):
+        blockers = [opt for opt in ("normalize_cost", "antithetic",
+                                    "filter_seq", "clip_actions")
+                    if kwargs.get(opt)]
+        if jnp.dtype(model.dtype) != jnp.float32:
+            blockers.append(f"dtype={jnp.dtype(model.dtype).name} "
+                            "(kernel is f32)")
+        on_tpu = jax.default_backend() == "tpu"
+        if kernel == "pallas" or (kernel == "auto" and not blockers
+                                  and on_tpu):
+            if kernel == "pallas" and blockers:
+                raise TypeError(
+                    f"kernel='pallas' does not support {blockers}")
             try:
-                return ShardedFusedMPPI(model, cost, mesh, **base)
+                return ShardedFusedMPPI(model, cost, mesh,
+                                        interpret=not on_tpu, **base)
             except TypeError:
                 if kernel == "pallas":
                     raise
-        return ShardedMPPI(model, cost, mesh,
-                           normalize_cost=kwargs.get("normalize_cost", False),
-                           antithetic=kwargs.get("antithetic", False),
-                           filter_seq=kwargs.get("filter_seq", False),
-                           **base)
+        return ShardedMPPI(
+            model, cost, mesh,
+            normalize_cost=kwargs.pop("normalize_cost", False),
+            antithetic=kwargs.pop("antithetic", False),
+            filter_seq=kwargs.pop("filter_seq", False),
+            filter_window=kwargs.pop("filter_window", 9),
+            filter_polyorder=kwargs.pop("filter_polyorder", 3),
+            clip_actions=kwargs.pop("clip_actions", False),
+            **base, **kwargs)
     return MPPI(model, cost, observer=observer, **kwargs)

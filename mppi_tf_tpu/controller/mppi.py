@@ -270,7 +270,10 @@ class MPPI:
                 weights=upd.weights(e, n),
                 nabla=n,
                 arg=arg,
-                noise=eps,
+                # histogram fidelity only needs a sample; the full
+                # [K, tau, aDim] tensor would ship ~60 MB/step to the host
+                # at the README workload
+                noise=eps[:512],
             )
         return action, shifted, info
 

@@ -4,7 +4,7 @@ from .point_mass import PointMassModel
 __all__ = ["ModelBase", "PointMassModel", "get_model"]
 
 
-def get_model(model_dict, dt=0.1, state_dim=2, action_dim=1, name=None,
+def get_model(model_dict, dt=0.1, state_dim=2, action_dim=None, name=None,
               dtype=None, **kwargs):
     """Type-dispatch model factory.
 
@@ -12,6 +12,9 @@ def get_model(model_dict, dt=0.1, state_dim=2, action_dim=1, name=None,
     ``type`` field over point_mass / auv / neural_net / auv_nn / auv_nn_speed.
     The reference factory at HEAD is stale (undefined limMax/limMin, wrong
     kwarg names, SURVEY.md §1 caveat); this implements the intended API.
+
+    ``action_dim=None`` keeps each family's own default (1 for point-mass /
+    generic NN, 6 for the AUV families).
     """
     import jax.numpy as jnp
 
@@ -23,7 +26,7 @@ def get_model(model_dict, dt=0.1, state_dim=2, action_dim=1, name=None,
             mass=model_dict.get("mass", 1.0),
             dt=dt,
             state_dim=state_dim,
-            action_dim=action_dim,
+            action_dim=action_dim if action_dim else 1,
             act_max=model_dict.get("limMax"),
             act_min=model_dict.get("limMin"),
             name=name or "point_mass",
@@ -46,7 +49,7 @@ def get_model(model_dict, dt=0.1, state_dim=2, action_dim=1, name=None,
 
         return NNModel(
             state_dim=state_dim,
-            action_dim=action_dim,
+            action_dim=action_dim if action_dim else 1,
             dt=dt,
             name=name or "nn_model",
             dtype=dtype,

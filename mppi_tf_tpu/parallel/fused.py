@@ -111,7 +111,7 @@ class ShardedFusedMPPI:
     def __init__(self, model, cost, mesh: Mesh, k: int, tau: int,
                  lam: float, upsilon: float, sigma, tile: int = 8192,
                  seed: int = 0, axis: str = SAMPLE_AXIS,
-                 interpret: bool = False):
+                 interpret: bool = False, observer=None, init_seq=None):
         from ..kernels.auv_mppi import FusedAUVMPPI
         from ..kernels.pm_mppi import FusedPointMassMPPI
 
@@ -139,10 +139,17 @@ class ShardedFusedMPPI:
         self._base_seed = int(seed)
         self._dtype = model.dtype
         self._cost = cost
-        self._useq = jnp.zeros((tau, model.get_action_dim()),
-                               dtype=self._dtype)
+        adim = model.get_action_dim()
+        if init_seq is not None:
+            self._useq = jnp.asarray(
+                np.asarray(init_seq, np.float64).reshape(tau, adim),
+                dtype=self._dtype)
+        else:
+            self._useq = jnp.zeros((tau, adim), dtype=self._dtype)
         self._mparams = model.init_params()
         self._cparams = cost.init_params()
+        self._model = model
+        self._observer = observer
         self._steps = 0
         self._timing = {"total": 0.0, "calls": 0}
 
@@ -151,13 +158,31 @@ class ShardedFusedMPPI:
                             dtype=self._dtype)
         start = time.perf_counter()
         seed = np.int32(self._base_seed + self._steps * self._seed_stride)
-        action, self._useq, _info = self._solve(
+        action, self._useq, info = self._solve(
             seed, state, self._useq, self._mparams, self._cparams)
         out = np.asarray(action)
         self._timing["total"] += time.perf_counter() - start
         self._timing["calls"] += 1
         self._steps += 1
+        if self._observer is not None:
+            self._observer.write_control(state=state, action=out, info=info)
         return out
+
+    def save(self, x, u, x_next):
+        """One-step prediction-error logging (mirrors MPPI.save)."""
+        if self._observer is None:
+            return
+        x = jnp.asarray(np.asarray(x, np.float64).reshape(-1),
+                        dtype=self._dtype)
+        u = jnp.asarray(np.asarray(u, np.float64).reshape(-1),
+                        dtype=self._dtype)
+        pred = self._model.predict(self._mparams, x, u)
+        self._observer.write_predict(
+            x=x, u=u,
+            x_next=jnp.asarray(np.asarray(x_next, np.float64).reshape(-1),
+                               dtype=self._dtype),
+            pred=pred, cost=self._cost, cparams=self._cparams)
+        self._observer.advance()
 
     def set_goal(self, goal):
         self._cparams = self._cost.set_goal(self._cparams, goal)

@@ -172,6 +172,8 @@ class ShardedMPPI:
         filter_seq: bool = False,
         filter_window: int = 9,
         filter_polyorder: int = 3,
+        observer=None,
+        init_seq=None,
     ):
         if sigma is None:
             raise ValueError("sigma (noise scale matrix) is required")
@@ -192,10 +194,16 @@ class ShardedMPPI:
             normalize_cost=normalize_cost, clip_actions=clip_actions,
             axis=axis, antithetic=antithetic, filter_mat=filter_mat,
         )
-        self._useq = jnp.zeros((tau, self._adim), dtype=self._dtype)
+        if init_seq is not None:
+            self._useq = jnp.asarray(
+                np.asarray(init_seq, np.float64).reshape(tau, self._adim),
+                dtype=self._dtype)
+        else:
+            self._useq = jnp.zeros((tau, self._adim), dtype=self._dtype)
         self._key = jax.random.PRNGKey(seed)
         self._mparams = model.init_params()
         self._cparams = cost.init_params()
+        self._observer = observer
         self._timing = {"total": 0.0, "calls": 0}
 
     def next(self, state) -> np.ndarray:
@@ -203,13 +211,31 @@ class ShardedMPPI:
                             dtype=self._dtype)
         start = time.perf_counter()
         self._key, sub = jax.random.split(self._key)
-        action, self._useq, _info = self._solve(
+        action, self._useq, info = self._solve(
             sub, state, self._useq, self._mparams, self._cparams
         )
         out = np.asarray(action)
         self._timing["total"] += time.perf_counter() - start
         self._timing["calls"] += 1
+        if self._observer is not None:
+            self._observer.write_control(state=state, action=out, info=info)
         return out
+
+    def save(self, x, u, x_next):
+        """One-step prediction-error logging (mirrors MPPI.save)."""
+        if self._observer is None:
+            return
+        x = jnp.asarray(np.asarray(x, np.float64).reshape(-1),
+                        dtype=self._dtype)
+        u = jnp.asarray(np.asarray(u, np.float64).reshape(-1),
+                        dtype=self._dtype)
+        pred = self._model.predict(self._mparams, x, u)
+        self._observer.write_predict(
+            x=x, u=u,
+            x_next=jnp.asarray(np.asarray(x_next, np.float64).reshape(-1),
+                               dtype=self._dtype),
+            pred=pred, cost=self._cost, cparams=self._cparams)
+        self._observer.advance()
 
     def set_goal(self, goal):
         self._cparams = self._cost.set_goal(self._cparams, goal)

@@ -500,13 +500,9 @@ def test_nn_mlp_forward_matches_reference(ref_nn, ours):
     with identical weights."""
     import jax.numpy as jnp
 
-    from mppi_tf_tpu.models.nn import NNModel
-
     sdim, adim = 6, 3
-    our = NNModel(state_dim=sdim, action_dim=adim, dtype=jnp.float64)
-    p = our.init_params()
     # reference generic NNModel input is stateDim+actionDim-3 wide
-    # (nn_model.py:56); build ours to the same width for the forward check
+    # (nn_model.py:56); build the layers to the same width for the check
     ref_model = ref_nn.NNModel({}, stateDim=sdim, actionDim=adim)
     rng = np.random.RandomState(5)
     width = sdim + adim - 3

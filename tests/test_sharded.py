@@ -209,3 +209,44 @@ def test_get_controller_mesh_dispatch():
     assert isinstance(ctrl2, ShardedMPPI)
     u2 = ctrl2.next(np.zeros(6))
     assert np.isfinite(u2).all()
+
+
+def test_get_controller_mesh_forwards_options(tmp_path):
+    # observer/seed/init-act reach the sharded controller; explicit pallas
+    # with incompatible options fails loudly
+    import pytest
+
+    from mppi_tf_tpu.controller import get_controller
+    from mppi_tf_tpu.observer import Observer
+
+    model, cost, sigma, lam, ups = _setup()
+    mesh = make_mesh()
+    cfg = {"samples": 64, "horizon": 8, "lambda": lam, "upsilon": ups,
+           "noise": sigma.tolist(), "init-act": [0.5, 0.0, -0.5]}
+    obs = Observer(log_path=str(tmp_path), use_tensorboard=False)
+    ctrl = get_controller(model, cost, cfg, observer=obs, mesh=mesh, seed=7)
+    np.testing.assert_allclose(np.asarray(ctrl.useq),
+                               np.tile([0.5, 0.0, -0.5], (8, 1)))
+    x = np.zeros(6)
+    u = ctrl.next(x)
+    ctrl.save(x, u, x)
+    obs.close()
+    import os
+    text = open(os.path.join(obs.get_logdir(), "metrics.jsonl")).read()
+    assert "Cost/cost_min" in text   # write_control reached the observer
+    assert "Predict/" in text        # save() logged prediction error
+
+    with pytest.raises(TypeError, match="pallas"):
+        get_controller(model, cost, dict(cfg, kernel="pallas",
+                                         normalize=True), mesh=mesh)
+
+
+def test_get_model_auv_nn_default_action_dim():
+    from mppi_tf_tpu.models import get_model
+
+    m = get_model({"type": "auv_nn"}, dt=0.1)
+    assert m.get_action_dim() == 6
+    m2 = get_model({"type": "auv_nn_speed"}, dt=0.1)
+    assert m2.get_action_dim() == 6
+    m3 = get_model({"type": "point_mass"}, dt=0.1, state_dim=2)
+    assert m3.get_action_dim() == 1
