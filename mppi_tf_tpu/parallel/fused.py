@@ -187,6 +187,24 @@ class ShardedFusedMPPI:
     def set_goal(self, goal):
         self._cparams = self._cost.set_goal(self._cparams, goal)
 
+    def save_state(self, path: str):
+        """Checkpoint the mutable controller state (mirrors MPPI.save_state;
+        the PRNG position is the deterministic step counter)."""
+        np.savez(path, useq=np.asarray(self._useq), steps=self._steps,
+                 timing_total=self._timing["total"],
+                 timing_calls=self._timing["calls"])
+
+    def load_state(self, path: str):
+        d = np.load(path)
+        if d["useq"].shape != tuple(self._useq.shape):
+            raise ValueError(
+                f"checkpoint useq {d['useq'].shape} != controller "
+                f"{tuple(self._useq.shape)}")
+        self._useq = jnp.asarray(d["useq"], dtype=self._dtype)
+        self._steps = int(d["steps"])
+        self._timing = {"total": float(d["timing_total"]),
+                        "calls": int(d["timing_calls"])}
+
     @property
     def useq(self):
         return self._useq

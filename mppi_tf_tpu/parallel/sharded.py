@@ -240,6 +240,25 @@ class ShardedMPPI:
     def set_goal(self, goal):
         self._cparams = self._cost.set_goal(self._cparams, goal)
 
+    def save_state(self, path: str):
+        """Checkpoint the mutable controller state (mirrors MPPI.save_state;
+        SURVEY.md §5.4 — the reference has no controller-state checkpoint)."""
+        np.savez(path, useq=np.asarray(self._useq),
+                 key=np.asarray(self._key),
+                 timing_total=self._timing["total"],
+                 timing_calls=self._timing["calls"])
+
+    def load_state(self, path: str):
+        d = np.load(path)
+        if d["useq"].shape != tuple(self._useq.shape):
+            raise ValueError(
+                f"checkpoint useq {d['useq'].shape} != controller "
+                f"{tuple(self._useq.shape)}")
+        self._useq = jnp.asarray(d["useq"], dtype=self._dtype)
+        self._key = jnp.asarray(d["key"], dtype=self._key.dtype)
+        self._timing = {"total": float(d["timing_total"]),
+                        "calls": int(d["timing_calls"])}
+
     @property
     def useq(self):
         return self._useq

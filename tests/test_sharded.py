@@ -250,3 +250,32 @@ def test_get_model_auv_nn_default_action_dim():
     assert m2.get_action_dim() == 6
     m3 = get_model({"type": "point_mass"}, dt=0.1, state_dim=2)
     assert m3.get_action_dim() == 1
+
+
+def test_sharded_save_load_resume_bit_exact(tmp_path):
+    # §5.4 checkpoint/resume for the scale-out controller: resuming from a
+    # checkpoint reproduces the uninterrupted run exactly
+    model, cost, sigma, lam, ups = _setup()
+    mesh = make_mesh()
+
+    def make():
+        return ShardedMPPI(model, cost, mesh, k=64, tau=8, lam=lam,
+                           upsilon=ups, sigma=sigma, seed=3)
+
+    a = make()
+    for _ in range(4):
+        a.next(np.zeros(6))
+    ckpt = str(tmp_path / "sharded.npz")
+    a.save_state(ckpt)
+    cont_a = [a.next(np.zeros(6)) for _ in range(3)]
+
+    b = make()
+    b.load_state(ckpt)
+    cont_b = [b.next(np.zeros(6)) for _ in range(3)]
+    np.testing.assert_array_equal(np.asarray(cont_a), np.asarray(cont_b))
+
+    c = ShardedMPPI(model, cost, mesh, k=64, tau=12, lam=lam,
+                    upsilon=ups, sigma=sigma)
+    import pytest
+    with pytest.raises(ValueError):
+        c.load_state(ckpt)
