@@ -91,6 +91,11 @@ class StaticQuatCost(CostBase):
         goal = jnp.asarray(goal, dtype=self._dtype).reshape(-1)
         return {**cp, "goal": goal}
 
+    def draw_goal(self, cp):
+        """Plot anchor (x, y). Reference: static_cost.py:141-143."""
+        goal = cp["goal"]
+        return float(goal[0]), float(goal[1])
+
     def dist(self, cp, state: jax.Array) -> jax.Array:
         """10-dim error vector [pos, angle, vel]. Reference: static_cost.py:145-159."""
         goal = cp["goal"]
