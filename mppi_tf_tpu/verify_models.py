@@ -70,8 +70,24 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    seq = np.load(args.seq)["actions"]
-    gt = np.load(args.gt)["traj"]
+    def _load_array(path, key):
+        """Accept a plain .npy array or an .npz archive (named ``key``,
+        else its sole array) — fail with the available keys otherwise."""
+        data = np.load(path)
+        if isinstance(data, np.ndarray):
+            return data
+        if key in data:
+            return data[key]
+        if len(data.files) == 1:
+            return data[data.files[0]]
+        raise KeyError(
+            f"{path}: expected array {key!r} (or a single-array archive); "
+            f"found keys {data.files}")
+
+    seq = _load_array(args.seq, "actions")
+    gt = _load_array(args.gt, "traj")
+    seq = np.asarray(seq, np.float64).reshape(-1, seq.shape[-1])
+    gt = np.asarray(gt, np.float64).reshape(-1, gt.shape[-1])
     tau, adim = seq.shape
     sdim = gt.shape[1]
 
