@@ -164,7 +164,8 @@ def main():
         # honour an explicit BENCH_KERNEL even off-TPU (pallas -> interpret
         # mode, for debugging); MPPI rejects genuinely unsupported combos
         ctrl = MPPI(model, cost, k=K, tau=TAU, lam=lam, upsilon=1.0,
-                    sigma=sigma, kernel=KERNEL)
+                    sigma=sigma, kernel=KERNEL,
+                    kernel_tile=int(os.environ.get("BENCH_TILE", 8192)))
         mp, cp = ctrl.model_params, ctrl._cparams
 
         solve = ctrl._solve  # pure fn: (key, state, useq, mp, cp)

@@ -67,9 +67,11 @@ class MPPI:
             (controller_base.py:500-504);
         seed: PRNG seed for the per-solve noise keys.
         kernel: "xla" (default; lax.scan rollout fused by XLA) or "pallas"
-            (fused VMEM-resident Pallas kernel, PointMassModel+StaticCost
-            only — see kernels/pm_mppi.py). "auto" picks pallas when
-            supported.
+            (fused VMEM-resident Pallas kernel: PointMass x {Static,
+            Elipse2D} and AUV x {StaticQuat, Elipse3D} — see kernels/).
+            "auto" picks pallas when supported.
+        kernel_tile: samples per fused-kernel VMEM tile (default 8192,
+            measured optimal for the point-mass kernel at H=50).
         antithetic: draw k/2 noise sequences and mirror them (eps, -eps) —
             a variance-reduction option absent from the reference; XLA
             path only (the fused kernels draw i.i.d. in-kernel noise).
@@ -94,6 +96,7 @@ class MPPI:
         observer=None,
         log: bool = False,
         kernel: str = "xla",
+        kernel_tile: int = 8192,
         antithetic: bool = False,
     ):
         self._model = model
@@ -178,6 +181,7 @@ class MPPI:
                             model, cost, k=self._k, tau=self._tau,
                             lam=self._lam, upsilon=self._upsilon,
                             sigma=np.asarray(sigma, np.float64),
+                            tile=int(kernel_tile),
                             interpret=not on_tpu,
                         )
                         break
