@@ -45,6 +45,8 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
         from ..parallel.fused import ShardedFusedMPPI
         from ..parallel.sharded import ShardedMPPI
 
+        from ..kernels.errors import KernelUnsupportedError
+
         kernel = kwargs.pop("kernel", "auto")
         kwargs.pop("log", None)  # sharded info is the collective-reduced set
         base = dict(k=kwargs.pop("k"), tau=kwargs.pop("tau"),
@@ -52,11 +54,10 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
                     sigma=kwargs.pop("sigma"), observer=observer,
                     init_seq=kwargs.pop("init_seq", None),
                     seed=kwargs.pop("seed", 0))
-        # the fused kernels are f32, draw i.i.d. in-kernel noise, and do the
-        # beta-softmax in one pass — same eligibility rules as MPPI(kernel=)
-        blockers = [opt for opt in ("normalize_cost", "antithetic",
-                                    "filter_seq", "clip_actions")
-                    if kwargs.get(opt)]
+        # the fused kernels are f32 and draw i.i.d. in-kernel noise — same
+        # eligibility rules as MPPI(kernel=); normalize_cost/clip/filter are
+        # kernel-supported (pm_mppi/auv_mppi second-pass + merge)
+        blockers = [opt for opt in ("antithetic",) if kwargs.get(opt)]
         if jnp.dtype(model.dtype) != jnp.float32:
             blockers.append(f"dtype={jnp.dtype(model.dtype).name} "
                             "(kernel is f32)")
@@ -66,12 +67,30 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
             if kernel == "pallas" and blockers:
                 raise TypeError(
                     f"kernel='pallas' does not support {blockers}")
+            fused_kwargs = dict(base)
+            if "kernel_tile" in kwargs:
+                fused_kwargs["tile"] = int(kwargs["kernel_tile"])
+            for opt in ("normalize_cost", "clip_actions", "filter_seq",
+                        "filter_window", "filter_polyorder"):
+                if opt in kwargs:
+                    fused_kwargs[opt] = kwargs[opt]
             try:
-                return ShardedFusedMPPI(model, cost, mesh,
-                                        interpret=not on_tpu, **base)
-            except TypeError:
+                ctrl = ShardedFusedMPPI(model, cost, mesh,
+                                        interpret=not on_tpu, **fused_kwargs)
+                leftovers = {k_ for k_ in kwargs
+                             if k_ not in ("kernel_tile", "normalize_cost",
+                                           "clip_actions", "filter_seq",
+                                           "filter_window",
+                                           "filter_polyorder", "antithetic")}
+                if leftovers:
+                    raise TypeError(
+                        f"unknown controller option(s) {sorted(leftovers)} "
+                        "for the fused sharded path")
+                return ctrl
+            except KernelUnsupportedError:
                 if kernel == "pallas":
                     raise
+        kwargs.pop("kernel_tile", None)  # XLA path has no kernel tile
         return ShardedMPPI(
             model, cost, mesh,
             normalize_cost=kwargs.pop("normalize_cost", False),

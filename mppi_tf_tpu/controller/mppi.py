@@ -73,8 +73,9 @@ class MPPI:
         kernel_tile: samples per fused-kernel VMEM tile (default 8192,
             measured optimal for the point-mass kernel at H=50).
         antithetic: draw k/2 noise sequences and mirror them (eps, -eps) —
-            a variance-reduction option absent from the reference; XLA
-            path only (the fused kernels draw i.i.d. in-kernel noise).
+            a variance-reduction option absent from the reference. On the
+            fused path the kernels mirror lane pairs in-kernel
+            (kernels/pm_mppi._fill_noise).
     """
 
     def __init__(
@@ -155,16 +156,12 @@ class MPPI:
             # CPU interpret mode stubs pltpu.prng_* to zeros, so "auto" only
             # selects the fused path on real TPU; explicit "pallas" on CPU is
             # for interpret-mode debugging only.
-            # The fused kernels compute softmax(-(cost-beta)/lam) in one
-            # online pass — the (cost-beta)/max normalization variant needs
-            # a second global pass, and the kernels are f32: both fall back
-            # to the XLA path ("auto") or reject loudly ("pallas").
+            # normalize_cost runs as the two-phase kernel (costs -> weights,
+            # kernels/pm_mppi.py) and antithetic as in-kernel lane mirroring;
+            # the kernels are f32 only — other dtypes fall back to the XLA
+            # path ("auto") or reject loudly ("pallas").
             unsupported = None
-            if self._normalize_cost:
-                unsupported = "normalize_cost=True"
-            elif self._antithetic:
-                unsupported = "antithetic=True"
-            elif dtype != jnp.float32:
+            if dtype != jnp.float32:
                 unsupported = f"dtype={jnp.dtype(dtype).name} (kernel is f32)"
             if unsupported and kernel == "pallas":
                 raise TypeError(
@@ -172,6 +169,7 @@ class MPPI:
                     "use the XLA path")
             if not unsupported:
                 from ..kernels.auv_mppi import FusedAUVMPPI
+                from ..kernels.errors import KernelUnsupportedError
                 from ..kernels.pm_mppi import FusedPointMassMPPI
 
                 err = None
@@ -183,12 +181,13 @@ class MPPI:
                             sigma=np.asarray(sigma, np.float64),
                             tile=int(kernel_tile),
                             interpret=not on_tpu,
+                            antithetic=self._antithetic,
                         )
                         break
-                    except TypeError as e:
+                    except KernelUnsupportedError as e:
                         err = e
                 if self._fused is None and kernel == "pallas":
-                    raise TypeError(
+                    raise KernelUnsupportedError(
                         f"no fused kernel supports {type(model).__name__} + "
                         f"{type(cost).__name__}") from err
         self._base_seed = int(seed)
@@ -200,7 +199,8 @@ class MPPI:
 
     def _fused_step(self, seed, state, useq, mparams, cparams):
         """Pallas solve + XLA sequence update as one pure function."""
-        wnoise, info = self._fused.solve(seed, state, useq, mparams, cparams)
+        wnoise, info = self._fused.solve(seed, state, useq, mparams, cparams,
+                                         normalize=self._normalize_cost)
         new_useq = useq + wnoise.astype(useq.dtype)
         if self._clip_actions:
             new_useq = jnp.clip(new_useq, self._model.min_act(),

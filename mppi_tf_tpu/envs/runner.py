@@ -50,7 +50,13 @@ class ClosedLoopRunner:
                                     np.reshape(u, (-1, 1)),
                                     np.reshape(x_next, (-1, 1)))
                 if self.train_every and (step + 1) % self.train_every == 0:
+                    # refresh normalizers from the grown buffer first
+                    # (no-op for analytic models, which the Learner trains
+                    # through their physical parameters — VERDICT r1 item 2)
+                    self.learner.stats()
                     self.learner.train_all()
+                    # the controller rolls out with the learner's params
+                    self.controller.model_params = self.learner.params
             states.append(np.reshape(x, (-1,)).copy())
             actions.append(np.reshape(u, (-1,)).copy())
             x = x_next

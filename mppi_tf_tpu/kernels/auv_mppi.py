@@ -42,6 +42,8 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from .errors import KernelUnsupportedError
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -62,11 +64,8 @@ _SUB = 8          # sublanes per block
 _CH = 2           # steps per noise chunk (2 * 6 comps * 8 rows = 96)
 _SLOT_ROWS = 96   # rows per noise chunk
 
-
-def _bits_to_uniform(bits):
-    mantissa = bits >> 9
-    one_to_two = pltpu.bitcast(mantissa | jnp.uint32(0x3F800000), jnp.float32)
-    return one_to_two - 1.0
+# shared Box-Muller noise fill (+ antithetic lane mirroring) — see pm_mppi
+from .pm_mppi import _fill_noise
 
 
 def _acos(x):
@@ -97,14 +96,21 @@ class _Dyn:
         self.size = self.u_half + 1
 
 
-def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool):
+def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool,
+                 mode: str = "fused"):
     """Build the kernel body. ``mc`` is the compile-time constant dict:
     dt, rk, lin_damp/lin_damp_fwd/quad_damp (6x6 numpy), cog, cob,
     buoyancy (scalar rho*V*G), scale (6x6), Mz (6x6), Q (10x10),
-    lam, nc_half."""
+    lam, nc_half, antithetic.
+
+    ``mode`` as in pm_mppi._make_kernel: "fused" (one-pass online-softmax
+    solve), "costs" (phase A of the normalized solve: per-sample costs +
+    stats), "weights" (phase B: regenerated noise + bounded-exponent
+    normalized weights — see pm_mppi.py for the design notes)."""
     L = tile // _SUB
     n_chunks = (tau + _CH - 1) // _CH
     dyn = _Dyn(tau)
+    antithetic = bool(mc.get("antithetic", False))
     dt = float(mc["dt"])
     rk = int(mc["rk"])
     lam = float(mc["lam"])
@@ -123,18 +129,65 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool):
     else:  # "elipse3d": fixed plane-tracking parameters
         E3 = mc["elipse3d"]
 
+    if mode == "weights":
+        def wkernel(*refs):
+            if use_prng:
+                seed_ref, nrm_ref, costs_ref, s_ref, stats_ref, z_scr = refs
+            else:
+                seed_ref, nrm_ref, z_scr, costs_ref, s_ref, stats_ref = refs
+
+            pid = pl.program_id(0)
+
+            @pl.when(pid == 0)
+            def _init():
+                for i in range(tau * 6):
+                    s_ref[i] = 0.0
+                stats_ref[0] = 0.0
+                stats_ref[1] = 0.0   # normalizer l
+
+            if use_prng:
+                _fill_noise(z_scr, seed_ref, pid, n_chunks,
+                            _SLOT_ROWS // 2, L, antithetic)
+
+            def zrow(t, j):
+                c, d = divmod(t, _CH)
+                s = d * 6 + j
+                return z_scr[c, _SUB * s:_SUB * (s + 1), :]
+
+            beta = nrm_ref[0]
+            inv_dl = nrm_ref[1]      # 1 / (denom * lam)
+            cost = costs_ref[0]
+            sub_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 0)
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 1)
+            valid = (pid * tile + sub_i * L + lane_i) < k_total
+            w_arr = jnp.where(valid, jnp.exp(-(cost - beta) * inv_dl), 0.0)
+            stats_ref[1] = stats_ref[1] + jnp.sum(w_arr)
+            for t in range(tau):
+                for j in range(6):
+                    idx = t * 6 + j
+                    s_ref[idx] = s_ref[idx] + jnp.sum(w_arr * zrow(t, j))
+
+        return wkernel, n_chunks, dyn
+
     def kernel(*refs):
-        if use_prng:
-            seed_ref, dyn_ref, s_ref, stats_ref, z_scr = refs
-        else:
-            seed_ref, dyn_ref, z_scr, s_ref, stats_ref = refs
+        if mode == "fused":
+            if use_prng:
+                seed_ref, dyn_ref, s_ref, stats_ref, z_scr = refs
+            else:
+                seed_ref, dyn_ref, z_scr, s_ref, stats_ref = refs
+        else:  # "costs"
+            if use_prng:
+                seed_ref, dyn_ref, costs_ref, stats_ref, z_scr = refs
+            else:
+                seed_ref, dyn_ref, z_scr, costs_ref, stats_ref = refs
 
         pid = pl.program_id(0)
 
         @pl.when(pid == 0)
         def _init():
-            for i in range(tau * 6):
-                s_ref[i] = 0.0
+            if mode == "fused":
+                for i in range(tau * 6):
+                    s_ref[i] = 0.0
             stats_ref[0] = NEG_BIG
             stats_ref[1] = 0.0
             stats_ref[2] = -NEG_BIG
@@ -142,17 +195,8 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool):
             stats_ref[4] = 0.0
 
         if use_prng:
-            pltpu.prng_seed(seed_ref[0] + pid)
-            for c in range(n_chunks):
-                b1 = pltpu.bitcast(pltpu.prng_random_bits((48, L)),
-                                   jnp.uint32)
-                b2 = pltpu.bitcast(pltpu.prng_random_bits((48, L)),
-                                   jnp.uint32)
-                u1 = _bits_to_uniform(b1) + (2.0 ** -24)
-                theta = (2.0 * math.pi) * _bits_to_uniform(b2)
-                r = jnp.sqrt(-2.0 * jnp.log(u1))
-                z_scr[c] = jnp.concatenate(
-                    [r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
+            _fill_noise(z_scr, seed_ref, pid, n_chunks, _SLOT_ROWS // 2, L,
+                        antithetic)
 
         def zrow(t, j):
             """Standard normals for (step t, action dim j): (8, L)."""
@@ -410,28 +454,32 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool):
         # terminal
         acc_cost = acc_cost + state_cost(x) + d_(dyn.u_half)
 
-        # --- masked online softmax over the folded tile ---------------
         sub_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 0)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 1)
         valid = (pid * tile + sub_i * L + lane_i) < k_total
-        zarg = jnp.where(valid, -acc_cost / lam, NEG_BIG)
-        m_i = jnp.max(zarg)
-        w_arr = jnp.where(valid, jnp.exp(zarg - m_i), 0.0)
-        l_i = jnp.sum(w_arr)
 
-        m_old = stats_ref[0]
-        l_old = stats_ref[1]
-        m_new = jnp.maximum(m_old, m_i)
-        f_old = jnp.exp(m_old - m_new)
-        f_new = jnp.exp(m_i - m_new)
-        stats_ref[0] = m_new
-        stats_ref[1] = l_old * f_old + l_i * f_new
+        if mode == "fused":
+            # --- masked online softmax over the folded tile -----------
+            zarg = jnp.where(valid, -acc_cost / lam, NEG_BIG)
+            m_i = jnp.max(zarg)
+            w_arr = jnp.where(valid, jnp.exp(zarg - m_i), 0.0)
+            l_i = jnp.sum(w_arr)
 
-        for t in range(tau):
-            for j in range(6):
-                val = jnp.sum(w_arr * zrow(t, j))
-                idx = t * 6 + j
-                s_ref[idx] = s_ref[idx] * f_old + val * f_new
+            m_old = stats_ref[0]
+            l_old = stats_ref[1]
+            m_new = jnp.maximum(m_old, m_i)
+            f_old = jnp.exp(m_old - m_new)
+            f_new = jnp.exp(m_i - m_new)
+            stats_ref[0] = m_new
+            stats_ref[1] = l_old * f_old + l_i * f_new
+
+            for t in range(tau):
+                for j in range(6):
+                    val = jnp.sum(w_arr * zrow(t, j))
+                    idx = t * 6 + j
+                    s_ref[idx] = s_ref[idx] * f_old + val * f_new
+        else:  # "costs": per-sample costs out (phase A of normalized solve)
+            costs_ref[0] = acc_cost
 
         stats_ref[2] = jnp.minimum(
             stats_ref[2], jnp.min(jnp.where(valid, acc_cost, -NEG_BIG)))
@@ -481,22 +529,27 @@ class FusedAUVMPPI:
 
     def __init__(self, model, cost, k: int, tau: int, lam: float,
                  upsilon: float, sigma, tile: int = 8192,
-                 interpret: bool = False):
+                 interpret: bool = False, antithetic: bool = False):
         from ..costs.elipse import ElipseCost3D
         from ..costs.static import StaticQuatCost
         from ..models.auv import AUVModel
 
         if not isinstance(model, AUVModel):
-            raise TypeError("fused AUV kernel supports AUVModel only")
+            raise KernelUnsupportedError(
+                "fused AUV kernel supports AUVModel only")
         if type(cost) is StaticQuatCost:
             cost_kind = "static_quat"
         elif type(cost) is ElipseCost3D:
             cost_kind = "elipse3d"
         else:
-            raise TypeError("fused AUV kernel supports StaticQuatCost or "
-                            "ElipseCost3D only")
+            raise KernelUnsupportedError(
+                "fused AUV kernel supports StaticQuatCost or "
+                "ElipseCost3D only")
         if tile % _SUB:
             raise ValueError("tile must be a multiple of 8")
+        if antithetic and (tile // _SUB) % 2:
+            raise ValueError("antithetic pairing needs an even lane count "
+                             "(tile multiple of 16)")
         self.model = model
         self.cost = cost
         self.k = int(k)
@@ -506,6 +559,7 @@ class FusedAUVMPPI:
         self.upsilon = float(upsilon)
         self.tile = int(tile)
         self.interpret = bool(interpret)
+        self.antithetic = bool(antithetic)
         self.adim = 6
         self.sdim = 13
         sigma = np.asarray(sigma, np.float64)
@@ -515,6 +569,7 @@ class FusedAUVMPPI:
         self._mc = {
             "dt": model.dt, "rk": model._rk, "lam": self.lam,
             "nc_half": nc_half,
+            "antithetic": self.antithetic,
             "lin_damp": np.asarray(model.lin_damp, np.float64),
             "lin_damp_fwd": np.asarray(model.lin_damp_fwd, np.float64),
             "quad_damp": np.asarray(model.quad_damp, np.float64),
@@ -583,11 +638,47 @@ class FusedAUVMPPI:
         return out
 
     def solve(self, seed, x0, useq, mparams, cparams, z=None,
-              use_prng: bool = True, return_raw: bool = False):
+              use_prng: bool = True, return_raw: bool = False,
+              normalize: bool = False):
+        """One MPPI solve; ``normalize`` runs the two-phase normalized
+        variant (see pm_mppi.FusedPointMassMPPI.solve)."""
         dyn_arr = self.pack_dyn(mparams, cparams, x0, useq)
-        return _fused_auv_call(
-            seed, dyn_arr, z, fused=self, use_prng=use_prng,
-            return_raw=return_raw)
+        if not normalize:
+            return _fused_auv_call(
+                seed, dyn_arr, z, fused=self, use_prng=use_prng,
+                return_raw=return_raw)
+        costs, stats = _fused_auv_costs(seed, dyn_arr, z, fused=self,
+                                        use_prng=use_prng)
+        beta, cmax = stats[2], stats[3]
+        if return_raw:
+            return {"costs": costs, "beta": beta, "cmax": cmax,
+                    "cost_sum": stats[4]}
+        zsum, l = self.weights_phase(seed, costs, beta, cmax, z=z,
+                                     use_prng=use_prng)
+        scale = jnp.asarray(self._scale, jnp.float32)
+        wnoise = (zsum @ scale.T) / l
+        info = {"cost_min": beta, "cost_max": cmax,
+                "cost_mean": stats[4] / self.k, "nabla": l}
+        return wnoise, info
+
+    def costs_phase(self, seed, x0, useq, mparams, cparams, z=None,
+                    use_prng: bool = True):
+        """Phase A of the normalized solve: per-sample costs + stats."""
+        dyn_arr = self.pack_dyn(mparams, cparams, x0, useq)
+        costs, stats = _fused_auv_costs(seed, dyn_arr, z, fused=self,
+                                        use_prng=use_prng)
+        return costs, {"cost_min": stats[2], "cost_max": stats[3],
+                       "cost_sum": stats[4]}
+
+    def weights_phase(self, seed, costs, beta, cmax, z=None,
+                      use_prng: bool = True):
+        """Phase B: normalized softmax weights over phase-A costs.
+        Returns (zsum [tau, 6], l)."""
+        denom = cmax - beta
+        denom = jnp.where(denom > 0, denom, jnp.ones_like(denom))
+        nrm = jnp.stack([beta, 1.0 / (denom * self.lam)]).astype(jnp.float32)
+        return _fused_auv_weights(seed, nrm, costs, z, fused=self,
+                                  use_prng=use_prng)
 
 
 @functools.partial(jax.jit, static_argnames=("fused", "use_prng",
@@ -654,3 +745,110 @@ def _fused_auv_call(seed, dyn_arr, z=None, *, fused: FusedAUVMPPI,
         "nabla": l,
     }
     return wnoise, info
+
+
+@functools.partial(jax.jit, static_argnames=("fused", "use_prng"))
+def _fused_auv_costs(seed, dyn_arr, z=None, *, fused: FusedAUVMPPI,
+                     use_prng: bool):
+    """Phase A of the normalized solve: rollout -> per-sample costs
+    [n_tiles, 8, L] + stats [.., min, max, sum]."""
+    tau, tile, k = fused.tau, fused.tile, fused.k
+    L = tile // _SUB
+    n_tiles = (k + tile - 1) // tile
+    kernel, n_chunks, _dyn = _make_kernel(fused._mc, tau, tile, k, use_prng,
+                                          mode="costs")
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    args = [jnp.asarray(seed, jnp.int32).reshape(1), dyn_arr]
+    scratch_shapes = []
+    if use_prng:
+        scratch_shapes.append(
+            pltpu.VMEM((n_chunks, _SLOT_ROWS, L), jnp.float32))
+    else:
+        assert z is not None and z.shape == (n_chunks, _SLOT_ROWS,
+                                             n_tiles * L)
+        in_specs.append(
+            pl.BlockSpec((n_chunks, _SLOT_ROWS, L), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(z, jnp.float32))
+
+    out_shape = (
+        jax.ShapeDtypeStruct((n_tiles, _SUB, L), jnp.float32),
+        jax.ShapeDtypeStruct((8,), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, _SUB, L), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=(pltpu.InterpretParams() if fused.interpret else False),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("fused", "use_prng"))
+def _fused_auv_weights(seed, nrm, costs, z=None, *, fused: FusedAUVMPPI,
+                       use_prng: bool):
+    """Phase B of the normalized solve (see pm_mppi.fused_pm_weights).
+    ``nrm`` = [beta, 1/(denom*lam)]; returns (zsum [tau, 6], l)."""
+    tau, tile, k = fused.tau, fused.tile, fused.k
+    L = tile // _SUB
+    n_tiles = (k + tile - 1) // tile
+    kernel, n_chunks, _dyn = _make_kernel(fused._mc, tau, tile, k, use_prng,
+                                          mode="weights")
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    args = [jnp.asarray(seed, jnp.int32).reshape(1),
+            jnp.asarray(nrm, jnp.float32).reshape(2)]
+    scratch_shapes = []
+    if use_prng:
+        scratch_shapes.append(
+            pltpu.VMEM((n_chunks, _SLOT_ROWS, L), jnp.float32))
+    else:
+        assert z is not None and z.shape == (n_chunks, _SLOT_ROWS,
+                                             n_tiles * L)
+        in_specs.append(
+            pl.BlockSpec((n_chunks, _SLOT_ROWS, L), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(z, jnp.float32))
+    in_specs.append(
+        pl.BlockSpec((1, _SUB, L), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM))
+    args.append(costs)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((tau * 6,), jnp.float32),
+        jax.ShapeDtypeStruct((8,), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    )
+    S, stats = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=(pltpu.InterpretParams() if fused.interpret else False),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(*args)
+    return S.reshape(tau, 6), stats[1]

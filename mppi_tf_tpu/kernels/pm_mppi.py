@@ -53,6 +53,8 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from .errors import KernelUnsupportedError
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -98,11 +100,56 @@ class _Dyn:
         self.size = self.u_half + 1
 
 
+def _fill_noise(z_scr, seed_ref, pid, n_chunks, pair_rows, L,
+                antithetic: bool):
+    """Draw the per-tile standard normals into ``z_scr`` (in-kernel PRNG +
+    Box-Muller over 2-step chunks, both cos/sin halves consumed).
+
+    ``antithetic``: the lanes [L/2, L) of every chunk become the negation of
+    lanes [0, L/2) — one ``pltpu.roll`` + select per chunk, pairing sample
+    (sub, lane) with (sub, lane + L/2) consistently across every step and
+    action dim, so eps_pair = -eps over the whole [tau, aDim] sequence
+    (the fused counterpart of ops/noise.sample_noise_antithetic).
+    """
+    pltpu.prng_seed(seed_ref[0] + pid)
+    rows = pair_rows * 2
+    if antithetic:
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, L), 1)
+    for c in range(n_chunks):
+        b1 = pltpu.bitcast(
+            pltpu.prng_random_bits((pair_rows, L)), jnp.uint32)
+        b2 = pltpu.bitcast(
+            pltpu.prng_random_bits((pair_rows, L)), jnp.uint32)
+        u1 = _bits_to_uniform(b1) + (2.0 ** -24)
+        theta = (2.0 * math.pi) * _bits_to_uniform(b2)
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        zc = jnp.concatenate(
+            [r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
+        if antithetic:
+            mirrored = pltpu.roll(zc, shift=L // 2, axis=1)
+            zc = jnp.where(lane_i < L // 2, zc, -mirrored)
+        z_scr[c] = zc
+
+
 def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
-                 k_total: int, use_prng: bool):
+                 k_total: int, use_prng: bool, mode: str = "fused"):
     """Kernel body. ``mc`` compile-time constants: A (sdim x sdim),
     Bs = B @ scale (sdim x adim, mass-free), Q (sdim x sdim),
-    Mz = scale^T Sig^-1 scale (adim x adim), lam, nc_half."""
+    Mz = scale^T Sig^-1 scale (adim x adim), lam, nc_half, antithetic.
+
+    ``mode``:
+    - "fused": one-pass rollout + online-softmax weighted-noise (the default
+      solve; weights = softmax(-(cost - beta)/lam) merged across tiles with
+      running-max rescaling);
+    - "costs": rollout only — per-sample costs written to an HBM output tile
+      plus global min/max/sum stats (phase A of the normalized solve);
+    - "weights": no rollout — regenerate the SAME noise from the same seed,
+      read phase-A costs, accumulate l and the weighted z sums with the
+      normalized exponent -(cost-beta)/(denom*lam). The normalized arg is in
+      [0, 1] so the exponent is bounded in [-1/lam, 0] and needs no online
+      max (phase B; reference normalization semantics
+      controller_base.py:468-474).
+    """
     L = tile // _SUB
     slots = adim * _CH
     pair_rows = slots * _SUB // 2
@@ -113,24 +160,72 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
     MZ = np.asarray(mc["Mz"], np.float64)
     lam = float(mc["lam"])
     nc_half = float(mc["nc_half"])
+    antithetic = bool(mc.get("antithetic", False))
     cost_kind = mc.get("cost_kind", "quadratic")
     if cost_kind == "quadratic":
         Q = np.asarray(mc["Q"], np.float64)
     else:  # "elipse": fixed 2D ellipse-tracking parameters
         EL = mc["elipse"]  # (a, b, cx, cy, gv, mx, mv)
 
+    if mode == "weights":
+        def wkernel(*refs):
+            if use_prng:
+                seed_ref, nrm_ref, costs_ref, s_ref, stats_ref, z_scr = refs
+            else:
+                seed_ref, nrm_ref, z_scr, costs_ref, s_ref, stats_ref = refs
+
+            pid = pl.program_id(0)
+
+            @pl.when(pid == 0)
+            def _init():
+                for i in range(tau * adim):
+                    s_ref[i] = 0.0
+                stats_ref[0] = 0.0   # unused in this mode
+                stats_ref[1] = 0.0   # normalizer l
+
+            if use_prng:
+                _fill_noise(z_scr, seed_ref, pid, n_chunks, pair_rows, L,
+                            antithetic)
+
+            def zrow(t, j):
+                c, d = divmod(t, _CH)
+                s = d * adim + j
+                return z_scr[c, _SUB * s:_SUB * (s + 1), :]
+
+            beta = nrm_ref[0]
+            inv_dl = nrm_ref[1]      # 1 / (denom * lam)
+            cost = costs_ref[0]
+            sub_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 0)
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 1)
+            valid = (pid * tile + sub_i * L + lane_i) < k_total
+            w_arr = jnp.where(valid, jnp.exp(-(cost - beta) * inv_dl), 0.0)
+            stats_ref[1] = stats_ref[1] + jnp.sum(w_arr)
+            for t in range(tau):
+                for j in range(adim):
+                    idx = t * adim + j
+                    s_ref[idx] = s_ref[idx] + jnp.sum(w_arr * zrow(t, j))
+
+        return wkernel, n_chunks, slots, dyn
+
     def kernel(*refs):
-        if use_prng:
-            seed_ref, dyn_ref, s_ref, stats_ref, z_scr = refs
-        else:
-            seed_ref, dyn_ref, z_scr, s_ref, stats_ref = refs
+        if mode == "fused":
+            if use_prng:
+                seed_ref, dyn_ref, s_ref, stats_ref, z_scr = refs
+            else:
+                seed_ref, dyn_ref, z_scr, s_ref, stats_ref = refs
+        else:  # "costs"
+            if use_prng:
+                seed_ref, dyn_ref, costs_ref, stats_ref, z_scr = refs
+            else:
+                seed_ref, dyn_ref, z_scr, costs_ref, stats_ref = refs
 
         pid = pl.program_id(0)
 
         @pl.when(pid == 0)
         def _init():
-            for i in range(tau * adim):
-                s_ref[i] = 0.0
+            if mode == "fused":
+                for i in range(tau * adim):
+                    s_ref[i] = 0.0
             stats_ref[0] = NEG_BIG   # running max of -cost/lam
             stats_ref[1] = 0.0       # running normalizer l
             stats_ref[2] = -NEG_BIG  # cost min
@@ -138,17 +233,8 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
             stats_ref[4] = 0.0       # cost sum
 
         if use_prng:
-            pltpu.prng_seed(seed_ref[0] + pid)
-            for c in range(n_chunks):
-                b1 = pltpu.bitcast(
-                    pltpu.prng_random_bits((pair_rows, L)), jnp.uint32)
-                b2 = pltpu.bitcast(
-                    pltpu.prng_random_bits((pair_rows, L)), jnp.uint32)
-                u1 = _bits_to_uniform(b1) + (2.0 ** -24)
-                theta = (2.0 * math.pi) * _bits_to_uniform(b2)
-                r = jnp.sqrt(-2.0 * jnp.log(u1))
-                z_scr[c] = jnp.concatenate(
-                    [r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
+            _fill_noise(z_scr, seed_ref, pid, n_chunks, pair_rows, L,
+                        antithetic)
 
         def zrow(t, j):
             c, d = divmod(t, _CH)
@@ -236,28 +322,32 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
             acc_cost = acc_cost + sc
         acc_cost = acc_cost + d_(dyn.u_half)
 
-        # ---- masked online softmax ------------------------------------
         sub_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 0)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 1)
         valid = (pid * tile + sub_i * L + lane_i) < k_total
-        zarg = jnp.where(valid, -acc_cost / lam, NEG_BIG)
-        m_i = jnp.max(zarg)
-        w_arr = jnp.where(valid, jnp.exp(zarg - m_i), 0.0)
-        l_i = jnp.sum(w_arr)
 
-        m_old = stats_ref[0]
-        l_old = stats_ref[1]
-        m_new = jnp.maximum(m_old, m_i)
-        f_old = jnp.exp(m_old - m_new)
-        f_new = jnp.exp(m_i - m_new)
-        stats_ref[0] = m_new
-        stats_ref[1] = l_old * f_old + l_i * f_new
+        if mode == "fused":
+            # ---- masked online softmax --------------------------------
+            zarg = jnp.where(valid, -acc_cost / lam, NEG_BIG)
+            m_i = jnp.max(zarg)
+            w_arr = jnp.where(valid, jnp.exp(zarg - m_i), 0.0)
+            l_i = jnp.sum(w_arr)
 
-        for t in range(tau):
-            for j in range(adim):
-                val = jnp.sum(w_arr * zrow(t, j))
-                idx = t * adim + j
-                s_ref[idx] = s_ref[idx] * f_old + val * f_new
+            m_old = stats_ref[0]
+            l_old = stats_ref[1]
+            m_new = jnp.maximum(m_old, m_i)
+            f_old = jnp.exp(m_old - m_new)
+            f_new = jnp.exp(m_i - m_new)
+            stats_ref[0] = m_new
+            stats_ref[1] = l_old * f_old + l_i * f_new
+
+            for t in range(tau):
+                for j in range(adim):
+                    val = jnp.sum(w_arr * zrow(t, j))
+                    idx = t * adim + j
+                    s_ref[idx] = s_ref[idx] * f_old + val * f_new
+        else:  # "costs": per-sample costs out (phase A of normalized solve)
+            costs_ref[0] = acc_cost
 
         stats_ref[2] = jnp.minimum(
             stats_ref[2], jnp.min(jnp.where(valid, acc_cost, -NEG_BIG)))
@@ -311,25 +401,30 @@ class FusedPointMassMPPI:
 
     def __init__(self, model, cost, k: int, tau: int, lam: float,
                  upsilon: float, sigma, tile: int = 8192,
-                 interpret: bool = False):
+                 interpret: bool = False, antithetic: bool = False):
         from ..costs.elipse import ElipseCost
         from ..costs.static import StaticCost
         from ..models.point_mass import PointMassModel
 
         if not isinstance(model, PointMassModel):
-            raise TypeError("fused kernel supports PointMassModel only")
+            raise KernelUnsupportedError(
+                "fused kernel supports PointMassModel only")
         if type(cost) is StaticCost:
             cost_kind = "quadratic"
         elif type(cost) is ElipseCost:
             if model.get_state_dim() != 4:
-                raise TypeError("elipse cost needs the 4-dim [x,vx,y,vy] "
-                                "point-mass state")
+                raise KernelUnsupportedError(
+                    "elipse cost needs the 4-dim [x,vx,y,vy] "
+                    "point-mass state")
             cost_kind = "elipse"
         else:
-            raise TypeError(
+            raise KernelUnsupportedError(
                 "fused kernel supports StaticCost or ElipseCost only")
         if tile % _SUB:
             raise ValueError("tile must be a multiple of 8")
+        if antithetic and (tile // _SUB) % 2:
+            raise ValueError("antithetic pairing needs an even lane count "
+                             "(tile multiple of 16)")
         self.model = model
         self.cost = cost
         self.k = int(k)
@@ -339,6 +434,7 @@ class FusedPointMassMPPI:
         self.upsilon = float(upsilon)
         self.tile = int(tile)
         self.interpret = bool(interpret)
+        self.antithetic = bool(antithetic)
         self.adim = model.get_action_dim()
         self.sdim = model.get_state_dim()
         sigma = np.asarray(sigma, np.float64)
@@ -355,6 +451,7 @@ class FusedPointMassMPPI:
             "lam": self.lam,
             "nc_half": nc_half,
             "cost_kind": cost_kind,
+            "antithetic": self.antithetic,
         }
         if cost_kind == "quadratic":
             self._mc["Q"] = np.asarray(cost.Q, np.float64)
@@ -404,10 +501,52 @@ class FusedPointMassMPPI:
         return out
 
     def solve(self, seed, x0, useq, mparams, cparams, z=None,
-              use_prng: bool = True, return_raw: bool = False):
+              use_prng: bool = True, return_raw: bool = False,
+              normalize: bool = False):
+        """One MPPI solve. ``normalize`` applies the reference's
+        (cost-beta)/max normalization (controller_base.py:468-474) as a
+        two-phase kernel: phase A (rollout -> per-sample costs + stats),
+        phase B (regenerated noise + bounded-exponent weights)."""
         dyn_arr = self.pack_dyn(mparams, cparams, x0, useq)
-        return fused_pm_call(seed, dyn_arr, z, fused=self,
-                             use_prng=use_prng, return_raw=return_raw)
+        if not normalize:
+            return fused_pm_call(seed, dyn_arr, z, fused=self,
+                                 use_prng=use_prng, return_raw=return_raw)
+        costs, stats = fused_pm_costs(seed, dyn_arr, z, fused=self,
+                                      use_prng=use_prng)
+        beta, cmax = stats[2], stats[3]
+        if return_raw:
+            # sharded caller: pmin/pmax beta/cmax across shards, then call
+            # weights_phase per shard and psum (l, zsum)
+            return {"costs": costs, "beta": beta, "cmax": cmax,
+                    "cost_sum": stats[4]}
+        zsum, l = self.weights_phase(seed, costs, beta, cmax, z=z,
+                                     use_prng=use_prng)
+        scale = jnp.asarray(self._scale, jnp.float32)
+        wnoise = (zsum @ scale.T) / l
+        info = {"cost_min": beta, "cost_max": cmax,
+                "cost_mean": stats[4] / self.k, "nabla": l}
+        return wnoise, info
+
+    def costs_phase(self, seed, x0, useq, mparams, cparams, z=None,
+                    use_prng: bool = True):
+        """Phase A of the normalized solve: per-sample costs + stats."""
+        dyn_arr = self.pack_dyn(mparams, cparams, x0, useq)
+        costs, stats = fused_pm_costs(seed, dyn_arr, z, fused=self,
+                                      use_prng=use_prng)
+        return costs, {"cost_min": stats[2], "cost_max": stats[3],
+                       "cost_sum": stats[4]}
+
+    def weights_phase(self, seed, costs, beta, cmax, z=None,
+                      use_prng: bool = True):
+        """Phase B: normalized softmax weights over phase-A costs.
+
+        Returns (zsum [tau, adim], l). The guard against all-equal costs
+        matches ops/update.norm_arg (denom = 1 when max - beta == 0)."""
+        denom = cmax - beta
+        denom = jnp.where(denom > 0, denom, jnp.ones_like(denom))
+        nrm = jnp.stack([beta, 1.0 / (denom * self.lam)]).astype(jnp.float32)
+        return fused_pm_weights(seed, nrm, costs, z, fused=self,
+                                use_prng=use_prng)
 
 
 @functools.partial(jax.jit, static_argnames=("fused", "use_prng",
@@ -479,6 +618,114 @@ def fused_pm_call(seed, dyn_arr, z=None, *, fused: FusedPointMassMPPI,
         "nabla": l,
     }
     return wnoise, info
+
+
+@functools.partial(jax.jit, static_argnames=("fused", "use_prng"))
+def fused_pm_costs(seed, dyn_arr, z=None, *, fused: FusedPointMassMPPI,
+                   use_prng: bool):
+    """Phase A of the normalized solve: rollout -> per-sample costs
+    [n_tiles, 8, L] (HBM) + stats [.., min, max, sum]."""
+    tau, tile, k = fused.tau, fused.tile, fused.k
+    adim = fused.adim
+    L = tile // _SUB
+    n_tiles = (k + tile - 1) // tile
+    kernel, n_chunks, slots, _dyn = _make_kernel(
+        fused._mc, tau, fused.sdim, adim, tile, k, use_prng, mode="costs")
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    args = [jnp.asarray(seed, jnp.int32).reshape(1), dyn_arr]
+    scratch_shapes = []
+    rows = slots * _SUB
+    if use_prng:
+        scratch_shapes.append(pltpu.VMEM((n_chunks, rows, L), jnp.float32))
+    else:
+        assert z is not None and z.shape == (n_chunks, rows, n_tiles * L)
+        in_specs.append(
+            pl.BlockSpec((n_chunks, rows, L), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(z, jnp.float32))
+
+    out_shape = (
+        jax.ShapeDtypeStruct((n_tiles, _SUB, L), jnp.float32),
+        jax.ShapeDtypeStruct((8,), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, _SUB, L), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=(pltpu.InterpretParams() if fused.interpret else False),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("fused", "use_prng"))
+def fused_pm_weights(seed, nrm, costs, z=None, *, fused: FusedPointMassMPPI,
+                     use_prng: bool):
+    """Phase B of the normalized solve: regenerate the tile noise from the
+    same seed, weight with exp(-(cost-beta)/(denom*lam)) and accumulate
+    (zsum [tau, adim], l). ``nrm`` = [beta, 1/(denom*lam)]."""
+    tau, tile, k = fused.tau, fused.tile, fused.k
+    adim = fused.adim
+    L = tile // _SUB
+    n_tiles = (k + tile - 1) // tile
+    kernel, n_chunks, slots, _dyn = _make_kernel(
+        fused._mc, tau, fused.sdim, adim, tile, k, use_prng, mode="weights")
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    args = [jnp.asarray(seed, jnp.int32).reshape(1),
+            jnp.asarray(nrm, jnp.float32).reshape(2)]
+    scratch_shapes = []
+    rows = slots * _SUB
+    if use_prng:
+        scratch_shapes.append(pltpu.VMEM((n_chunks, rows, L), jnp.float32))
+    else:
+        assert z is not None and z.shape == (n_chunks, rows, n_tiles * L)
+        in_specs.append(
+            pl.BlockSpec((n_chunks, rows, L), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(z, jnp.float32))
+    in_specs.append(
+        pl.BlockSpec((1, _SUB, L), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM))
+    args.append(costs)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((tau * adim,), jnp.float32),
+        jax.ShapeDtypeStruct((8,), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    )
+    S, stats = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=(pltpu.InterpretParams() if fused.interpret else False),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(*args)
+    return S.reshape(tau, adim), stats[1]
 
 
 def fused_pm_solve(seed, consts_or_dyn, *args, **kwargs):  # pragma: no cover

@@ -51,6 +51,12 @@ class Learner:
         self.model = model
         self.s_dim = model.get_state_dim()
         self.a_dim = model.get_action_dim()
+        # dispatch on model family: NN models train network weights against
+        # normalized delta targets; analytic models (point-mass, AUV) train
+        # their physical parameters (mass, inertia) against raw next-state
+        # targets — the reference gives every model the same Adam handle
+        # (model_base.py:30-39; mass-convergence test scripts/test.py:220)
+        self._is_nn = hasattr(model, "predict_nn")
         self.rb = ReplayBuffer(buffer_size, self.s_dim, self.a_dim)
         self.num_epochs = int(num_epochs)
         self.batch_size = int(batch_size)
@@ -89,7 +95,13 @@ class Learner:
     # normalization stats (learner_base.py:69-81)
     # ------------------------------------------------------------------
     def stats(self):
-        """Set the model's X/Y normalizers from the full buffer."""
+        """Set the model's X/Y normalizers from the full buffer.
+
+        No-op for analytic models — they predict in physical units and have
+        no normalization layer (reference only NN models carry X/Y stats,
+        nn_model.py:65-99)."""
+        if not self._is_nn:
+            return
         data = self.rb_trans()
         X, Y = self._prepare(data, norm=False)
         eps = 1e-8
@@ -101,20 +113,26 @@ class Learner:
 
     def _prepare(self, data, norm=True):
         dt = self.model.dtype
-        return self.model.prepare_training_data(
-            self.params,
-            jnp.asarray(data["obs"], dtype=dt),
-            jnp.asarray(data["next_obs"], dtype=dt),
-            jnp.asarray(data["act"], dtype=dt),
-            norm=norm,
-        )
+        obs = jnp.asarray(data["obs"], dtype=dt)
+        nxt = jnp.asarray(data["next_obs"], dtype=dt)
+        act = jnp.asarray(data["act"], dtype=dt)
+        if not self._is_nn:
+            # analytic models: inputs are raw (state, action) pairs packed
+            # along the feature axis, target is the raw next state
+            return jnp.concatenate([obs, act], axis=-1), nxt
+        return self.model.prepare_training_data(self.params, obs, nxt, act,
+                                                norm=norm)
 
     # ------------------------------------------------------------------
     # training (learner_base.py:146-153, 324-358, 469-496)
     # ------------------------------------------------------------------
     def _loss(self, net, X, Y):
         p = self.model.with_trainable(self.params, net)
-        pred = self.model.predict_nn(p, X, training=True)
+        if self._is_nn:
+            pred = self.model.predict_nn(p, X, training=True)
+        else:
+            x, u = X[..., : self.s_dim], X[..., self.s_dim:]
+            pred = self.model.step(p, x, u)
         return jnp.mean((pred - Y) ** 2)
 
     def _make_step(self, lr: float):
@@ -187,12 +205,16 @@ class Learner:
     # k-fold cross-validation — vmapped over folds (learner_base.py:155-209)
     # ------------------------------------------------------------------
     def k_fold_validation(self, k: int = 10, learning_rate=None,
-                          epoch: Optional[int] = None, val=None, seed=0):
+                          epoch: Optional[int] = None, val=None, seed=0,
+                          fresh_init: bool = True):
         """Train k fold models in parallel; returns per-fold test losses.
 
         The reference loops k sequential models (:190-203); here the fold
         axis is a vmap over stacked parameter pytrees — one batched
-        computation per epoch.
+        computation per epoch. ``fresh_init`` gives each fold an independent
+        random init like the reference's ``copy_model``
+        (scripts/src/model.py:70-78), so the fold variance reflects init
+        sensitivity; ``False`` shares the learner's current init across folds.
         """
         lr = learning_rate or self.learning_rate
         epochs = epoch or self.num_epochs
@@ -217,9 +239,14 @@ class Learner:
         Xte = np.stack([X[f[:test_size]] for f in folds])
         Yte = np.stack([Y[f[:test_size]] for f in folds])
 
-        net0 = self.model.trainable(self.params)
-        nets = jax.tree.map(
-            lambda p: jnp.broadcast_to(p, (k,) + p.shape), net0)
+        if fresh_init:
+            keys = jax.random.split(jax.random.PRNGKey(seed), k)
+            inits = [self.model.trainable_init(kk) for kk in keys]
+            nets = jax.tree.map(lambda *xs: jnp.stack(xs), *inits)
+        else:
+            net0 = self.model.trainable(self.params)
+            nets = jax.tree.map(
+                lambda p: jnp.broadcast_to(p, (k,) + p.shape), net0)
         opt = optax.adam(lr)
         opt_states = jax.vmap(opt.init)(nets)
 
@@ -261,22 +288,27 @@ class Learner:
             else np.linspace(1e-4, 1e-1, 5)
         sigmas = sigmas if sigmas is not None else np.linspace(0.01, 0.001, 3)
         init_params = self.params
+        init_sigma = self.sigma
         self.stats()
         results = []
-        for e in epochs:
-            for lr in learning_rates:
-                for s in sigmas:
-                    self.sigma = float(s)
-                    self.params = init_params
-                    self.k_fold_validation(k=k, learning_rate=float(lr),
-                                           epoch=int(e))
-                    self.params = init_params
-                    self.train_all(learning_rate=float(lr), epoch=int(e))
-                    err = float(self.validate(action_seqs, trajs))
-                    results.append({"lr": float(lr), "sigma": float(s),
-                                    "epochs": int(e), "val_error": err})
+        try:
+            for e in epochs:
+                for lr in learning_rates:
+                    for s in sigmas:
+                        self.sigma = float(s)
+                        self.params = init_params
+                        self.k_fold_validation(k=k, learning_rate=float(lr),
+                                               epoch=int(e))
+                        self.params = init_params
+                        self.train_all(learning_rate=float(lr), epoch=int(e))
+                        err = float(self.validate(action_seqs, trajs))
+                        results.append({"lr": float(lr), "sigma": float(s),
+                                        "epochs": int(e), "val_error": err})
+        finally:
+            # a sweep must not leak its last combo into subsequent training
+            self.params = init_params
+            self.sigma = init_sigma
         best = min(results, key=lambda r: r["val_error"])
-        self.params = init_params
         return best, results
 
     # ------------------------------------------------------------------
@@ -305,9 +337,13 @@ class Learner:
             states = gt[:, :-1].reshape((-1, self.s_dim))
             nexts = gt[:, 1:].reshape((-1, self.s_dim))
             acts = action_seqs[:, :-1].reshape((-1, self.a_dim))
-            Xn, Yn = self.model.prepare_training_data(
-                self.params, states, nexts, acts)
-            pred = self.model.predict_nn(self.params, Xn)
+            if self._is_nn:
+                Xn, Yn = self.model.prepare_training_data(
+                    self.params, states, nexts, acts)
+                pred = self.model.predict_nn(self.params, Xn)
+            else:
+                Yn = nexts
+                pred = self.model.step(self.params, states, acts)
             trans_split = jnp.mean((pred - Yn) ** 2, axis=0)
             outs.append(jnp.mean(trans_split))
             if split:
@@ -333,9 +369,13 @@ class Learner:
 
     # ------------------------------------------------------------------
     def _log_grad_weights(self, grads, net, step: int):
-        """Per-layer grad/weight histograms. Reference: learner_base.py:510-528."""
-        for i, (g, w) in enumerate(zip(grads, net)):
-            self.observer.histogram(f"grad/layer{i}/w", np.asarray(g["w"]).ravel(), step)
-            self.observer.histogram(f"grad/layer{i}/b", np.asarray(g["b"]).ravel(), step)
-            self.observer.histogram(f"weights/layer{i}/w", np.asarray(w["w"]).ravel(), step)
-            self.observer.histogram(f"weights/layer{i}/b", np.asarray(w["b"]).ravel(), step)
+        """Per-leaf grad/weight histograms, keyed by pytree path — works for
+        NN layer lists and analytic physical-param dicts alike.
+        Reference: learner_base.py:510-528."""
+        for (path, g), (_, w) in zip(
+                jax.tree_util.tree_flatten_with_path(grads)[0],
+                jax.tree_util.tree_flatten_with_path(net)[0]):
+            name = jax.tree_util.keystr(path)
+            self.observer.histogram(f"grad{name}", np.asarray(g).ravel(), step)
+            self.observer.histogram(f"weights{name}", np.asarray(w).ravel(),
+                                    step)

@@ -184,6 +184,18 @@ class AUVModel(ModelBase):
         m_tot, inv_m = self._mass_matrices(params)
         return {**params, "m_tot": m_tot, "inv_m": inv_m}
 
+    def trainable(self, params):
+        """Physical parameters the Learner fits by gradient: mass + the six
+        inertia moments (reference auv_model.py:128-130 trainable Variables)."""
+        return {"mass": params["mass"], "inertial": params["inertial"]}
+
+    def with_trainable(self, params, tr):
+        """Merge updated physical params, dropping stale precomputed mass
+        matrices so ``step`` recomputes them from (and differentiates
+        through) the new values."""
+        base = {k: v for k, v in params.items() if k not in ("m_tot", "inv_m")}
+        return {**base, **tr}
+
     # ------------------------------------------------------------------
     # dynamics terms (each batched over leading k)
     # ------------------------------------------------------------------

@@ -61,6 +61,32 @@ class ModelBase:
         """
         raise NotImplementedError
 
+    # --- trainable surface ------------------------------------------------
+    # The reference gives EVERY model an Adam handle and trains whatever
+    # tf.Variables it holds (model_base.py:30-39; the point-mass mass
+    # convergence test is scripts/test.py:220). Here the same contract is
+    # the (trainable, with_trainable, trainable_init) triple the Learner
+    # drives: for analytic models the trainable sub-pytree is the physical
+    # parameters themselves (mass, inertia); NN models override to expose
+    # only the network weights (models/nn.py).
+    def trainable(self, params: Any) -> Any:
+        """Sub-pytree gradients flow through. Default: the whole params pytree."""
+        return params
+
+    def with_trainable(self, params: Any, tr: Any) -> Any:
+        """Merge an updated trainable sub-pytree back into ``params``."""
+        if isinstance(params, dict) and isinstance(tr, dict):
+            return {**params, **tr}
+        return tr
+
+    def trainable_init(self, key: jax.Array) -> Any:
+        """A fresh trainable init for k-fold clones (reference ``copy_model``,
+        scripts/src/model.py:70-78). Analytic models are deterministic —
+        re-init returns the configured physical parameters; NN models draw
+        fresh weights from ``key``."""
+        del key
+        return self.trainable(self.init_params())
+
     def precompute(self, params: Any) -> Any:
         """Hoist solve-invariant derived quantities out of the rollout loop.
 

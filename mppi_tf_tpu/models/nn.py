@@ -186,6 +186,12 @@ class NNModel(ModelBase):
     def with_trainable(self, params, net):
         return {**params, "net": net}
 
+    def trainable_init(self, key):
+        """Fresh He-initialised weights — per-fold clones get independent
+        inits like the reference's ``copy_model`` (scripts/src/model.py:70-78)."""
+        sizes = [self.input_dim(), *self._hidden, self.output_dim()]
+        return mlp_init(key, sizes, dtype=self._dtype)
+
 
 # position mask: inputs exclude the absolute position for translation
 # invariance (reference nn_model.py:194-197 mask).

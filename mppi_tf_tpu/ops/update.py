@@ -59,6 +59,11 @@ def norm_arg(
         m = jnp.max(shifted, axis=0)
         if axis_name is not None:
             m = jax.lax.pmax(m, axis_name)
+        # all-equal costs (zero sigma, saturated f32 costs) give m == 0;
+        # dividing would produce NaN weights downstream. Matches the native
+        # core's guard (native/src/mppi_core.cpp mppi_update: denom = m > 0 ?
+        # m : 1) — with all costs equal the weights are uniform either way.
+        m = jnp.where(m > 0, m, jnp.ones_like(m))
         shifted = shifted / m
     return shifted
 

@@ -24,6 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import update as upd
 from .mesh import SAMPLE_AXIS
+from .sharded import ShardedControllerMixin
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
@@ -34,7 +35,11 @@ def _shard_map(f, mesh, in_specs, out_specs):
 
 
 def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
-                              axis: str = SAMPLE_AXIS):
+                              axis: str = SAMPLE_AXIS,
+                              normalize_cost: bool = False,
+                              clip_actions: bool = False,
+                              act_min=None, act_max=None,
+                              filter_mat=None):
     """Return (solve, solve_with_noise) jitted over ``mesh``.
 
     ``local_fused`` is a FusedPointMassMPPI / FusedAUVMPPI built with the
@@ -43,6 +48,12 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
     replicated. solve_with_noise takes chunked normals (the kernel's
     chunk_noise layout over all k_global samples) sharded over the lane
     axis for parity tests.
+
+    Options mirror the single-device controller (controller/mppi.py):
+    ``clip_actions`` clips the updated sequence to [act_min, act_max];
+    ``filter_mat`` applies Savitzky-Golay smoothing as a [tau, tau] matmul;
+    ``normalize_cost`` runs the two-phase normalized kernels with the
+    global beta/max reduced across shards (pmin/pmax) between the phases.
     """
     n = mesh.shape[axis]
     if k_global % n != 0:
@@ -55,6 +66,22 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
     n_tiles_local = (local_fused.k + local_fused.tile - 1) // local_fused.tile
     tau, adim = local_fused.tau, local_fused.adim
     scale = jnp.asarray(local_fused._scale, jnp.float32)
+    if clip_actions and (act_min is None or act_max is None):
+        raise ValueError("clip_actions needs act_min/act_max")
+    if filter_mat is not None:
+        filter_mat = jnp.asarray(np.asarray(filter_mat, np.float64),
+                                 jnp.float32)
+
+    def _postprocess(useq, wnoise, info):
+        new_useq = useq + wnoise.astype(useq.dtype)
+        if clip_actions:
+            new_useq = jnp.clip(new_useq, act_min, act_max)
+        if filter_mat is not None:
+            new_useq = filter_mat @ new_useq
+        action = new_useq[0]
+        shifted = upd.shift(
+            new_useq, jnp.zeros((1, adim), dtype=new_useq.dtype), 1)
+        return action, shifted, info
 
     def _merge(useq, raw, axis_name):
         m_g = jax.lax.pmax(raw["m"], axis_name)
@@ -62,28 +89,51 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
         l_g = jax.lax.psum(raw["l"] * f, axis_name)
         zsum_g = jax.lax.psum(raw["zsum"] * f, axis_name)
         wnoise = (zsum_g @ scale.T) / l_g
-        new_useq = useq + wnoise.astype(useq.dtype)
-        action = new_useq[0]
-        shifted = upd.shift(
-            new_useq, jnp.zeros((1, adim), dtype=new_useq.dtype), 1)
         info = {
             "cost_min": jax.lax.pmin(raw["cost_min"], axis_name),
             "cost_max": jax.lax.pmax(raw["cost_max"], axis_name),
             "cost_mean": jax.lax.psum(raw["cost_sum"], axis_name) / k_global,
             "nabla": l_g,
         }
-        return action, shifted, info
+        return _postprocess(useq, wnoise, info)
+
+    def _merge_normalized(seed, useq, raw, axis_name, z=None,
+                          use_prng=True):
+        """Two-phase normalized merge: the beta/max of the normalization are
+        global across shards (pmin/pmax between the kernel phases), so the
+        sharded result equals the single-device normalized solve."""
+        beta = jax.lax.pmin(raw["beta"], axis_name)
+        cmax = jax.lax.pmax(raw["cmax"], axis_name)
+        zsum, l = local_fused.weights_phase(seed, raw["costs"], beta, cmax,
+                                            z=z, use_prng=use_prng)
+        l_g = jax.lax.psum(l, axis_name)
+        zsum_g = jax.lax.psum(zsum, axis_name)
+        wnoise = (zsum_g @ scale.T) / l_g
+        info = {
+            "cost_min": beta,
+            "cost_max": cmax,
+            "cost_mean": jax.lax.psum(raw["cost_sum"], axis_name) / k_global,
+            "nabla": l_g,
+        }
+        return _postprocess(useq, wnoise, info)
 
     def _solve_shard(seed, state, useq, mparams, cparams):
         idx = jax.lax.axis_index(axis)
-        raw = local_fused.solve(seed + idx * n_tiles_local, state, useq,
+        shard_seed = seed + idx * n_tiles_local
+        raw = local_fused.solve(shard_seed, state, useq,
                                 mparams, cparams, use_prng=True,
-                                return_raw=True)
+                                return_raw=True, normalize=normalize_cost)
+        if normalize_cost:
+            return _merge_normalized(shard_seed, useq, raw, axis)
         return _merge(useq, raw, axis)
 
     def _solve_with_noise_shard(z, state, useq, mparams, cparams):
         raw = local_fused.solve(0, state, useq, mparams, cparams, z=z,
-                                use_prng=False, return_raw=True)
+                                use_prng=False, return_raw=True,
+                                normalize=normalize_cost)
+        if normalize_cost:
+            return _merge_normalized(0, useq, raw, axis, z=z,
+                                     use_prng=False)
         return _merge(useq, raw, axis)
 
     rep = P()
@@ -100,7 +150,7 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
     return solve, solve_with_noise
 
 
-class ShardedFusedMPPI:
+class ShardedFusedMPPI(ShardedControllerMixin):
     """ShardedMPPI with a fused Pallas kernel per device shard.
 
     Same user-facing surface (next/set_goal/useq). Supports the kernels'
@@ -111,8 +161,12 @@ class ShardedFusedMPPI:
     def __init__(self, model, cost, mesh: Mesh, k: int, tau: int,
                  lam: float, upsilon: float, sigma, tile: int = 8192,
                  seed: int = 0, axis: str = SAMPLE_AXIS,
-                 interpret: bool = False, observer=None, init_seq=None):
+                 interpret: bool = False, observer=None, init_seq=None,
+                 normalize_cost: bool = False, clip_actions: bool = False,
+                 filter_seq: bool = False, filter_window: int = 9,
+                 filter_polyorder: int = 3, antithetic: bool = False):
         from ..kernels.auv_mppi import FusedAUVMPPI
+        from ..kernels.errors import KernelUnsupportedError
         from ..kernels.pm_mppi import FusedPointMassMPPI
 
         n = mesh.shape[axis]
@@ -125,16 +179,25 @@ class ShardedFusedMPPI:
             try:
                 self._fused = cls(model, cost, k=k_local, tau=tau, lam=lam,
                                   upsilon=upsilon, sigma=sigma, tile=tile,
-                                  interpret=interpret)
+                                  interpret=interpret, antithetic=antithetic)
                 break
-            except TypeError as e:
+            except KernelUnsupportedError as e:
                 err = e
         if self._fused is None:
-            raise TypeError("no fused kernel supports "
-                            f"{type(model).__name__} + "
-                            f"{type(cost).__name__}") from err
+            raise KernelUnsupportedError(
+                "no fused kernel supports "
+                f"{type(model).__name__} + "
+                f"{type(cost).__name__}") from err
+        filter_mat = None
+        if filter_seq:
+            from ..controller.mppi import savgol_matrix
+
+            filter_mat = savgol_matrix(tau, filter_window, filter_polyorder)
         self._solve, self._solve_with_noise = build_sharded_fused_solve(
-            self._fused, mesh, k, axis=axis)
+            self._fused, mesh, k, axis=axis,
+            normalize_cost=normalize_cost, clip_actions=clip_actions,
+            act_min=model.min_act(), act_max=model.max_act(),
+            filter_mat=filter_mat)
         self._seed_stride = n * ((k_local + tile - 1) // tile)
         self._base_seed = int(seed)
         self._dtype = model.dtype
@@ -187,6 +250,19 @@ class ShardedFusedMPPI:
     def set_goal(self, goal):
         self._cparams = self._cost.set_goal(self._cparams, goal)
 
+    def _example_solve_args(self):
+        state = jnp.asarray(self._fake_state(), dtype=self._dtype)
+        return (np.int32(self._base_seed), state, self._useq, self._mparams,
+                self._cparams)
+
+    def _trace_snapshot(self):
+        return self._steps
+
+    def _trace_restore(self, steps):
+        self._steps = steps
+        self._useq = jnp.zeros_like(self._useq)
+        self._timing = {"total": 0.0, "calls": 0}
+
     def save_state(self, path: str):
         """Checkpoint the mutable controller state (mirrors MPPI.save_state;
         the PRNG position is the deterministic step counter)."""
@@ -216,3 +292,7 @@ class ShardedFusedMPPI:
     @property
     def model_params(self):
         return self._mparams
+
+    @model_params.setter
+    def model_params(self, p):
+        self._mparams = p

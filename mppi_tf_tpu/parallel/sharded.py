@@ -147,7 +147,47 @@ def build_sharded_solve(
     return solve, solve_with_noise
 
 
-class ShardedMPPI:
+class ShardedControllerMixin:
+    """trace/profile/dump_hlo for the sharded controllers — parity with the
+    single-device surface (controller/mppi.py MPPI.trace/profile/dump_hlo).
+
+    Concrete classes provide ``next``, ``_solve`` (jitted), ``_model``,
+    ``_example_solve_args()`` and ``_reset_after_trace()``.
+    """
+
+    def _fake_state(self):
+        fake = np.zeros((self._model.get_state_dim(),))
+        if self._model.get_state_dim() >= 7:
+            fake[6] = 1.0  # unit quaternion for AUV-style states
+        return fake
+
+    def trace(self):
+        """Pre-compile the sharded solve with a fake state, then reset the
+        mutable controller state disturbed by the warmup (so a traced
+        controller emits the same sequence as an untraced one)."""
+        snap = self._trace_snapshot()
+        _ = self.next(self._fake_state())
+        self._trace_restore(snap)
+
+    def profile(self, logdir: Optional[str] = None):
+        """Run one sharded solve under the JAX profiler."""
+        if logdir is None and self._observer is not None:
+            logdir = self._observer.get_logdir()
+        if logdir is not None:
+            with jax.profiler.trace(logdir):
+                a = self.next(self._fake_state())
+                jax.block_until_ready(a)
+        else:
+            a = self.next(self._fake_state())
+            jax.block_until_ready(a)
+
+    def dump_hlo(self) -> str:
+        """Compiled HLO of the sharded solve (collectives included)."""
+        lowered = self._solve.lower(*self._example_solve_args())
+        return lowered.compile().as_text()
+
+
+class ShardedMPPI(ShardedControllerMixin):
     """Stateful wrapper mirroring controller.MPPI but mesh-sharded over K.
 
     Same user-facing surface as the single-device controller
@@ -240,6 +280,18 @@ class ShardedMPPI:
     def set_goal(self, goal):
         self._cparams = self._cost.set_goal(self._cparams, goal)
 
+    def _example_solve_args(self):
+        state = jnp.asarray(self._fake_state(), dtype=self._dtype)
+        return (self._key, state, self._useq, self._mparams, self._cparams)
+
+    def _trace_snapshot(self):
+        return self._key
+
+    def _trace_restore(self, key):
+        self._key = key
+        self._useq = jnp.zeros_like(self._useq)
+        self._timing = {"total": 0.0, "calls": 0}
+
     def save_state(self, path: str):
         """Checkpoint the mutable controller state (mirrors MPPI.save_state;
         SURVEY.md §5.4 — the reference has no controller-state checkpoint)."""
@@ -270,3 +322,7 @@ class ShardedMPPI:
     @property
     def model_params(self):
         return self._mparams
+
+    @model_params.setter
+    def model_params(self, p):
+        self._mparams = p

@@ -84,6 +84,40 @@ def test_fused_auv_matches_xla_path():
                                rtol=2e-4)
 
 
+def test_fused_auv_normalized_matches_xla_path():
+    """Two-phase normalized AUV solve == XLA normalize_cost=True path."""
+    k, tau, tile = 80, 3, 32
+    sigma = np.diag([40.0, 40.0, 40.0, 5.0, 5.0, 5.0])
+    model = get_model(_auv_cfg(), dt=0.1, action_dim=6)
+    cost = get_cost(_task(), lam=0.5, gamma=0.2, upsilon=1.2, sigma=sigma)
+    ctrl = MPPI(model, cost, k=k, tau=tau, lam=0.5, upsilon=1.2, sigma=sigma,
+                normalize_cost=True)
+    mp, cp = ctrl.model_params, ctrl._cparams
+
+    fused = FusedAUVMPPI(model, cost, k=k, tau=tau, lam=0.5, upsilon=1.2,
+                         sigma=sigma, tile=tile, interpret=True)
+
+    rng = np.random.RandomState(7)
+    z_std = rng.randn(tau, 6, k).astype(np.float32)
+    z = chunk_noise_auv(z_std, tile)
+    eps = np.einsum("ij,tjk->kti", 1.2 * sigma, z_std)
+    x0 = np.zeros(13)
+    x0[6] = 1.0
+    x0[2] = -1.0
+    useq = (5.0 * rng.randn(tau, 6)).astype(np.float32)
+
+    _, _, info = ctrl._solve_with_noise_jit(
+        jnp.asarray(eps, ctrl._dtype), jnp.asarray(x0, ctrl._dtype),
+        jnp.asarray(useq, ctrl._dtype), mp, cp)
+    wn_ref = np.asarray(info["weighted_noise"])
+
+    wn, stats = fused.solve(0, x0, useq, mp, cp, z=jnp.asarray(z),
+                            use_prng=False, normalize=True)
+    np.testing.assert_allclose(np.asarray(wn), wn_ref, rtol=1e-2,
+                               atol=1e-3 * np.abs(wn_ref).max())
+    assert np.isfinite(float(stats["nabla"]))
+
+
 def test_fused_auv_rejects_unsupported():
     sigma = np.diag([0.25, 0.3, 0.2])
     pm = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,

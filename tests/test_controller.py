@@ -158,9 +158,19 @@ def test_antithetic_closed_loop_converges():
     assert abs(final[0] - 1.0) < 0.2, f"did not reach goal: {final}"
 
 
-def test_antithetic_rejects_pallas_kernel():
-    with pytest.raises(TypeError, match="antithetic"):
-        _mk_controller(k=16, tau=4, antithetic=True, kernel="pallas")
+def test_antithetic_supported_on_pallas_kernel():
+    """Round-2: the fused kernels mirror lane pairs in-kernel
+    (kernels/pm_mppi._fill_noise), so antithetic no longer rejects
+    (f32 model — the kernel's only remaining dtype requirement)."""
+    sigma = np.diag([0.25, 0.3, 0.2])
+    model = PointMassModel(mass=1.5, dt=0.1, state_dim=6, action_dim=3)
+    cost = StaticCost(1.2, 1.1, 2.0, sigma, np.zeros(6), np.eye(6))
+    ctrl = MPPI(model, cost, k=16, tau=4, lam=1.2, upsilon=2.0, sigma=sigma,
+                antithetic=True, kernel="pallas")
+    assert ctrl._fused is not None and ctrl._fused.antithetic
+    ctrl = MPPI(model, cost, k=16, tau=4, lam=1.2, upsilon=2.0, sigma=sigma,
+                normalize_cost=True, kernel="pallas")
+    assert ctrl._fused is not None
 
 
 def test_clip_actions():

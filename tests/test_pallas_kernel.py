@@ -75,6 +75,36 @@ def test_fused_matches_xla_path(k, tau, tile):
                                rtol=2e-3)
 
 
+@pytest.mark.parametrize("k,tau,tile", [(700, 7, 256)])
+def test_fused_normalized_matches_xla_path(k, tau, tile):
+    """The two-phase normalized solve (costs kernel -> weights kernel) ==
+    the XLA path with normalize_cost=True (reference semantics
+    controller_base.py:468-474). Partial last tile exercises masking in
+    both phases."""
+    ctrl, fused, sigma = _setup(k, tau, tile=tile)
+    ctrl_n = MPPI(ctrl._model, ctrl._cost, k=k, tau=tau, lam=0.8,
+                  upsilon=fused.upsilon, sigma=sigma, normalize_cost=True)
+    mp, cp = ctrl_n.model_params, ctrl_n._cparams
+
+    rng = np.random.RandomState(11)
+    z_std = rng.randn(tau, 3, k).astype(np.float32)
+    z = chunk_noise(z_std, tile)
+    x0 = np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0])
+    useq = 0.1 * rng.randn(tau, 3).astype(np.float32)
+
+    scale = (fused.upsilon * sigma).astype(np.float32)
+    eps = np.einsum("ij,tjk->kti", scale, z_std)
+    _, _, info = ctrl_n._solve_with_noise_jit(
+        jnp.asarray(eps, ctrl_n._dtype), jnp.asarray(x0, ctrl_n._dtype),
+        jnp.asarray(useq, ctrl_n._dtype), mp, cp)
+    wn_ref = np.asarray(info["weighted_noise"])
+
+    wn, stats = fused.solve(0, x0, useq, mp, cp, z=jnp.asarray(z),
+                            use_prng=False, normalize=True)
+    np.testing.assert_allclose(np.asarray(wn), wn_ref, rtol=2e-3, atol=2e-4)
+    assert np.isfinite(float(stats["nabla"]))
+
+
 def test_fused_rejects_unsupported_model():
     from mppi_tf_tpu.costs import get_cost as gc
     from mppi_tf_tpu.models.auv import AUVModel
@@ -172,9 +202,10 @@ def test_fused_path_with_observer(tmp_path):
 
 
 def test_kernel_rejects_unsupported_options():
-    """Review findings: normalize_cost and non-f32 dtypes must not silently
-    fall through to the fused kernel (it computes the un-normalized softmax
-    in f32 only)."""
+    """Non-f32 dtypes must not silently fall through to the fused kernel
+    (f32 only); normalize_cost and antithetic ARE kernel-supported (the
+    round-1 fallback gap, VERDICT item 3) and must construct a fused
+    controller."""
     sigma = np.diag([0.25, 0.3, 0.2])
     model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
                       state_dim=6, action_dim=3)
@@ -183,13 +214,12 @@ def test_kernel_rejects_unsupported_options():
          "Q": [1.0] * 6},
         lam=0.8, gamma=0.2, upsilon=1.0, sigma=sigma,
     )
-    with pytest.raises(TypeError, match="normalize_cost"):
-        MPPI(model, cost, k=32, tau=3, lam=0.8, upsilon=1.0, sigma=sigma,
-             kernel="pallas", normalize_cost=True)
-    # auto + normalize: falls back to XLA silently (correct, not fused)
     ctrl = MPPI(model, cost, k=32, tau=3, lam=0.8, upsilon=1.0, sigma=sigma,
-                kernel="auto", normalize_cost=True)
-    assert ctrl._fused is None
+                kernel="pallas", normalize_cost=True)
+    assert ctrl._fused is not None
+    ctrl = MPPI(model, cost, k=32, tau=3, lam=0.8, upsilon=1.0, sigma=sigma,
+                kernel="pallas", antithetic=True)
+    assert ctrl._fused is not None and ctrl._fused.antithetic
 
     model64 = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
                         state_dim=6, action_dim=3, dtype=jnp.float64)

