@@ -1,16 +1,31 @@
-"""Benchmark: MPPI replan latency / throughput on the BASELINE workload.
+"""Benchmark: MPPI replan latency / throughput across the full workload set.
 
-Workload (BASELINE.md): point_mass3d dynamics, horizon H=50, K=100,000
-samples per solve, f32, single chip. The reference publishes no numbers
-(BASELINE.md "published: {}"); the target is the driver's north star —
-a 10 ms replan budget at K>=100k, H=50. ``vs_baseline`` is therefore
-(10 ms / measured p50): >= 1.0 means the budget is met, higher is better.
+Default invocation (no env vars) runs the SUITE — every README performance
+row the framework claims, driver-verifiable in one run:
 
-Env knobs: BENCH_WORKLOAD=point_mass|auv, BENCH_KERNEL=pallas|xla,
-BENCH_K / BENCH_TAU / BENCH_CHAIN, BENCH_SHARDED=1 (shard K over a mesh of
-all visible devices — the multi-host harness; combine with
-XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu to
-exercise an N-device virtual mesh).
+    point-mass pallas K=100k H=50   (headline; BASELINE.md north star)
+    point-mass XLA    K=100k H=50   (the fused kernel's own baseline)
+    point-mass pallas K=1M   H=50   (linear-K scaling)
+    AUV (Fossen rk2)  pallas K=262144 H=25
+    AUV (Fossen rk2)  pallas K=65536  H=50
+    NN (3x32 MLP)     XLA    K=65536  H=25 (bf16 MXU path)
+    sharded smoke: point-mass pallas over ALL visible devices
+
+One JSON line is printed per workload as it completes; the FINAL line is the
+headline result with every suite entry under ``extra.suite`` (the driver
+parses the last line; the judge reads the suite).
+
+The reference publishes no numbers (BASELINE.md "published: {}"); the target
+is the driver's north star — a 10 ms replan budget at K>=100k, H=50.
+``vs_baseline`` is (10 ms / measured p50): >= 1.0 meets the budget.
+
+Env knobs (single-workload mode, back-compat):
+  BENCH_WORKLOAD=point_mass|auv|nn   run ONE workload instead of the suite
+  BENCH_KERNEL=pallas|xla            solve path (pallas = fused VMEM kernel)
+  BENCH_K / BENCH_TAU / BENCH_CHAIN  shape overrides
+  BENCH_TILE                         fused-kernel tile (default 8192)
+  BENCH_SHARDED=1                    shard K over a mesh of all devices
+  BENCH_SUITE=0                      skip the suite even with no overrides
 
 Methodology: the solve is chained S times inside one jitted ``lax.fori_loop``
 (carrying key/state/sequence like a real receding-horizon loop) and timed
@@ -19,7 +34,7 @@ per-call host dispatch. Measured: one dispatch over the axon HTTP relay
 costs ~22-33 ms of RTT regardless of content (an empty 50-step fori_loop
 times identically), so the chain must be long to amortize it — at
 CHAIN=2000 the RTT share is ~11-16 us/solve. Single-call dispatch latency
-is reported alongside in "extra".
+is reported alongside in "extra" for the headline workload.
 """
 
 import json
@@ -28,49 +43,15 @@ import time
 
 import numpy as np
 
+_VALID_WORKLOADS = ("point_mass", "auv", "nn")
 
-def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/root/repo/.jax_cache")
-    import jax
-    import jax.numpy as jnp
 
-    # honour an explicit CPU request: the axon sitecustomize rewrites
-    # jax_platforms at interpreter start, so the env var alone is ignored
-    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["JAX_COMPILATION_CACHE_DIR"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-    from mppi_tf_tpu.controller.mppi import MPPI
+def _build_workload(workload, jnp):
+    """Model/cost/lam/state0 for a named workload."""
     from mppi_tf_tpu.costs import get_cost
     from mppi_tf_tpu.models import get_model
 
-    backend = jax.default_backend()
-    # point_mass (BASELINE workload, default) or auv (rexrov2 + static_quat)
-    WORKLOAD = os.environ.get("BENCH_WORKLOAD", "point_mass")
-    K = int(os.environ.get("BENCH_K",
-                           {"point_mass": 100_000, "nn": 16_384}.get(
-                               WORKLOAD, 65_536)))
-    TAU = int(os.environ.get("BENCH_TAU",
-                             50 if WORKLOAD == "point_mass" else 25))
-    CHAIN = int(os.environ.get("BENCH_CHAIN", 2000))
-    # pallas = fused VMEM-resident kernel (TPU only); xla = lax.scan path
-    KERNEL = os.environ.get("BENCH_KERNEL",
-                            "pallas" if backend == "tpu" else "xla")
-    # BENCH_SHARDED=1: shard K over a mesh of ALL visible devices (the
-    # multi-host harness, SURVEY.md §7.8) — pmin/pmax/psum merge the shards
-    SHARDED = os.environ.get("BENCH_SHARDED", "") == "1"
-    n_dev = len(jax.devices())
-    if SHARDED:
-        K -= K % n_dev  # k must divide evenly over the mesh
-
-    if WORKLOAD == "point_mass":
+    if workload == "point_mass":
         sigma = np.diag([0.25, 0.25, 0.25])
         model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
                           state_dim=6, action_dim=3)
@@ -82,10 +63,10 @@ def main():
         )
         lam = 0.8
         state0 = np.zeros(6)
-    elif WORKLOAD == "nn":
+    elif workload == "nn":
         # learned-dynamics workload: NNAUVModel 3x32 MLP, static_quat cost
-        # (the MBRL sampling hot path; no fused kernel — XLA MXU path,
-        # bf16 matmuls with f32 accumulation)
+        # (the MBRL sampling hot path; no fused kernel by design — XLA MXU
+        # path, bf16 matmuls with f32 accumulation)
         import __graft_entry__ as g
 
         sigma = np.diag([1500.0] * 6)
@@ -96,9 +77,7 @@ def main():
         lam = 0.5
         state0 = np.zeros(13)
         state0[6] = 1.0
-        if KERNEL == "pallas":
-            KERNEL = "xla"  # no fused kernel for NN dynamics (by design)
-    else:
+    elif workload == "auv":
         import __graft_entry__ as g
 
         sigma = np.diag([1500.0] * 6)
@@ -108,29 +87,52 @@ def main():
         lam = 0.5
         state0 = np.zeros(13)
         state0[6] = 1.0
-    sdim = model.get_state_dim()
+    else:
+        raise ValueError(
+            f"unknown BENCH_WORKLOAD {workload!r}; valid: {_VALID_WORKLOADS}")
+    return model, cost, sigma, lam, state0
+
+
+def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
+                 measure_single=False):
+    """Run one benchmark workload; returns the result dict."""
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    n_dev = len(jax.devices())
+    if sharded:
+        K -= K % n_dev  # k must divide evenly over the mesh
+    if workload == "nn" and kernel == "pallas":
+        kernel = "xla"  # no fused kernel for NN dynamics (by design)
+
+    model, cost, sigma, lam, state0 = _build_workload(workload, jnp)
     adim = model.get_action_dim()
 
-    if SHARDED:
+    from mppi_tf_tpu.controller.mppi import MPPI
+
+    ctrl = None
+    if sharded:
         from mppi_tf_tpu.parallel import make_mesh
 
         mesh = make_mesh(n_dev, ("k",))
-        if KERNEL == "pallas":
+        if kernel == "pallas":
             from mppi_tf_tpu.parallel.fused import ShardedFusedMPPI
 
             sctrl = ShardedFusedMPPI(model, cost, mesh, k=K, tau=TAU,
                                      lam=lam, upsilon=1.0, sigma=sigma,
+                                     tile=tile,
                                      interpret=(backend != "tpu"))
             stride = sctrl._seed_stride
             ssolve = sctrl._solve
+            mp, cp = sctrl._mparams, sctrl._cparams
 
             def chained(key, state, useq):
                 def body(i, carry):
                     state, useq = carry
                     action, useq, _info = ssolve(
-                        i * stride, state, useq, sctrl._mparams,
-                        sctrl._cparams)
-                    state = model.step(sctrl._mparams, state[None, :],
+                        i * stride, state, useq, mp, cp)
+                    state = model.step(mp, state[None, :],
                                        action[None, :])[0]
                     return (state, useq)
 
@@ -138,7 +140,6 @@ def main():
 
             single = jax.jit(lambda key, state, useq, mp_, cp_: ssolve(
                 0, state, useq, mp_, cp_))
-            mp, cp = sctrl._mparams, sctrl._cparams
         else:
             from mppi_tf_tpu.parallel import ShardedMPPI
 
@@ -159,42 +160,41 @@ def main():
                 return jax.lax.fori_loop(0, CHAIN, body, (key, state, useq))
 
             single = jax.jit(ssolve)
-        ctrl = None
     else:
-        # honour an explicit BENCH_KERNEL even off-TPU (pallas -> interpret
-        # mode, for debugging); MPPI rejects genuinely unsupported combos
+        # honour an explicit kernel even off-TPU (pallas -> interpret mode,
+        # for debugging); MPPI rejects genuinely unsupported combos
         ctrl = MPPI(model, cost, k=K, tau=TAU, lam=lam, upsilon=1.0,
-                    sigma=sigma, kernel=KERNEL,
-                    kernel_tile=int(os.environ.get("BENCH_TILE", 8192)))
+                    sigma=sigma, kernel=kernel, kernel_tile=tile)
         mp, cp = ctrl.model_params, ctrl._cparams
-
         solve = ctrl._solve  # pure fn: (key, state, useq, mp, cp)
 
-    if ctrl is not None and ctrl._fused is not None:
-        fused = ctrl._fused
-        n_tiles = (K + fused.tile - 1) // fused.tile
+        if ctrl._fused is not None:
+            fused = ctrl._fused
+            n_tiles = (K + fused.tile - 1) // fused.tile
 
-        def chained(key, state, useq):
-            # key is unused: the kernel seeds pltpu.prng per solve
-            def body(i, carry):
-                state, useq = carry
-                action, shifted, _info = ctrl._fused_step(
-                    i * n_tiles, state, useq, mp, cp)
-                state = model.step(mp, state[None, :], action[None, :])[0]
-                return (state, shifted)
+            def chained(key, state, useq):
+                # key is unused: the kernel seeds pltpu.prng per solve
+                def body(i, carry):
+                    state, useq = carry
+                    action, shifted, _info = ctrl._fused_step(
+                        i * n_tiles, state, useq, mp, cp)
+                    state = model.step(mp, state[None, :],
+                                       action[None, :])[0]
+                    return (state, shifted)
 
-            return jax.lax.fori_loop(0, CHAIN, body, (state, useq))
-    elif ctrl is not None:
-        def chained(key, state, useq):
-            def body(_, carry):
-                key, state, useq = carry
-                key, sub = jax.random.split(key)
-                action, useq, _info = solve(sub, state, useq, mp, cp)
-                # feed the applied action through the plant: closed loop
-                state = model.step(mp, state[None, :], action[None, :])[0]
-                return (key, state, useq)
+                return jax.lax.fori_loop(0, CHAIN, body, (state, useq))
+        else:
+            def chained(key, state, useq):
+                def body(_, carry):
+                    key, state, useq = carry
+                    key, sub = jax.random.split(key)
+                    action, useq, _info = solve(sub, state, useq, mp, cp)
+                    # feed the applied action through the plant: closed loop
+                    state = model.step(mp, state[None, :],
+                                       action[None, :])[0]
+                    return (key, state, useq)
 
-            return jax.lax.fori_loop(0, CHAIN, body, (key, state, useq))
+                return jax.lax.fori_loop(0, CHAIN, body, (key, state, useq))
 
     chained_jit = jax.jit(chained)
 
@@ -206,7 +206,6 @@ def main():
     out = chained_jit(key, state, useq)
     jax.block_until_ready(out)
 
-    # timed runs
     reps = 3
     times = []
     for _ in range(reps):
@@ -216,47 +215,145 @@ def main():
         times.append((time.perf_counter() - t0) / CHAIN)
     per_solve = float(np.median(times))
 
-    # single-call dispatch latency (incl. host round trip); the sharded
-    # branch defined `single` above
-    if ctrl is not None and ctrl._fused is not None:
-        def _single(key, state, useq, mp, cp):
-            return ctrl._fused.solve(0, state, useq, mp, cp, use_prng=True)
-        single = jax.jit(_single)
-    elif ctrl is not None:
-        single = jax.jit(solve)
-    r = single(key, state, useq, mp, cp)
-    jax.block_until_ready(r)
-    lat = []
-    for _ in range(10):
-        t0 = time.perf_counter()
+    dispatch_p50 = None
+    if measure_single:
+        # single-call dispatch latency (incl. host round trip)
+        if ctrl is not None and ctrl._fused is not None:
+            def _single(key, state, useq, mp_, cp_):
+                return ctrl._fused.solve(0, state, useq, mp_, cp_,
+                                         use_prng=True)
+            single = jax.jit(_single)
+        elif ctrl is not None:
+            single = jax.jit(solve)
         r = single(key, state, useq, mp, cp)
         jax.block_until_ready(r)
-        lat.append(time.perf_counter() - t0)
-    dispatch_p50 = float(np.median(lat))
+        lat = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            r = single(key, state, useq, mp, cp)
+            jax.block_until_ready(r)
+            lat.append(time.perf_counter() - t0)
+        dispatch_p50 = float(np.median(lat))
 
-    wname = {"point_mass": "point_mass3d", "nn": "auv_nn_mlp"}.get(
-        WORKLOAD, "auv_rexrov2")
+    wname = {"point_mass": "point_mass3d", "nn": "auv_nn_mlp",
+             "auv": "auv_rexrov2"}[workload]
     p50_ms = per_solve * 1e3
-    result = {
-        "metric": f"p50_replan_latency_ms@K={K},H={TAU},{wname},{backend}",
+    used_pallas = (ctrl._fused is not None if ctrl is not None
+                   else kernel == "pallas")
+    extra = {
+        "solves_per_s": round(1.0 / per_solve, 2),
+        "rollouts_per_s_per_chip": round(
+            K / per_solve / (n_dev if sharded else 1), 0),
+        "backend": backend,
+        "kernel": "pallas" if used_pallas else "xla",
+        "chain": CHAIN,
+        "workload": workload,
+        "K": K,
+        "H": TAU,
+        "sharded": sharded,
+        "n_devices": n_dev,
+    }
+    if dispatch_p50 is not None:
+        extra["single_call_p50_ms"] = round(dispatch_p50 * 1e3, 3)
+    return {
+        "metric": (f"p50_replan_latency_ms@K={K},H={TAU},{wname},"
+                   f"{'sharded,' if sharded else ''}{backend},"
+                   f"{extra['kernel']}"),
         "value": round(p50_ms, 4),
         "unit": "ms",
         "vs_baseline": round(10.0 / p50_ms, 3),
-        "extra": {
-            "solves_per_s": round(1.0 / per_solve, 2),
-            "rollouts_per_s_per_chip": round(
-                K / per_solve / (n_dev if SHARDED else 1), 0),
-            "single_call_p50_ms": round(dispatch_p50 * 1e3, 3),
-            "backend": backend,
-            "kernel": ("pallas" if (ctrl._fused if ctrl is not None
-                                    else KERNEL == "pallas") else "xla"),
-            "chain": CHAIN,
-            "workload": WORKLOAD,
-            "sharded": SHARDED,
-            "n_devices": n_dev,
-        },
+        "extra": extra,
     }
-    print(json.dumps(result))
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/repo/.jax_cache")
+    import jax
+
+    # honour an explicit CPU request: the axon sitecustomize rewrites
+    # jax_platforms at interpreter start, so the env var alone is ignored
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    backend = jax.default_backend()
+    default_kernel = "pallas" if backend == "tpu" else "xla"
+    tile = int(os.environ.get("BENCH_TILE", 8192))
+
+    single_mode = any(os.environ.get(v) for v in
+                      ("BENCH_WORKLOAD", "BENCH_K", "BENCH_TAU",
+                       "BENCH_KERNEL", "BENCH_SHARDED", "BENCH_CHAIN"))
+    # BENCH_SUITE=1 forces suite mode (BENCH_K/TAU/CHAIN become row CAPS —
+    # the CPU contract test path); BENCH_SUITE=0 forces single mode; unset:
+    # suite unless a single-workload override is present
+    suite_env = os.environ.get("BENCH_SUITE", "")
+    suite_mode = (suite_env == "1"
+                  or (suite_env != "0" and not single_mode))
+
+    if not suite_mode:
+        workload = os.environ.get("BENCH_WORKLOAD", "point_mass")
+        if workload not in _VALID_WORKLOADS:
+            raise ValueError(f"unknown BENCH_WORKLOAD {workload!r}; "
+                             f"valid: {_VALID_WORKLOADS}")
+        K = int(os.environ.get("BENCH_K",
+                               {"point_mass": 100_000, "nn": 16_384}.get(
+                                   workload, 65_536)))
+        TAU = int(os.environ.get("BENCH_TAU",
+                                 50 if workload == "point_mass" else 25))
+        CHAIN = int(os.environ.get("BENCH_CHAIN", 2000))
+        kernel = os.environ.get("BENCH_KERNEL", default_kernel)
+        sharded = os.environ.get("BENCH_SHARDED", "") == "1"
+        result = run_workload(workload, kernel, K, TAU, CHAIN, sharded,
+                              tile, measure_single=True)
+        print(json.dumps(result))
+        return
+
+    # --- suite: every claimed performance row, one run -----------------
+    suite_spec = [
+        # (workload, kernel, K, TAU, CHAIN, sharded, single) — headline 1st
+        ("point_mass", default_kernel, 100_000, 50, 2000, False, True),
+        ("point_mass", "xla", 100_000, 50, 300, False, False),
+        ("point_mass", default_kernel, 1_000_000, 50, 300, False, False),
+        ("auv", default_kernel, 262_144, 25, 300, False, False),
+        ("auv", default_kernel, 65_536, 50, 300, False, False),
+        ("nn", "xla", 65_536, 25, 300, False, False),
+        ("point_mass", default_kernel, 100_000, 50, 300, True, False),
+    ]
+    cap_k = int(os.environ.get("BENCH_K", 0)) or None
+    cap_tau = int(os.environ.get("BENCH_TAU", 0)) or None
+    cap_chain = int(os.environ.get("BENCH_CHAIN", 0)) or None
+    suite = []
+    headline = None
+    for (workload, kernel, K, TAU, CHAIN, sharded, single) in suite_spec:
+        if cap_k:
+            K = min(K, cap_k)
+        if cap_tau:
+            TAU = min(TAU, cap_tau)
+        if cap_chain:
+            CHAIN = min(CHAIN, cap_chain)
+        try:
+            r = run_workload(workload, kernel, K, TAU, CHAIN, sharded,
+                             tile, measure_single=single)
+        except Exception as e:  # a broken row must not hide the others
+            r = {"metric": f"FAILED@{workload},K={K},H={TAU},"
+                           f"kernel={kernel},sharded={sharded}",
+                 "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(r), flush=True)
+        suite.append(r)
+        if headline is None and "error" not in r:
+            headline = r
+    final = dict(headline if headline is not None
+                 else {"metric": "suite_failed", "value": -1.0,
+                       "unit": "ms", "vs_baseline": 0.0})
+    final["extra"] = dict(final.get("extra", {}))
+    final["extra"]["suite"] = suite
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":

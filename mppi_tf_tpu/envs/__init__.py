@@ -1,8 +1,11 @@
 from .analytic import AUVEnv, PointMassEnv
+from .mjx_env import (HAS_MJX, JaxPointMassEnv, MjxPointMassEnv,
+                      build_on_device_loop, on_device_closed_loop)
 from .runner import ClosedLoopRunner, run_experiment
 
 __all__ = ["AUVEnv", "PointMassEnv", "ClosedLoopRunner", "run_experiment",
-           "get_env"]
+           "get_env", "JaxPointMassEnv", "MjxPointMassEnv", "HAS_MJX",
+           "on_device_closed_loop", "build_on_device_loop"]
 
 
 def get_env(env_cfg, render: bool = False, model_cfg=None):
@@ -25,6 +28,10 @@ def get_env(env_cfg, render: bool = False, model_cfg=None):
         from .mujoco_env import MujocoEnv
 
         return MujocoEnv(name, sdim, adim, render=render)
+    if str(name).startswith("mjx:"):
+        return MjxPointMassEnv(n_dof=adim, render=render)
+    if str(name).startswith("jax:"):
+        return JaxPointMassEnv(n_dof=adim, render=render)
     if str(name) == "analytic:auv" or sdim == AUVEnv.STATE_DIM:
         plant_cfg = env_cfg.get("plant") or model_cfg
         if plant_cfg is None:

@@ -42,3 +42,37 @@ def test_bench_sharded_mode():
                      XLA_FLAGS="--xla_force_host_platform_device_count=8")
     assert rec["extra"]["sharded"] is True
     assert rec["extra"]["n_devices"] == 8
+
+
+def test_bench_invalid_workload_rejected():
+    env = {**os.environ, "BENCH_WORKLOAD": "pointmass",  # typo'd on purpose
+           "JAX_PLATFORMS": "cpu"}
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         capture_output=True, text=True, timeout=120,
+                         env=env, cwd=REPO)
+    assert out.returncode != 0
+    assert "unknown BENCH_WORKLOAD" in out.stderr
+
+
+def test_bench_suite_mode():
+    """Default (driver) invocation runs the SUITE: one JSON line per
+    workload, final line = headline with every row under extra.suite
+    (VERDICT r1 item 1). BENCH_SUITE=1 with caps keeps it CPU-fast."""
+    env = {**os.environ, "BENCH_SUITE": "1", "BENCH_K": "256",
+           "BENCH_TAU": "5", "BENCH_CHAIN": "2", "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         capture_output=True, text=True, timeout=600,
+                         env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    final = json.loads(lines[-1])
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in final, final
+    suite = final["extra"]["suite"]
+    assert len(suite) == 7, [r["metric"] for r in suite]
+    workloads = {r["extra"]["workload"] for r in suite if "extra" in r}
+    assert workloads == {"point_mass", "auv", "nn"}, workloads
+    assert any(r.get("extra", {}).get("sharded") for r in suite)
+    for r in suite:
+        assert "error" not in r, r

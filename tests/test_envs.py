@@ -141,3 +141,92 @@ def test_flagship_auv_elipse3d_experiment():
     assert np.all(np.isfinite(states))
     qn = np.linalg.norm(states[-1][3:7])
     assert abs(qn - 1.0) < 1e-5, qn
+
+
+class TestOnDevicePlant:
+    """On-device plant + TPU-resident closed loop (VERDICT r1 item 5 /
+    SURVEY §7 step 5). mjx itself is gated on the mujoco-mjx package."""
+
+    def test_jax_env_matches_analytic(self):
+        from mppi_tf_tpu.envs.mjx_env import JaxPointMassEnv
+
+        ref = PointMassEnv(n_dof=3, dt=0.01)
+        dev = JaxPointMassEnv(n_dof=3, dt=0.01)
+        rng = np.random.default_rng(50)
+        x0 = rng.normal(size=6)
+        ref.reset(x0)
+        dev.reset(x0)
+        for _ in range(40):
+            u = rng.normal(size=3)
+            xr = ref.step(u.reshape(1, -1))
+            xd = dev.step(u.reshape(1, -1))
+        np.testing.assert_allclose(np.asarray(xd), np.asarray(xr),
+                                   rtol=1e-5, atol=1e-6)
+        assert dev.getTime() == pytest.approx(ref.getTime())
+
+    def test_jax_env_step_fn_pure_and_jittable(self):
+        import jax
+
+        from mppi_tf_tpu.envs.mjx_env import JaxPointMassEnv
+
+        env = JaxPointMassEnv(n_dof=2, dt=0.01)
+        x = jnp.asarray([0.1, 0.2, -0.3, 0.4])
+        u = jnp.asarray([1.0, -1.0])
+        a = jax.jit(env.step_fn)(x, u)
+        b = env.step_fn(x, u)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_mjx_env_gated(self):
+        from mppi_tf_tpu.envs.mjx_env import HAS_MJX, MjxPointMassEnv
+
+        if HAS_MJX:
+            pytest.skip("mjx installed; gating path not reachable")
+        with pytest.raises(ImportError, match="mujoco-mjx"):
+            MjxPointMassEnv(n_dof=3)
+
+    @pytest.mark.skipif(
+        not __import__("mppi_tf_tpu.envs.mjx_env",
+                       fromlist=["HAS_MJX"]).HAS_MJX,
+        reason="mujoco-mjx not installed")
+    def test_mjx_env_matches_analytic(self):
+        from mppi_tf_tpu.envs.mjx_env import MjxPointMassEnv
+
+        ref = PointMassEnv(n_dof=3, dt=0.01)
+        dev = MjxPointMassEnv(n_dof=3, dt=0.01)
+        rng = np.random.default_rng(51)
+        x0 = rng.normal(size=6)
+        ref.reset(x0)
+        dev.reset(x0)
+        for _ in range(20):
+            u = rng.normal(size=3)
+            xr = ref.step(u.reshape(1, -1))
+            xd = dev.step(u.reshape(1, -1))
+        np.testing.assert_allclose(np.asarray(xd), np.asarray(xr),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_on_device_closed_loop_reaches_goal(self):
+        """The whole MBRL control loop as ONE jitted scan: solve + plant
+        substeps stay on-device; the trajectory converges to the goal."""
+        from mppi_tf_tpu.controller.mppi import MPPI
+        from mppi_tf_tpu.costs import get_cost
+        from mppi_tf_tpu.envs.mjx_env import (JaxPointMassEnv,
+                                              on_device_closed_loop)
+        from mppi_tf_tpu.models import get_model
+
+        sigma = np.diag([0.4, 0.4])
+        model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                          state_dim=4, action_dim=2)
+        cost = get_cost({"type": "static", "diag": True,
+                         "goal": [1.0, 0.0, -0.5, 0.0],
+                         "Q": [8.0, 1.5, 8.0, 1.5]},
+                        lam=0.6, gamma=0.2, upsilon=1.0, sigma=sigma)
+        ctrl = MPPI(model, cost, k=256, tau=15, lam=0.6, upsilon=1.0,
+                    sigma=sigma, seed=2)
+        env = JaxPointMassEnv(n_dof=2, dt=0.01)
+        states, actions = on_device_closed_loop(
+            ctrl, env.step_fn, np.zeros(4), steps=60, substeps=10)
+        states = np.asarray(states)
+        assert states.shape == (60, 4)
+        assert np.asarray(actions).shape == (60, 2)
+        err = np.linalg.norm(states[-1, 0::2] - np.array([1.0, -0.5]))
+        assert err < 0.25, err
