@@ -198,7 +198,11 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
 
     chained_jit = jax.jit(chained)
 
-    key = jax.random.PRNGKey(0)
+    # the controller's own key (rbg on TPU — the production default)
+    key = (ctrl._key if ctrl is not None
+           else getattr(sctrl, "_key", None))
+    if key is None:
+        key = jax.random.PRNGKey(0)  # fused sharded path: key unused
     state = jnp.asarray(state0, dtype=model.dtype)
     useq = jnp.zeros((TAU, adim), dtype=model.dtype)
 

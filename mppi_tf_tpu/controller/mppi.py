@@ -35,6 +35,18 @@ from ..ops import update as upd
 from ..ops.rollout import rollout_costs
 
 
+def make_prng_key(seed: int, impl: str = "auto"):
+    """Controller PRNG key. ``impl='auto'`` picks the hardware RBG generator
+    on TPU — measured 2.5x faster than threefry for the [K, tau, aDim]
+    noise draw (0.40 ms vs 0.99 ms at K=65536, H=25 on one v5e chip), which
+    is the dominant non-dynamics cost of the XLA solve path — and threefry
+    elsewhere (reproducibility across CPU test runs). Returns (key, impl).
+    """
+    if impl == "auto":
+        impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+    return jax.random.key(seed, impl=impl), impl
+
+
 def savgol_matrix(tau: int, window: int, polyorder: int) -> np.ndarray:
     """Savitzky–Golay smoothing as a linear operator S: filtered = S @ seq.
 
@@ -99,6 +111,7 @@ class MPPI:
         kernel: str = "xla",
         kernel_tile: int = 8192,
         antithetic: bool = False,
+        prng_impl: str = "auto",
     ):
         self._model = model
         self._cost = cost
@@ -138,7 +151,7 @@ class MPPI:
         else:
             init_seq = jnp.asarray(init_seq, dtype=dtype).reshape(tau, self._adim)
             self._useq = init_seq
-        self._key = jax.random.PRNGKey(seed)
+        self._key, self._prng_impl = make_prng_key(seed, prng_impl)
         self._mparams = model.init_params()
         self._cparams = cost.init_params()
         self._steps = 0
@@ -402,7 +415,8 @@ class MPPI:
         np.savez(
             path,
             useq=np.asarray(self._useq),
-            key=np.asarray(self._key),
+            key=np.asarray(jax.random.key_data(self._key)),
+            key_impl=np.str_(self._prng_impl),
             steps=self._steps,
             timing_total=self._timing["total"],
             timing_calls=self._timing["calls"],
@@ -416,7 +430,14 @@ class MPPI:
                 f"checkpoint useq {d['useq'].shape} != controller "
                 f"{tuple(self._useq.shape)}")
         self._useq = jnp.asarray(d["useq"], dtype=self._dtype)
-        self._key = jnp.asarray(d["key"], dtype=self._key.dtype)
+        if "key_impl" in d:
+            self._prng_impl = str(d["key_impl"])
+            self._key = jax.random.wrap_key_data(
+                jnp.asarray(d["key"]), impl=self._prng_impl)
+        else:  # round-1 checkpoints stored the raw threefry uint32 pair
+            self._key = jax.random.wrap_key_data(
+                jnp.asarray(d["key"]), impl="threefry2x32")
+            self._prng_impl = "threefry2x32"
         self._steps = int(d["steps"])
         self._timing = {"total": float(d["timing_total"]),
                         "calls": int(d["timing_calls"])}

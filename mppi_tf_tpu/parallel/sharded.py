@@ -214,6 +214,7 @@ class ShardedMPPI(ShardedControllerMixin):
         filter_polyorder: int = 3,
         observer=None,
         init_seq=None,
+        prng_impl: str = "auto",
     ):
         if sigma is None:
             raise ValueError("sigma (noise scale matrix) is required")
@@ -240,7 +241,9 @@ class ShardedMPPI(ShardedControllerMixin):
                 dtype=self._dtype)
         else:
             self._useq = jnp.zeros((tau, self._adim), dtype=self._dtype)
-        self._key = jax.random.PRNGKey(seed)
+        from ..controller.mppi import make_prng_key
+
+        self._key, self._prng_impl = make_prng_key(seed, prng_impl)
         self._mparams = model.init_params()
         self._cparams = cost.init_params()
         self._observer = observer
@@ -296,7 +299,8 @@ class ShardedMPPI(ShardedControllerMixin):
         """Checkpoint the mutable controller state (mirrors MPPI.save_state;
         SURVEY.md §5.4 — the reference has no controller-state checkpoint)."""
         np.savez(path, useq=np.asarray(self._useq),
-                 key=np.asarray(self._key),
+                 key=np.asarray(jax.random.key_data(self._key)),
+                 key_impl=np.str_(self._prng_impl),
                  timing_total=self._timing["total"],
                  timing_calls=self._timing["calls"])
 
@@ -307,7 +311,10 @@ class ShardedMPPI(ShardedControllerMixin):
                 f"checkpoint useq {d['useq'].shape} != controller "
                 f"{tuple(self._useq.shape)}")
         self._useq = jnp.asarray(d["useq"], dtype=self._dtype)
-        self._key = jnp.asarray(d["key"], dtype=self._key.dtype)
+        impl = str(d["key_impl"]) if "key_impl" in d else "threefry2x32"
+        self._key = jax.random.wrap_key_data(jnp.asarray(d["key"]),
+                                             impl=impl)
+        self._prng_impl = impl
         self._timing = {"total": float(d["timing_total"]),
                         "calls": int(d["timing_calls"])}
 

@@ -743,3 +743,74 @@ def test_full_nn_solve_matches_reference(ref, ref_nn, ours):
         mppi._cparams)
     np.testing.assert_allclose(np.asarray(new_useq)[:-1],
                                update_ref[1:, :, 0], rtol=1e-6, atol=1e-9)
+
+
+def test_closed_loop_trajectory_matches_reference(ref, ours):
+    """Multi-step closed-loop oracle (VERDICT r1 item 7): 10 control steps
+    on point_mass3d with the SAME noise realisation injected per step into
+    both the reference graph and MPPI, comparing the full action and U
+    trajectories in f64.
+
+    The reference Python controller loses its update (the shifted sequence
+    never writes back to self._actionSeq, controller_base.py:339-341 vs
+    :452); the correct receding-horizon carry is the C++ one
+    (m_U = out_tensor[0], controller_base.cpp:135-153), applied here
+    manually around the reference's own build_model/update/shift graphs.
+    """
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(23)
+    steps = 10
+
+    ref_model, ref_cost = _ref_pair(ref)
+    ctrl_ref = ref.ControllerBase(
+        ref_model, ref_cost, k=K, tau=TAU, sDim=SDIM, aDim=ADIM, lam=LAM,
+        upsilon=UPSILON, sigma=SIGMA)
+
+    our_model, our_cost = _our_pair(ours)
+    mppi = ours.MPPI(our_model, our_cost, k=K, tau=TAU, lam=LAM,
+                     upsilon=UPSILON, sigma=SIGMA)
+    mp, cp = mppi.model_params, mppi._cparams
+
+    x_ref = np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0])
+    x_our = jnp.asarray(x_ref)
+    U_ref = np.zeros((TAU, ADIM, 1))
+    U_our = jnp.zeros((TAU, ADIM))
+
+    for step in range(steps):
+        eps = np.einsum("ij,ktj->kti", UPSILON * SIGMA,
+                        rng.randn(K, TAU, ADIM))
+
+        # --- reference step with the C++ carry applied manually --------
+        # the reference update() adds the weighted noise to the CAPTURED
+        # self._actionSeq (controller_base.py:452) — the very attribute its
+        # own build_graph never writes back (the §2.1 defect). The C++ carry
+        # is: feed the shifted sequence back in before each solve.
+        ctrl_ref._actionSeq = tf.constant(U_ref, tf.float64)
+        costs = ctrl_ref.build_model(
+            "roll", K, tf.constant(x_ref.reshape(SDIM, 1), tf.float64),
+            tf.constant(eps.reshape(K, TAU, ADIM, 1), tf.float64),
+            tf.constant(U_ref, tf.float64))
+        updated = ctrl_ref.update(
+            "up", costs, tf.constant(eps.reshape(K, TAU, ADIM, 1),
+                                     tf.float64))
+        a_ref = ctrl_ref.get_next("n", updated, 1).numpy()[0, :, 0]
+        U_ref = ctrl_ref.shift(
+            "s", updated, ctrl_ref.init_zeros("z", 1), 1).numpy()
+        x_ref = ref_model.predict(
+            tf.constant(x_ref.reshape(1, SDIM, 1), tf.float64),
+            tf.constant(a_ref.reshape(1, ADIM, 1), tf.float64)
+        ).numpy().reshape(SDIM)
+
+        # --- ours: one injected-noise solve + plant step ----------------
+        a_our, U_our, _ = mppi._solve_with_noise_jit(
+            jnp.asarray(eps), x_our, U_our, mp, cp)
+        x_our = our_model.predict(mp, x_our, a_our)
+
+        np.testing.assert_allclose(np.asarray(a_our), a_ref, rtol=1e-6,
+                                   atol=1e-12, err_msg=f"step {step} action")
+        np.testing.assert_allclose(np.asarray(U_our), U_ref[:, :, 0],
+                                   rtol=1e-6, atol=1e-12,
+                                   err_msg=f"step {step} sequence")
+        np.testing.assert_allclose(np.asarray(x_our), x_ref, rtol=1e-6,
+                                   atol=1e-12, err_msg=f"step {step} state")
