@@ -54,10 +54,11 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
                     sigma=kwargs.pop("sigma"), observer=observer,
                     init_seq=kwargs.pop("init_seq", None),
                     seed=kwargs.pop("seed", 0))
-        # the fused kernels are f32 and draw i.i.d. in-kernel noise — same
-        # eligibility rules as MPPI(kernel=); normalize_cost/clip/filter are
-        # kernel-supported (pm_mppi/auv_mppi second-pass + merge)
-        blockers = [opt for opt in ("antithetic",) if kwargs.get(opt)]
+        # the fused kernels are f32 — same eligibility rules as
+        # MPPI(kernel=); normalize_cost/clip/filter/antithetic are
+        # kernel-supported (pm_mppi/auv_mppi second-pass + merge +
+        # in-kernel lane-mirror pairs)
+        blockers = []
         if jnp.dtype(model.dtype) != jnp.float32:
             blockers.append(f"dtype={jnp.dtype(model.dtype).name} "
                             "(kernel is f32)")
@@ -71,7 +72,8 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
             if "kernel_tile" in kwargs:
                 fused_kwargs["tile"] = int(kwargs["kernel_tile"])
             for opt in ("normalize_cost", "clip_actions", "filter_seq",
-                        "filter_window", "filter_polyorder"):
+                        "filter_window", "filter_polyorder", "antithetic",
+                        "overlap_merge"):
                 if opt in kwargs:
                     fused_kwargs[opt] = kwargs[opt]
             try:
@@ -81,7 +83,8 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
                              if k_ not in ("kernel_tile", "normalize_cost",
                                            "clip_actions", "filter_seq",
                                            "filter_window",
-                                           "filter_polyorder", "antithetic")}
+                                           "filter_polyorder", "antithetic",
+                                           "overlap_merge")}
                 if leftovers:
                     raise TypeError(
                         f"unknown controller option(s) {sorted(leftovers)} "
@@ -91,6 +94,11 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
                 if kernel == "pallas":
                     raise
         kwargs.pop("kernel_tile", None)  # XLA path has no kernel tile
+        if kwargs.pop("overlap_merge", False):
+            raise ValueError(
+                "overlap_merge is a fused-kernel (Pallas) option; the XLA "
+                "sharded path has no tile split to overlap — request "
+                "kernel='pallas' with a supported model/cost pair")
         return ShardedMPPI(
             model, cost, mesh,
             normalize_cost=kwargs.pop("normalize_cost", False),

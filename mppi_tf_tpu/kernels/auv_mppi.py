@@ -563,6 +563,7 @@ class FusedAUVMPPI:
         self.adim = 6
         self.sdim = 13
         sigma = np.asarray(sigma, np.float64)
+        self.sigma = sigma
         self._scale = upsilon * sigma
         self._inv_sigma = np.linalg.inv(sigma)
         nc_half = 0.5 * self.lam * (1.0 - 1.0 / self.upsilon)
@@ -598,6 +599,16 @@ class FusedAUVMPPI:
         self._jit_key = (type(self).__name__, _freeze(self._mc),
                          _freeze(self._scale), _freeze(self._inv_sigma),
                          self.k, self.tau, self.tile, self.interpret)
+
+    def with_k(self, k: int) -> "FusedAUVMPPI":
+        """Sibling instance over ``k`` samples with identical config (see
+        pm_mppi.FusedPointMassMPPI.with_k — used by the overlap_merge tile
+        split in parallel/fused.py)."""
+        return type(self)(self.model, self.cost, k=k, tau=self.tau,
+                          lam=self.lam, upsilon=self.upsilon,
+                          sigma=self.sigma, tile=self.tile,
+                          interpret=self.interpret,
+                          antithetic=self.antithetic)
 
     # config-based equality: identical controllers share jit cache entries
     # (the instance is a static argument of _fused_auv_call)

@@ -438,6 +438,7 @@ class FusedPointMassMPPI:
         self.adim = model.get_action_dim()
         self.sdim = model.get_state_dim()
         sigma = np.asarray(sigma, np.float64)
+        self.sigma = sigma
         self._scale = upsilon * sigma
         self._inv_sigma = np.linalg.inv(sigma)
         nc_half = 0.5 * self.lam * (1.0 - 1.0 / self.upsilon)
@@ -462,6 +463,18 @@ class FusedPointMassMPPI:
                          _freeze(self._scale), _freeze(self._inv_sigma),
                          self.k, self.tau, self.tile, self.sdim, self.adim,
                          self.interpret)
+
+    def with_k(self, k: int) -> "FusedPointMassMPPI":
+        """Sibling instance over ``k`` samples with identical config — the
+        in-kernel noise of tile p depends only on (seed + p, tile), so a
+        [head | tail] tile split across two instances reproduces the exact
+        noise of one instance covering all tiles (parallel/fused.py
+        overlap_merge)."""
+        return type(self)(self.model, self.cost, k=k, tau=self.tau,
+                          lam=self.lam, upsilon=self.upsilon,
+                          sigma=self.sigma, tile=self.tile,
+                          interpret=self.interpret,
+                          antithetic=self.antithetic)
 
     # the fused instance is a jit static argument (fused_pm_call):
     # config-based equality lets identical controllers share compilations

@@ -39,7 +39,8 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
                               normalize_cost: bool = False,
                               clip_actions: bool = False,
                               act_min=None, act_max=None,
-                              filter_mat=None):
+                              filter_mat=None,
+                              overlap_merge: bool = False):
     """Return (solve, solve_with_noise) jitted over ``mesh``.
 
     ``local_fused`` is a FusedPointMassMPPI / FusedAUVMPPI built with the
@@ -54,6 +55,20 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
     ``filter_mat`` applies Savitzky-Golay smoothing as a [tau, tau] matmul;
     ``normalize_cost`` runs the two-phase normalized kernels with the
     global beta/max reduced across shards (pmin/pmax) between the phases.
+
+    ``overlap_merge`` targets the multi-host replan budget (BASELINE.md:
+    10 ms at N>=2 hosts, where the psum rides DCN, not ICI): the per-shard
+    solve is split [head = all tiles but the last | tail = last tile], the
+    head's cross-shard reduction is issued BEFORE the tail kernel runs, and
+    the two globally-merged partials combine with the same online-softmax
+    pair algebra the kernel uses for tiles. The head collective carries no
+    data dependence on the tail kernel, so XLA's latency-hiding scheduler
+    overlaps the (slow, DCN-bound) all-reduce with the tail compute.
+    Numerically it is the same sum with a different reduction tree
+    (validated by parity test on the virtual mesh). Requires >= 2 local
+    tiles (falls back to the single-phase merge otherwise); composes with
+    clip/filter/antithetic but not with ``normalize_cost`` (whose phase-A/B
+    structure already interleaves its collectives).
     """
     n = mesh.shape[axis]
     if k_global % n != 0:
@@ -68,6 +83,18 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
     scale = jnp.asarray(local_fused._scale, jnp.float32)
     if clip_actions and (act_min is None or act_max is None):
         raise ValueError("clip_actions needs act_min/act_max")
+    if overlap_merge and normalize_cost:
+        raise ValueError("overlap_merge does not compose with "
+                         "normalize_cost (two-phase kernels already "
+                         "interleave their collectives)")
+    if overlap_merge and n_tiles_local < 2:
+        overlap_merge = False  # nothing to overlap: one tile per shard
+    if overlap_merge:
+        n_head = n_tiles_local - 1
+        k_head = n_head * local_fused.tile
+        fused_head = local_fused.with_k(k_head)
+        fused_tail = local_fused.with_k(local_fused.k - k_head)
+        lanes_head = k_head // 8  # head lane count in the chunked-z layout
     if filter_mat is not None:
         filter_mat = jnp.asarray(np.asarray(filter_mat, np.float64),
                                  jnp.float32)
@@ -83,19 +110,46 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
             new_useq, jnp.zeros((1, adim), dtype=new_useq.dtype), 1)
         return action, shifted, info
 
-    def _merge(useq, raw, axis_name):
+    def _shard_reduce(raw, axis_name):
+        """Cross-shard online-softmax reduction of one raw piece -> a
+        globally-merged (m, l, zsum, cost stats) partial (replicated)."""
         m_g = jax.lax.pmax(raw["m"], axis_name)
         f = jnp.exp(raw["m"] - m_g)
-        l_g = jax.lax.psum(raw["l"] * f, axis_name)
-        zsum_g = jax.lax.psum(raw["zsum"] * f, axis_name)
-        wnoise = (zsum_g @ scale.T) / l_g
-        info = {
+        return {
+            "m": m_g,
+            "l": jax.lax.psum(raw["l"] * f, axis_name),
+            "zsum": jax.lax.psum(raw["zsum"] * f, axis_name),
             "cost_min": jax.lax.pmin(raw["cost_min"], axis_name),
             "cost_max": jax.lax.pmax(raw["cost_max"], axis_name),
-            "cost_mean": jax.lax.psum(raw["cost_sum"], axis_name) / k_global,
-            "nabla": l_g,
+            "cost_sum": jax.lax.psum(raw["cost_sum"], axis_name),
+        }
+
+    def _pair_merge(a, b):
+        """Combine two globally-merged partials (the kernel's tile-merge
+        algebra, once, on replicated scalars)."""
+        m = jnp.maximum(a["m"], b["m"])
+        fa, fb = jnp.exp(a["m"] - m), jnp.exp(b["m"] - m)
+        return {
+            "m": m,
+            "l": a["l"] * fa + b["l"] * fb,
+            "zsum": a["zsum"] * fa + b["zsum"] * fb,
+            "cost_min": jnp.minimum(a["cost_min"], b["cost_min"]),
+            "cost_max": jnp.maximum(a["cost_max"], b["cost_max"]),
+            "cost_sum": a["cost_sum"] + b["cost_sum"],
+        }
+
+    def _finish(useq, g):
+        wnoise = (g["zsum"] @ scale.T) / g["l"]
+        info = {
+            "cost_min": g["cost_min"],
+            "cost_max": g["cost_max"],
+            "cost_mean": g["cost_sum"] / k_global,
+            "nabla": g["l"],
         }
         return _postprocess(useq, wnoise, info)
+
+    def _merge(useq, raw, axis_name):
+        return _finish(useq, _shard_reduce(raw, axis_name))
 
     def _merge_normalized(seed, useq, raw, axis_name, z=None,
                           use_prng=True):
@@ -120,6 +174,18 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
     def _solve_shard(seed, state, useq, mparams, cparams):
         idx = jax.lax.axis_index(axis)
         shard_seed = seed + idx * n_tiles_local
+        if overlap_merge:
+            # head tiles use per-tile seeds shard_seed + [0, n_head); the
+            # tail tile uses shard_seed + n_head — identical noise to the
+            # single-call kernel whose tile p seeds at shard_seed + p.
+            raw_h = fused_head.solve(shard_seed, state, useq, mparams,
+                                     cparams, use_prng=True, return_raw=True)
+            g_h = _shard_reduce(raw_h, axis)  # <- overlaps with the tail
+            raw_t = fused_tail.solve(shard_seed + n_head, state, useq,
+                                     mparams, cparams, use_prng=True,
+                                     return_raw=True)
+            g_t = _shard_reduce(raw_t, axis)
+            return _finish(useq, _pair_merge(g_h, g_t))
         raw = local_fused.solve(shard_seed, state, useq,
                                 mparams, cparams, use_prng=True,
                                 return_raw=True, normalize=normalize_cost)
@@ -128,6 +194,16 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
         return _merge(useq, raw, axis)
 
     def _solve_with_noise_shard(z, state, useq, mparams, cparams):
+        if overlap_merge:
+            raw_h = fused_head.solve(0, state, useq, mparams, cparams,
+                                     z=z[:, :, :lanes_head],
+                                     use_prng=False, return_raw=True)
+            g_h = _shard_reduce(raw_h, axis)
+            raw_t = fused_tail.solve(0, state, useq, mparams, cparams,
+                                     z=z[:, :, lanes_head:],
+                                     use_prng=False, return_raw=True)
+            g_t = _shard_reduce(raw_t, axis)
+            return _finish(useq, _pair_merge(g_h, g_t))
         raw = local_fused.solve(0, state, useq, mparams, cparams, z=z,
                                 use_prng=False, return_raw=True,
                                 normalize=normalize_cost)
@@ -154,8 +230,11 @@ class ShardedFusedMPPI(ShardedControllerMixin):
     """ShardedMPPI with a fused Pallas kernel per device shard.
 
     Same user-facing surface (next/set_goal/useq). Supports the kernels'
-    model/cost domains: PointMassModel + StaticCost, or AUVModel +
-    StaticQuatCost.
+    model/cost domains: PointMassModel + {StaticCost, ElipseCost}, or
+    AUVModel + {StaticQuatCost, ElipseCost3D}, with the single-device
+    option set (normalize_cost/clip/filter/antithetic) plus
+    ``overlap_merge`` (head-tiles collective overlapped with the tail
+    kernel — see build_sharded_fused_solve).
     """
 
     def __init__(self, model, cost, mesh: Mesh, k: int, tau: int,
@@ -164,7 +243,8 @@ class ShardedFusedMPPI(ShardedControllerMixin):
                  interpret: bool = False, observer=None, init_seq=None,
                  normalize_cost: bool = False, clip_actions: bool = False,
                  filter_seq: bool = False, filter_window: int = 9,
-                 filter_polyorder: int = 3, antithetic: bool = False):
+                 filter_polyorder: int = 3, antithetic: bool = False,
+                 overlap_merge: bool = False):
         from ..kernels.auv_mppi import FusedAUVMPPI
         from ..kernels.errors import KernelUnsupportedError
         from ..kernels.pm_mppi import FusedPointMassMPPI
@@ -197,7 +277,7 @@ class ShardedFusedMPPI(ShardedControllerMixin):
             self._fused, mesh, k, axis=axis,
             normalize_cost=normalize_cost, clip_actions=clip_actions,
             act_min=model.min_act(), act_max=model.max_act(),
-            filter_mat=filter_mat)
+            filter_mat=filter_mat, overlap_merge=overlap_merge)
         self._seed_stride = n * ((k_local + tile - 1) // tile)
         self._base_seed = int(seed)
         self._dtype = model.dtype
