@@ -1,12 +1,86 @@
-"""DMD-MPPI controller placeholder.
+"""DMD-MPPI: MPPI over an online-identified linear (DMDc) model.
 
-Reference: scripts/src/controllers/dmd_controller.py (a 4-line empty
-subclass reserved for Dynamic Mode Decomposition MPPI). Kept as an explicit
-extension point with the same name so reference users find it.
+Reference: scripts/src/controllers/dmd_controller.py — a 4-line empty
+subclass reserved for Dynamic Mode Decomposition MPPI. This implements the
+reserved capability: the controller is a standard MPPI whose dynamics model
+is a ``models.dmd.DMDModel``, re-identified from the observed transitions
+as they arrive through the reference's own ``save(x, u, x_next)`` hook
+(controller_base.py:147 stores applied transitions) — model-based control
+that adapts to the real plant with no gradient training loop.
+
+Flow per control step (the reference main.py loop, envs/runner.py here):
+
+    u = ctrl.next(x)        # MPPI solve under the current (A, B)
+    x' = plant.step(u)
+    ctrl.save(x, u, x')     # buffer the transition; every ``refit_every``
+                            # saves, refit (A, B) by truncated-SVD DMDc
+
+The refit is a pure jnp least-squares over the replay window — no retrace:
+only the ``model_params`` pytree changes, shapes stay static.
 """
 
+from __future__ import annotations
+
+import numpy as np
+
+from ..learning.replay import ReplayBuffer
+from ..models.dmd import DMDModel
 from .mppi import MPPI
 
 
 class DMDMPPI(MPPI):
-    """Reserved: MPPI over a DMD-identified linear latent model."""
+    """MPPI with online DMDc model identification.
+
+    ``refit_every``: re-identify (A, B) every N saved transitions.
+    ``min_samples``: do not fit before this many transitions are buffered
+    (default 2*(sDim+aDim) — the snapshot matrix needs at least sDim+aDim
+    independent rows for a unique operator).
+    ``buffer_capacity``: replay window; old transitions roll off, so the
+    model tracks a (slowly) time-varying plant.
+    """
+
+    def __init__(self, model: DMDModel, cost, *, refit_every: int = 10,
+                 min_samples: int | None = None,
+                 buffer_capacity: int = 4096, **kwargs):
+        if not isinstance(model, DMDModel):
+            raise TypeError("DMDMPPI needs a models.dmd.DMDModel (got "
+                            f"{type(model).__name__})")
+        super().__init__(model, cost, **kwargs)
+        if refit_every < 1:
+            raise ValueError(f"refit_every must be >= 1, got {refit_every}")
+        sdim, adim = model.get_state_dim(), model.get_action_dim()
+        self._rb = ReplayBuffer(buffer_capacity, sdim, adim)
+        self._refit_every = int(refit_every)
+        self._min_samples = (2 * (sdim + adim) if min_samples is None
+                             else int(min_samples))
+        self._saves = 0
+        self._fits = 0
+
+    def save(self, x, u, x_next):
+        """Buffer the applied transition and periodically refit the model
+        (then fall through to the standard prediction-error logging)."""
+        self._rb.add(x, u, x_next)
+        self._saves += 1
+        if (self._saves % self._refit_every == 0
+                and len(self._rb) >= self._min_samples):
+            self.model_params = self._model.fit_from_buffer(self._rb)
+            self._fits += 1
+        super().save(x, u, x_next)
+
+    def fit_now(self):
+        """Force an immediate refit (e.g. after pre-seeding the buffer with
+        collected exploration transitions, collect.py)."""
+        if len(self._rb) < self._min_samples:
+            raise ValueError(
+                f"{len(self._rb)} transitions buffered; need at least "
+                f"min_samples={self._min_samples} to identify the model")
+        self.model_params = self._model.fit_from_buffer(self._rb)
+        self._fits += 1
+
+    @property
+    def replay(self) -> ReplayBuffer:
+        return self._rb
+
+    @property
+    def n_fits(self) -> int:
+        return self._fits

@@ -66,6 +66,21 @@ def get_model(model_dict, dt=0.1, state_dim=2, action_dim=None, name=None,
         return NNAUVModelSpeed(action_dim=action_dim if action_dim else 6,
                                dt=dt, name=name or "auv_nn_speed_model",
                                dtype=dtype, **kwargs)
+    if mtype == "dmd":
+        from .dmd import DMDModel
+
+        return DMDModel(
+            state_dim=state_dim,
+            action_dim=action_dim if action_dim else 1,
+            dt=dt,
+            rank=model_dict.get("rank"),
+            reg=model_dict.get("reg", 1e-9),
+            act_max=model_dict.get("limMax"),
+            act_min=model_dict.get("limMin"),
+            name=name or "dmd_model",
+            dtype=dtype,
+            **kwargs,
+        )
     raise ValueError(f"unknown model type: {mtype!r}")
 
 

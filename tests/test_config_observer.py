@@ -55,7 +55,8 @@ class TestConfig:
         for n in models:
             cfg = default_config(n)
             s_dim, a_dim = (6, 3) if cfg["type"] in ("point_mass",
-                                                     "neural_net") else (13, 6)
+                                                     "neural_net",
+                                                     "dmd") else (13, 6)
             model = get_model(cfg, dt=0.1, state_dim=s_dim, action_dim=a_dim)
             assert model is not None
             if cfg["type"] == "auv":
