@@ -10,6 +10,7 @@ row the framework claims, driver-verifiable in one run:
     AUV (Fossen rk2)  pallas K=65536  H=50
     NN (3x32 MLP)     XLA    K=65536  H=25 (bf16 MXU path)
     sharded smoke: point-mass pallas over ALL visible devices
+    on-device closed loop: 500 control steps (solve + plant) as ONE program
 
 One JSON line is printed per workload as it completes; the FINAL line is the
 headline result with every suite entry under ``extra.suite`` (the driver
@@ -270,6 +271,60 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
     }
 
 
+def run_on_device_loop_workload(K, TAU, STEPS, tile):
+    """TPU-resident closed loop: [solve -> ZOH action -> 10 plant substeps]
+    x STEPS compiled into ONE scan program (envs/mjx_env.build_on_device_
+    loop) — the per-experiment-dispatch architecture the host-driven
+    reference cannot express. Reports ms per control step INCLUDING the
+    plant, plus the goal error of the actual 50-step-horizon experiment."""
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    from mppi_tf_tpu.controller.mppi import MPPI
+    from mppi_tf_tpu.envs.mjx_env import (JaxPointMassEnv,
+                                          build_on_device_loop)
+
+    model, cost, sigma, lam, state0 = _build_workload("point_mass", jnp)
+    kernel = "pallas" if backend == "tpu" else "xla"
+    ctrl = MPPI(model, cost, k=K, tau=TAU, lam=lam, upsilon=1.0, sigma=sigma,
+                kernel=kernel, kernel_tile=tile)
+    env = JaxPointMassEnv(n_dof=3, dt=0.01)
+    run = build_on_device_loop(ctrl, env.step_fn, steps=STEPS, substeps=10)
+    key = jax.random.PRNGKey(0)
+    states, _actions = jax.block_until_ready(run(state0, key))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        states, _actions = jax.block_until_ready(run(state0, key))
+        times.append(time.perf_counter() - t0)
+    per_step = float(np.median(times)) / STEPS
+    goal_err = float(np.linalg.norm(
+        np.asarray(states)[-1, 0::2] - np.array([1.0, 0.5, -0.5])))
+    p50_ms = per_step * 1e3
+    return {
+        "metric": (f"on_device_loop_step_ms@K={K},H={TAU},steps={STEPS},"
+                   f"point_mass3d,{backend},{kernel}"),
+        "value": round(p50_ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(10.0 / p50_ms, 3),
+        "extra": {
+            "control_steps_per_s": round(1.0 / per_step, 2),
+            "experiment_ms": round(float(np.median(times)) * 1e3, 2),
+            "goal_err": round(goal_err, 4),
+            "backend": backend,
+            "kernel": kernel,
+            "workload": "point_mass",
+            "K": K,
+            "H": TAU,
+            "steps": STEPS,
+            "on_device_loop": True,
+            "sharded": False,
+            "n_devices": len(jax.devices()),
+        },
+    }
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/repo/.jax_cache")
@@ -352,6 +407,17 @@ def main():
         suite.append(r)
         if headline is None and "error" not in r:
             headline = r
+    # on-device closed loop: whole experiment as one program (mjx_env)
+    k_od = min(100_000, cap_k) if cap_k else 100_000
+    tau_od = min(50, cap_tau) if cap_tau else 50
+    steps_od = min(500, cap_chain) if cap_chain else 500
+    try:
+        r = run_on_device_loop_workload(k_od, tau_od, steps_od, tile)
+    except Exception as e:
+        r = {"metric": f"FAILED@on_device_loop,K={k_od},H={tau_od}",
+             "error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(r), flush=True)
+    suite.append(r)
     final = dict(headline if headline is not None
                  else {"metric": "suite_failed", "value": -1.0,
                        "unit": "ms", "vs_baseline": 0.0})

@@ -41,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("-g", "--gif", action="store_true",
                    help="write an animated GIF of the run (run.gif in the "
                         "logdir, or ./run.gif without -l)")
+    p.add_argument("--on-device", action="store_true",
+                   help="compile the whole experiment (solve + plant) into "
+                        "one device program (needs a jax:/mjx:/analytic-AUV "
+                        "plant; excludes -t)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--f64", action="store_true",
                    help="run in float64 on CPU (parity mode)")
@@ -90,6 +94,7 @@ def main(argv=None):
         render=args.render, seed=args.seed,
         train_every=args.train,
         dtype=jnp.float64 if args.f64 else jnp.float32,
+        on_device=args.on_device,
     )
     states = result["states"]
     ctrl = result["controller"]
@@ -100,6 +105,10 @@ def main(argv=None):
         "avg_solve_ms": round(1e3 * timing["total"] / max(timing["calls"], 1), 3),
         "logdir": result["observer"].get_logdir() if result["observer"] else None,
     }
+    if "on_device_ms_per_step" in result:
+        # one compiled program: per-step wall time incl. compile amortized
+        summary["on_device_ms_per_step"] = round(
+            result["on_device_ms_per_step"], 3)
     if args.gif:
         from .utils.plotting import run_to_gif
 

@@ -106,9 +106,7 @@ class AUVEnv:
         # the plant integrates at the fine dt
         self._model = get_model(cfg, dt=self.dt, action_dim=6)
         self._params = self._model.precompute(self._model.init_params())
-        self._step_jit = jax.jit(
-            lambda x, u: self._model.step(self._params, x[None, :],
-                                          u[None, :])[0])
+        self._step_jit = jax.jit(self.step_fn)
         self._t = 0.0
         if goal is None:
             goal = np.zeros(self.STATE_DIM)
@@ -118,6 +116,12 @@ class AUVEnv:
         self._x[6] = 1.0
         if x0 is not None:
             self._x = np.asarray(x0, np.float64).reshape(-1).copy()
+
+    def step_fn(self, x, u):
+        """Pure jittable plant step (the on-device-loop surface,
+        mjx_env.build_on_device_loop): full Fossen dynamics at the plant dt.
+        x: [13], u: [6] -> [13]."""
+        return self._model.step(self._params, x[None, :], u[None, :])[0]
 
     def getTime(self) -> float:
         return self._t

@@ -157,23 +157,35 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10):
     ``substeps`` plant steps]. Returns ``run(x0, key) -> (states, actions)``
     — call it repeatedly without retracing.
 
-    ``ctrl`` is a controller.MPPI (fused or XLA path); ``plant_step`` is a
-    pure (x, u) -> x_next at the physics dt (e.g. JaxPointMassEnv.step_fn —
-    typically dt_physics = dt_control / substeps).
+    ``ctrl`` is a controller.MPPI (fused or XLA path) or a mesh-sharded
+    controller (parallel.ShardedMPPI / parallel.fused.ShardedFusedMPPI —
+    the shard_map'ed solve inlines into the scan, so a pod-scale experiment
+    is also one program); ``plant_step`` is a pure (x, u) -> x_next at the
+    physics dt (e.g. JaxPointMassEnv.step_fn or AUVEnv.step_fn — typically
+    dt_physics = dt_control / substeps).
 
     This is the loop the reference CANNOT express: its plant is host-side
     mujoco_py (simulation.py:39-55), so it pays a device round trip per
     control step; here the dispatch overhead (axon relay: ~22-33 ms
     regardless of content) is paid once per EXPERIMENT instead of once per
     step. Measured on the v5e testbed: 0.40 ms/control-step incl. plant at
-    K=100k H=50 (fused kernel) vs ~283 ms/step host-driven.
+    K=100k H=50 (fused point-mass kernel) vs ~283 ms/step host-driven.
     """
     import jax
     import jax.numpy as jnp
 
-    mp, cp = ctrl._mparams, ctrl._cparams
+    from ..parallel.fused import ShardedFusedMPPI
+    from ..parallel.sharded import ShardedMPPI
 
-    if ctrl._fused is not None:
+    mp, cp = ctrl._mparams, ctrl._cparams
+    tau, adim = ctrl.useq.shape
+
+    if isinstance(ctrl, ShardedFusedMPPI):
+        def solve(i, key, state, useq):
+            seed = jnp.int32(ctrl._base_seed + i * ctrl._seed_stride)
+            action, shifted, _info = ctrl._solve(seed, state, useq, mp, cp)
+            return action, shifted, key
+    elif not isinstance(ctrl, ShardedMPPI) and ctrl._fused is not None:
         n_tiles = (ctrl._k + ctrl._fused.tile - 1) // ctrl._fused.tile
 
         def solve(i, key, state, useq):
@@ -181,7 +193,8 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10):
             action, shifted, _info = ctrl._fused_step(seed, state, useq,
                                                       mp, cp)
             return action, shifted, key
-    else:
+    else:  # key-based solves: MPPI XLA path and ShardedMPPI share the
+        # (key, state, useq, mparams, cparams) signature
         def solve(i, key, state, useq):
             key, sub = jax.random.split(key)
             action, shifted, _info = ctrl._solve(sub, state, useq, mp, cp)
@@ -200,7 +213,7 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10):
     @jax.jit
     def run(x0, key):
         x0 = jnp.asarray(x0, ctrl._dtype).reshape(-1)
-        useq0 = jnp.zeros((ctrl._tau, ctrl._adim), ctrl._dtype)
+        useq0 = jnp.zeros((tau, adim), ctrl._dtype)
         (_, _, _), (states, actions) = jax.lax.scan(
             control_period, (x0, useq0, key), jnp.arange(steps))
         return states, actions
@@ -212,6 +225,8 @@ def on_device_closed_loop(ctrl, plant_step, x0, steps: int,
                           substeps: int = 10):
     """One-shot convenience over :func:`build_on_device_loop` (the compiled
     ``run`` is cached on ``ctrl`` so repeated calls do not retrace)."""
+    import jax
+
     cache = getattr(ctrl, "_ondevice_loops", None)
     if cache is None:
         cache = {}
@@ -220,4 +235,7 @@ def on_device_closed_loop(ctrl, plant_step, x0, steps: int,
     if key not in cache:
         cache[key] = build_on_device_loop(ctrl, plant_step, steps, substeps)
     x0 = np.asarray(x0, np.float64).reshape(-1)
-    return cache[key](x0, ctrl._key)
+    rng = getattr(ctrl, "_key", None)
+    if rng is None:  # seed-based controllers (fused sharded) ignore the key
+        rng = jax.random.PRNGKey(0)
+    return cache[key](x0, rng)

@@ -67,11 +67,19 @@ class ClosedLoopRunner:
 def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
                    log: bool = False, log_path: Optional[str] = None,
                    render: bool = False, seed: int = 0,
-                   train_every: int = 0, dtype=None):
+                   train_every: int = 0, dtype=None,
+                   on_device: bool = False):
     """Config-driven experiment: the reference main.py flow, working.
 
     Builds env/model/cost/controller from the three YAML-family dicts
     (SURVEY.md §1 config layer) and runs the closed loop.
+
+    ``on_device=True`` compiles the WHOLE experiment (solve + plant
+    substeps x steps) into one device program via
+    mjx_env.build_on_device_loop — requires a plant with a jittable
+    ``step_fn`` (jax:/mjx: envs, analytic AUV) and no ``train_every``
+    (per-step host logging and training need the host loop); the observer
+    still snapshots configs for replay.
     """
     import jax.numpy as jnp
 
@@ -104,6 +112,42 @@ def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
 
     controller = get_controller(model, cost, env_cfg, observer=observer,
                                 seed=seed)
+
+    if on_device:
+        import time
+
+        import jax
+
+        if train_every:
+            raise ValueError(
+                "on_device=True does not compose with train_every: the "
+                "experiment is one compiled program with no host loop to "
+                "train in — run training experiments host-driven")
+        if not hasattr(env, "step_fn"):
+            raise ValueError(
+                f"{type(env).__name__} has no jittable step_fn; --on-device "
+                "needs a device-resident plant (env 'jax:point_mass', "
+                "'mjx:point_mass', or the analytic AUV plant)")
+        from .mjx_env import on_device_closed_loop
+
+        substeps = max(1, int(round(dt / env.dt)))
+        x0 = np.reshape(env.getState(), (-1,))
+        start = time.perf_counter()
+        dstates, dactions = on_device_closed_loop(
+            controller, env.step_fn, x0, steps, substeps=substeps)
+        jax.block_until_ready(dstates)
+        elapsed = time.perf_counter() - start
+        states = np.concatenate(
+            [x0[None, :], np.asarray(dstates, np.float64)], axis=0)
+        return {
+            "states": states,
+            "actions": np.asarray(dactions, np.float64),
+            "controller": controller,
+            "env": env,
+            "observer": observer,
+            "learner": None,
+            "on_device_ms_per_step": 1e3 * elapsed / steps,
+        }
 
     learner = None
     if train_every:

@@ -70,9 +70,10 @@ def test_bench_suite_mode():
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in final, final
     suite = final["extra"]["suite"]
-    assert len(suite) == 7, [r["metric"] for r in suite]
+    assert len(suite) == 8, [r["metric"] for r in suite]
     workloads = {r["extra"]["workload"] for r in suite if "extra" in r}
     assert workloads == {"point_mass", "auv", "nn"}, workloads
     assert any(r.get("extra", {}).get("sharded") for r in suite)
+    assert any(r.get("extra", {}).get("on_device_loop") for r in suite)
     for r in suite:
         assert "error" not in r, r
