@@ -71,25 +71,23 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
             fused_kwargs = dict(base)
             if "kernel_tile" in kwargs:
                 fused_kwargs["tile"] = int(kwargs["kernel_tile"])
-            for opt in ("normalize_cost", "clip_actions", "filter_seq",
-                        "filter_window", "filter_polyorder", "antithetic",
-                        "overlap_merge"):
+            fused_opts = ("normalize_cost", "clip_actions", "filter_seq",
+                          "filter_window", "filter_polyorder", "antithetic",
+                          "overlap_merge")
+            for opt in fused_opts:
                 if opt in kwargs:
                     fused_kwargs[opt] = kwargs[opt]
+            # validate BEFORE constructing (kernel builds are not free, and
+            # the error surface must not depend on kernel eligibility)
+            leftovers = {k_ for k_ in kwargs
+                         if k_ not in ("kernel_tile",) + fused_opts}
+            if leftovers:
+                raise TypeError(
+                    f"unknown controller option(s) {sorted(leftovers)} "
+                    "for the fused sharded path")
             try:
-                ctrl = ShardedFusedMPPI(model, cost, mesh,
+                return ShardedFusedMPPI(model, cost, mesh,
                                         interpret=not on_tpu, **fused_kwargs)
-                leftovers = {k_ for k_ in kwargs
-                             if k_ not in ("kernel_tile", "normalize_cost",
-                                           "clip_actions", "filter_seq",
-                                           "filter_window",
-                                           "filter_polyorder", "antithetic",
-                                           "overlap_merge")}
-                if leftovers:
-                    raise TypeError(
-                        f"unknown controller option(s) {sorted(leftovers)} "
-                        "for the fused sharded path")
-                return ctrl
             except KernelUnsupportedError:
                 if kernel == "pallas":
                     raise

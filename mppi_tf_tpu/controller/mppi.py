@@ -371,11 +371,15 @@ class MPPI:
         if self._sdim >= 7:
             fake[6] = 1.0  # unit quaternion for AUV-style states
         key = self._key
+        # a COPY: the jitted solve donates the useq buffer, which would
+        # delete the snapshot along with it
+        useq = jnp.array(self._useq)
         _ = self.next(fake)
-        # reset mutable state disturbed by the warmup (incl. the PRNG key,
+        # reset mutable state disturbed by the warmup (incl. the PRNG key
+        # and the nominal sequence — a configured init_seq must survive —
         # so a traced controller emits the same sequence as an untraced one)
         self._key = key
-        self._useq = jnp.zeros_like(self._useq)
+        self._useq = useq
         self._steps = 0
         self._timing = {"total": 0.0, "calls": 0}
 

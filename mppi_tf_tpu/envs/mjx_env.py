@@ -154,8 +154,9 @@ class MjxPointMassEnv(JaxPointMassEnv):
 def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10):
     """Compile ``steps`` control periods into ONE on-device program: a
     jitted ``lax.scan`` over [MPPI solve -> zero-order-hold action ->
-    ``substeps`` plant steps]. Returns ``run(x0, key) -> (states, actions)``
-    — call it repeatedly without retracing.
+    ``substeps`` plant steps]. Returns ``run(x0, key, useq0=None) ->
+    (states, actions)`` — call it repeatedly without retracing; ``useq0``
+    warm-starts the nominal sequence (defaults to zeros).
 
     ``ctrl`` is a controller.MPPI (fused or XLA path) or a mesh-sharded
     controller (parallel.ShardedMPPI / parallel.fused.ShardedFusedMPPI —
@@ -211,9 +212,10 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10):
         return (state, useq, key), (state, action)
 
     @jax.jit
-    def run(x0, key):
+    def run(x0, key, useq0=None):
         x0 = jnp.asarray(x0, ctrl._dtype).reshape(-1)
-        useq0 = jnp.zeros((tau, adim), ctrl._dtype)
+        if useq0 is None:  # no warm start requested
+            useq0 = jnp.zeros((tau, adim), ctrl._dtype)
         (_, _, _), (states, actions) = jax.lax.scan(
             control_period, (x0, useq0, key), jnp.arange(steps))
         return states, actions
@@ -224,18 +226,28 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10):
 def on_device_closed_loop(ctrl, plant_step, x0, steps: int,
                           substeps: int = 10):
     """One-shot convenience over :func:`build_on_device_loop` (the compiled
-    ``run`` is cached on ``ctrl`` so repeated calls do not retrace)."""
+    ``run`` is cached on ``ctrl`` so repeated calls do not retrace). Starts
+    from the controller's CURRENT nominal sequence (so a configured
+    ``init_seq`` warm start carries into the on-device run, matching the
+    host-driven loop)."""
     import jax
+    import jax.numpy as jnp
 
     cache = getattr(ctrl, "_ondevice_loops", None)
     if cache is None:
         cache = {}
         ctrl._ondevice_loops = cache
-    key = (id(plant_step), steps, substeps)
+    # NOT id(plant_step): bound methods are re-created per attribute access,
+    # so their ids never match and every call would silently recompile —
+    # key on the underlying function + the bound instance (kept alive by
+    # the cached closure, so the ids stay valid)
+    fn = getattr(plant_step, "__func__", plant_step)
+    owner = getattr(plant_step, "__self__", None)
+    key = (id(fn), id(owner), steps, substeps)
     if key not in cache:
         cache[key] = build_on_device_loop(ctrl, plant_step, steps, substeps)
     x0 = np.asarray(x0, np.float64).reshape(-1)
     rng = getattr(ctrl, "_key", None)
     if rng is None:  # seed-based controllers (fused sharded) ignore the key
         rng = jax.random.PRNGKey(0)
-    return cache[key](x0, rng)
+    return cache[key](x0, rng, jnp.asarray(ctrl.useq, ctrl._dtype))

@@ -64,8 +64,9 @@ _SUB = 8          # sublanes per block
 _CH = 2           # steps per noise chunk (2 * 6 comps * 8 rows = 96)
 _SLOT_ROWS = 96   # rows per noise chunk
 
-# shared Box-Muller noise fill (+ antithetic lane mirroring) — see pm_mppi
-from .pm_mppi import _fill_noise
+# shared with pm_mppi: Box-Muller noise fill (+ antithetic lane mirroring)
+# and the dynamics-agnostic phase-B normalized-weights kernel
+from .pm_mppi import _fill_noise, make_weights_kernel
 
 
 def _acos(x):
@@ -130,43 +131,9 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool,
         E3 = mc["elipse3d"]
 
     if mode == "weights":
-        def wkernel(*refs):
-            if use_prng:
-                seed_ref, nrm_ref, costs_ref, s_ref, stats_ref, z_scr = refs
-            else:
-                seed_ref, nrm_ref, z_scr, costs_ref, s_ref, stats_ref = refs
-
-            pid = pl.program_id(0)
-
-            @pl.when(pid == 0)
-            def _init():
-                for i in range(tau * 6):
-                    s_ref[i] = 0.0
-                stats_ref[0] = 0.0
-                stats_ref[1] = 0.0   # normalizer l
-
-            if use_prng:
-                _fill_noise(z_scr, seed_ref, pid, n_chunks,
-                            _SLOT_ROWS // 2, L, antithetic)
-
-            def zrow(t, j):
-                c, d = divmod(t, _CH)
-                s = d * 6 + j
-                return z_scr[c, _SUB * s:_SUB * (s + 1), :]
-
-            beta = nrm_ref[0]
-            inv_dl = nrm_ref[1]      # 1 / (denom * lam)
-            cost = costs_ref[0]
-            sub_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 0)
-            lane_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 1)
-            valid = (pid * tile + sub_i * L + lane_i) < k_total
-            w_arr = jnp.where(valid, jnp.exp(-(cost - beta) * inv_dl), 0.0)
-            stats_ref[1] = stats_ref[1] + jnp.sum(w_arr)
-            for t in range(tau):
-                for j in range(6):
-                    idx = t * 6 + j
-                    s_ref[idx] = s_ref[idx] + jnp.sum(w_arr * zrow(t, j))
-
+        # phase B is dynamics-agnostic — shared with the point-mass kernel
+        wkernel, _ = make_weights_kernel(tau, 6, tile, k_total, use_prng,
+                                         antithetic)
         return wkernel, n_chunks, dyn
 
     def kernel(*refs):

@@ -131,6 +131,60 @@ def _fill_noise(z_scr, seed_ref, pid, n_chunks, pair_rows, L,
         z_scr[c] = zc
 
 
+def make_weights_kernel(tau: int, adim: int, tile: int, k_total: int,
+                        use_prng: bool, antithetic: bool):
+    """Phase B ("weights") kernel body of the two-phase normalized solve,
+    shared by the point-mass and AUV fused kernels (the phase is dynamics-
+    agnostic): regenerate the SAME in-kernel noise from the same seed, read
+    the phase-A costs, and accumulate the normalizer l and the weighted-z
+    sums with the bounded exponent -(cost-beta)/(denom*lam) (reference
+    normalization semantics, controller_base.py:468-474). Returns
+    (wkernel, n_chunks)."""
+    L = tile // _SUB
+    slots = adim * _CH
+    pair_rows = slots * _SUB // 2
+    n_chunks = (tau + _CH - 1) // _CH
+
+    def wkernel(*refs):
+        if use_prng:
+            seed_ref, nrm_ref, costs_ref, s_ref, stats_ref, z_scr = refs
+        else:
+            seed_ref, nrm_ref, z_scr, costs_ref, s_ref, stats_ref = refs
+
+        pid = pl.program_id(0)
+
+        @pl.when(pid == 0)
+        def _init():
+            for i in range(tau * adim):
+                s_ref[i] = 0.0
+            stats_ref[0] = 0.0   # unused in this mode
+            stats_ref[1] = 0.0   # normalizer l
+
+        if use_prng:
+            _fill_noise(z_scr, seed_ref, pid, n_chunks, pair_rows, L,
+                        antithetic)
+
+        def zrow(t, j):
+            c, d = divmod(t, _CH)
+            s = d * adim + j
+            return z_scr[c, _SUB * s:_SUB * (s + 1), :]
+
+        beta = nrm_ref[0]
+        inv_dl = nrm_ref[1]      # 1 / (denom * lam)
+        cost = costs_ref[0]
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 1)
+        valid = (pid * tile + sub_i * L + lane_i) < k_total
+        w_arr = jnp.where(valid, jnp.exp(-(cost - beta) * inv_dl), 0.0)
+        stats_ref[1] = stats_ref[1] + jnp.sum(w_arr)
+        for t in range(tau):
+            for j in range(adim):
+                idx = t * adim + j
+                s_ref[idx] = s_ref[idx] + jnp.sum(w_arr * zrow(t, j))
+
+    return wkernel, n_chunks
+
+
 def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
                  k_total: int, use_prng: bool, mode: str = "fused"):
     """Kernel body. ``mc`` compile-time constants: A (sdim x sdim),
@@ -168,43 +222,8 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
         EL = mc["elipse"]  # (a, b, cx, cy, gv, mx, mv)
 
     if mode == "weights":
-        def wkernel(*refs):
-            if use_prng:
-                seed_ref, nrm_ref, costs_ref, s_ref, stats_ref, z_scr = refs
-            else:
-                seed_ref, nrm_ref, z_scr, costs_ref, s_ref, stats_ref = refs
-
-            pid = pl.program_id(0)
-
-            @pl.when(pid == 0)
-            def _init():
-                for i in range(tau * adim):
-                    s_ref[i] = 0.0
-                stats_ref[0] = 0.0   # unused in this mode
-                stats_ref[1] = 0.0   # normalizer l
-
-            if use_prng:
-                _fill_noise(z_scr, seed_ref, pid, n_chunks, pair_rows, L,
-                            antithetic)
-
-            def zrow(t, j):
-                c, d = divmod(t, _CH)
-                s = d * adim + j
-                return z_scr[c, _SUB * s:_SUB * (s + 1), :]
-
-            beta = nrm_ref[0]
-            inv_dl = nrm_ref[1]      # 1 / (denom * lam)
-            cost = costs_ref[0]
-            sub_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 0)
-            lane_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 1)
-            valid = (pid * tile + sub_i * L + lane_i) < k_total
-            w_arr = jnp.where(valid, jnp.exp(-(cost - beta) * inv_dl), 0.0)
-            stats_ref[1] = stats_ref[1] + jnp.sum(w_arr)
-            for t in range(tau):
-                for j in range(adim):
-                    idx = t * adim + j
-                    s_ref[idx] = s_ref[idx] + jnp.sum(w_arr * zrow(t, j))
-
+        wkernel, _ = make_weights_kernel(tau, adim, tile, k_total,
+                                         use_prng, antithetic)
         return wkernel, n_chunks, slots, dyn
 
     def kernel(*refs):

@@ -29,6 +29,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .base import ModelBase
 
@@ -104,6 +105,19 @@ class DMDModel(ModelBase):
         return {"A": g[:, :self._state_dim], "B": g[:, self._state_dim:]}
 
     def fit_from_buffer(self, rb) -> Any:
-        """``fit`` over everything in a learning.replay.ReplayBuffer."""
+        """``fit`` over everything in a learning.replay.ReplayBuffer.
+
+        The snapshot matrices are zero-padded to the buffer CAPACITY so the
+        fit always runs at one static shape (one XLA executable instead of
+        one per buffer fill level — an online controller refits every few
+        steps while the buffer grows). Zero rows are exact no-ops for the
+        least squares: they add nothing to Omega^T Omega or Omega^T Xn.
+        """
         tr = rb.get_all_transitions()
-        return self.fit(tr["obs"], tr["act"], tr["next_obs"])
+        n = tr["obs"].shape[0]
+        cap = rb.capacity
+        if n == cap:
+            return self.fit(tr["obs"], tr["act"], tr["next_obs"])
+        pad = ((0, cap - n), (0, 0))
+        return self.fit(np.pad(tr["obs"], pad), np.pad(tr["act"], pad),
+                        np.pad(tr["next_obs"], pad))

@@ -336,11 +336,12 @@ class ShardedFusedMPPI(ShardedControllerMixin):
                 self._cparams)
 
     def _trace_snapshot(self):
-        return self._steps
+        return (self._steps, jnp.array(self._useq))
 
-    def _trace_restore(self, steps):
-        self._steps = steps
-        self._useq = jnp.zeros_like(self._useq)
+    def _trace_restore(self, snap):
+        # restore the nominal sequence too: a configured init_seq must
+        # survive trace() (same contract as MPPI.trace)
+        self._steps, self._useq = snap
         self._timing = {"total": 0.0, "calls": 0}
 
     def save_state(self, path: str):

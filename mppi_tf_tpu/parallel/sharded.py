@@ -288,11 +288,13 @@ class ShardedMPPI(ShardedControllerMixin):
         return (self._key, state, self._useq, self._mparams, self._cparams)
 
     def _trace_snapshot(self):
-        return self._key
+        # copy: the jitted solve donates the useq buffer (donate_argnums)
+        return (self._key, jnp.array(self._useq))
 
-    def _trace_restore(self, key):
-        self._key = key
-        self._useq = jnp.zeros_like(self._useq)
+    def _trace_restore(self, snap):
+        # restore the nominal sequence too: a configured init_seq must
+        # survive trace() (same contract as MPPI.trace)
+        self._key, self._useq = snap
         self._timing = {"total": 0.0, "calls": 0}
 
     def save_state(self, path: str):

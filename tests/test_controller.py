@@ -296,6 +296,17 @@ class TestProfilingSurface:
         ub = [b.next(np.zeros(6)) for _ in range(3)]
         np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
 
+    def test_trace_preserves_init_seq(self):
+        """Regression (code review): trace() used to zero the nominal
+        sequence, losing a configured init_seq warm start."""
+        init = np.tile([[0.3, -0.2, 0.1]], (5, 1))
+        a, _ = _mk_controller(k=24, tau=5, init_seq=init)
+        b, _ = _mk_controller(k=24, tau=5, init_seq=init)
+        a.trace()
+        np.testing.assert_array_equal(np.asarray(a.useq), init)
+        np.testing.assert_array_equal(np.asarray(a.next(np.zeros(6))),
+                                      np.asarray(b.next(np.zeros(6))))
+
     def test_profile_writes_trace_dir(self, tmp_path):
         ctrl, _ = _mk_controller(k=12, tau=4)
         logdir = str(tmp_path / "prof")

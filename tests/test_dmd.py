@@ -132,6 +132,31 @@ def test_dmd_mppi_online_adaptation_reaches_goal():
     assert d < 0.25 * d0
 
 
+def test_fit_from_buffer_pads_to_static_shape():
+    """Regression (code review): fit_from_buffer zero-pads the snapshot to
+    the buffer CAPACITY (one XLA executable across fill levels); zero rows
+    are exact no-ops for the least squares, so the padded fit equals the
+    unpadded fit."""
+    from mppi_tf_tpu.learning.replay import ReplayBuffer
+
+    sdim, adim = 4, 2
+    pm, A_true, B_true = _pm_truth(sdim=sdim, adim=adim)
+    X, U, Xn = _transitions(pm, 37, sdim, adim)
+    rb = ReplayBuffer(128, sdim, adim)
+    for i in range(37):
+        rb.add(X[i], U[i], Xn[i])
+
+    dmd = DMDModel(state_dim=sdim, action_dim=adim, dtype=jnp.float64,
+                   reg=1e-12)
+    p_pad = dmd.fit_from_buffer(rb)
+    p_raw = dmd.fit(X, U, Xn)
+    np.testing.assert_allclose(np.asarray(p_pad["A"]),
+                               np.asarray(p_raw["A"]), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(p_pad["B"]),
+                               np.asarray(p_raw["B"]), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(p_pad["A"]), A_true, atol=1e-7)
+
+
 def test_dmd_mppi_guards():
     sigma = np.diag([0.4, 0.4])
     cost = get_cost({"type": "static", "diag": True,

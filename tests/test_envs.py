@@ -231,6 +231,44 @@ class TestOnDevicePlant:
         err = np.linalg.norm(states[-1, 0::2] - np.array([1.0, -0.5]))
         assert err < 0.25, err
 
+    def test_on_device_loop_cache_and_warm_start(self):
+        """Regression (code review): (a) the compiled-loop cache must hit
+        across calls even though env.step_fn is a fresh bound method each
+        access; (b) the loop must start from the controller's CURRENT
+        nominal sequence, not zeros (init_seq warm start)."""
+        from mppi_tf_tpu.controller.mppi import MPPI
+        from mppi_tf_tpu.costs import get_cost
+        from mppi_tf_tpu.envs.mjx_env import (JaxPointMassEnv,
+                                              on_device_closed_loop)
+        from mppi_tf_tpu.models import get_model
+
+        sigma = np.diag([0.4, 0.4])
+        model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                          state_dim=4, action_dim=2)
+        cost = get_cost({"type": "static", "diag": True,
+                         "goal": [1.0, 0.0, -0.5, 0.0],
+                         "Q": [8.0, 1.5, 8.0, 1.5]},
+                        lam=0.6, gamma=0.2, upsilon=1.0, sigma=sigma)
+        env = JaxPointMassEnv(n_dof=2, dt=0.01)
+        init = np.tile([[0.7, -0.7]], (8, 1))
+        ctrl = MPPI(model, cost, k=64, tau=8, lam=0.6, upsilon=1.0,
+                    sigma=sigma, seed=2, init_seq=init)
+        _, actions_warm = on_device_closed_loop(ctrl, env.step_fn,
+                                                np.zeros(4), steps=3,
+                                                substeps=2)
+        _, _ = on_device_closed_loop(ctrl, env.step_fn, np.zeros(4),
+                                     steps=3, substeps=2)
+        assert len(ctrl._ondevice_loops) == 1  # bound-method cache hit
+
+        ctrl0 = MPPI(model, cost, k=64, tau=8, lam=0.6, upsilon=1.0,
+                     sigma=sigma, seed=2)
+        _, actions_cold = on_device_closed_loop(ctrl0, env.step_fn,
+                                                np.zeros(4), steps=3,
+                                                substeps=2)
+        # warm start carries: first action is near init+noise, not near 0
+        assert not np.allclose(np.asarray(actions_warm)[0],
+                               np.asarray(actions_cold)[0], atol=0.2)
+
     def test_run_experiment_on_device(self):
         """Config-driven on-device experiment (cli --on-device): the whole
         run compiles into one program, converges, and the guards for

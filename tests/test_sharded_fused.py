@@ -224,6 +224,18 @@ def test_sharded_controllers_trace_profile_dump_hlo(setup, tmp_path):
         assert isinstance(hlo, str) and len(hlo) > 100
         ctrl.profile(logdir=str(tmp_path))
 
+    # regression (code review): trace() must preserve a configured init_seq
+    init = np.tile([[0.2, -0.1, 0.3]], (tau, 1))
+    for cls_kwargs in (
+        dict(cls=ShardedMPPI),
+        dict(cls=ShardedFusedMPPI, tile=tile, interpret=True),
+    ):
+        cls = cls_kwargs.pop("cls")
+        ctrl = cls(model, cost, mesh, k=k, tau=tau, lam=0.8, upsilon=1.2,
+                   sigma=sigma, init_seq=init, **cls_kwargs)
+        ctrl.trace()
+        np.testing.assert_allclose(np.asarray(ctrl.useq), init, rtol=1e-6)
+
 
 def test_sharded_fused_rejects_indivisible_k(setup):
     model, cost, sigma, _, tau, tile = setup
