@@ -139,9 +139,16 @@ def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
         elapsed = time.perf_counter() - start
         states = np.concatenate(
             [x0[None, :], np.asarray(dstates, np.float64)], axis=0)
+        actions = np.asarray(dactions, np.float64)
+        if observer is not None:
+            # post-hoc trajectory logging: per-solve cost stats live inside
+            # the compiled program, but state/action scalars are recoverable
+            for s, a in zip(states[1:], actions):
+                observer.write_control(state=s, action=a)
+                observer.advance()
         return {
             "states": states,
-            "actions": np.asarray(dactions, np.float64),
+            "actions": actions,
             "controller": controller,
             "env": env,
             "observer": observer,

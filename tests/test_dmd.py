@@ -157,6 +157,28 @@ def test_fit_from_buffer_pads_to_static_shape():
     np.testing.assert_allclose(np.asarray(p_pad["A"]), A_true, atol=1e-7)
 
 
+def test_learner_trains_dmd_model_by_gradient():
+    """DMDModel also plugs into the Learner's analytic-model path (state-MSE
+    through step, the reference's per-model Adam handle): gradient training
+    refines (A, B) from the identity prior."""
+    from mppi_tf_tpu.learning import Learner
+
+    sdim, adim = 4, 2
+    pm, A_true, B_true = _pm_truth(sdim=sdim, adim=adim)
+    X, U, Xn = _transitions(pm, 64, sdim, adim)
+
+    dmd = DMDModel(state_dim=sdim, action_dim=adim, dtype=jnp.float64)
+    learner = Learner(dmd, buffer_size=128, num_epochs=400,
+                      learning_rate=5e-2)
+    for i in range(64):
+        learner.add_rb(X[i].reshape(-1, 1), U[i].reshape(-1, 1),
+                       Xn[i].reshape(-1, 1))
+    Xp, Yp = learner._prepare(learner.rb_trans())
+    loss0 = float(learner._loss(dmd.trainable(learner.params), Xp, Yp))
+    loss = learner.train_all(augment=False)
+    assert loss < 0.05 * loss0, (loss, loss0)
+
+
 def test_dmd_mppi_guards():
     sigma = np.diag([0.4, 0.4])
     cost = get_cost({"type": "static", "diag": True,

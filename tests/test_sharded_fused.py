@@ -75,18 +75,19 @@ def test_sharded_fused_matches_single_device(setup):
                                rtol=1e-4)
 
 
-@pytest.mark.parametrize("normalize,clip,filt", [
-    (True, False, False),
-    (False, True, False),
-    (False, False, True),
-    (True, True, True),
+@pytest.mark.parametrize("normalize,clip,filt,overlap", [
+    (True, False, False, False),
+    (False, True, False, False),
+    (False, False, True, False),
+    (True, True, True, False),
+    (False, True, True, True),
 ])
 def test_sharded_fused_options_match_single_device(setup, normalize, clip,
-                                                   filt):
+                                                   filt, overlap):
     """Option-matrix parity (VERDICT round-1 item 4): normalize_cost /
-    clip_actions / filter_seq on the sharded fused path must equal the
-    single-device XLA controller with the same options and the same noise
-    realisation."""
+    clip_actions / filter_seq (and overlap_merge, round-2 item 9) on the
+    sharded fused path must equal the single-device XLA controller with the
+    same options and the same noise realisation."""
     model, cost, sigma, k, _, tile = setup
     tau = 15  # >= savgol window
     mesh = make_mesh(8, ("k",))
@@ -103,7 +104,8 @@ def test_sharded_fused_options_match_single_device(setup, normalize, clip,
     _, solve_with_noise = build_sharded_fused_solve(
         fused_local, mesh, k, normalize_cost=normalize, clip_actions=clip,
         act_min=model.min_act(), act_max=model.max_act(),
-        filter_mat=savgol_matrix(tau, 9, 3) if filt else None)
+        filter_mat=savgol_matrix(tau, 9, 3) if filt else None,
+        overlap_merge=overlap)
 
     rng = np.random.RandomState(17)
     z_std = rng.randn(tau, 3, k).astype(np.float32)
