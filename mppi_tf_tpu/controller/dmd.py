@@ -77,6 +77,35 @@ class DMDMPPI(MPPI):
         self.model_params = self._model.fit_from_buffer(self._rb)
         self._fits += 1
 
+    def save_state(self, path: str):
+        """Checkpoint the controller state PLUS the identification state:
+        the identified (A, B), the replay window, and the save/fit counters
+        (a resumed controller must keep refitting from where it left off).
+        Writes ``path`` (base MPPI state, .npz) and ``path + '.dmd.npz'``.
+        """
+        super().save_state(path)
+        tr = self._rb.get_all_transitions()
+        np.savez(path + ".dmd.npz",
+                 A=np.asarray(self.model_params["A"]),
+                 B=np.asarray(self.model_params["B"]),
+                 obs=tr["obs"], act=tr["act"], next_obs=tr["next_obs"],
+                 saves=self._saves, fits=self._fits)
+
+    def load_state(self, path: str):
+        super().load_state(path)
+        d = np.load(path + ".dmd.npz")
+        import jax.numpy as jnp
+
+        self.model_params = {
+            "A": jnp.asarray(d["A"], self._dtype),
+            "B": jnp.asarray(d["B"], self._dtype)}
+        self._rb = ReplayBuffer(self._rb.capacity, self._rb.s_dim,
+                                self._rb.a_dim)
+        for o, a, n in zip(d["obs"], d["act"], d["next_obs"]):
+            self._rb.add(o, a, n)
+        self._saves = int(d["saves"])
+        self._fits = int(d["fits"])
+
     @property
     def replay(self) -> ReplayBuffer:
         return self._rb

@@ -179,6 +179,54 @@ def test_learner_trains_dmd_model_by_gradient():
     assert loss < 0.05 * loss0, (loss, loss0)
 
 
+def test_dmd_mppi_checkpoint_resume(tmp_path):
+    """save_state/load_state round-trips the identification state: the
+    identified (A, B), the replay window, and the save/fit counters, so a
+    resumed controller keeps refitting where it left off."""
+    sdim, adim = 4, 2
+    pm, _, _ = _pm_truth(sdim=sdim, adim=adim)
+    pp = pm.init_params()
+    sigma = np.diag([0.4, 0.4])
+    cost = get_cost({"type": "static", "diag": True,
+                     "goal": [1.0, 0.0, -0.5, 0.0],
+                     "Q": [6.0, 0.4, 6.0, 0.4]},
+                    lam=0.4, gamma=0.1, upsilon=1.0, sigma=sigma)
+
+    def mk():
+        dmd = DMDModel(state_dim=sdim, action_dim=adim, dtype=jnp.float64,
+                       reg=1e-10)
+        return DMDMPPI(dmd, cost, k=64, tau=8, lam=0.4, upsilon=1.0,
+                       sigma=sigma, seed=4, refit_every=5)
+
+    a = mk()
+    rng = np.random.RandomState(7)
+    x = np.zeros(sdim)
+    for _ in range(17):
+        u = rng.uniform(-1.0, 1.0, size=adim)
+        xn = np.asarray(pm.predict(pp, jnp.asarray(x), jnp.asarray(u)))
+        a.save(x, u, xn)
+        x = xn
+    path = str(tmp_path / "dmd_ckpt.npz")
+    a.save_state(path)
+
+    b = mk()
+    b.load_state(path)
+    assert b.n_fits == a.n_fits and b._saves == a._saves
+    assert len(b.replay) == len(a.replay)
+    np.testing.assert_allclose(np.asarray(b.model_params["A"]),
+                               np.asarray(a.model_params["A"]))
+    # identical behavior after resume: next refit fires at the same save
+    for ctrl in (a, b):
+        u = np.array([0.1, -0.2])
+        xn = np.asarray(pm.predict(pp, jnp.asarray(x), jnp.asarray(u)))
+        for _ in range(3):
+            ctrl.save(x, u, xn)
+    assert b.n_fits == a.n_fits
+    np.testing.assert_allclose(np.asarray(b.model_params["A"]),
+                               np.asarray(a.model_params["A"]))
+    np.testing.assert_allclose(np.asarray(b.next(x)), np.asarray(a.next(x)))
+
+
 def test_dmd_mppi_guards():
     sigma = np.diag([0.4, 0.4])
     cost = get_cost({"type": "static", "diag": True,
