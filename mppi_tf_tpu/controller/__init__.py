@@ -106,4 +106,17 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
             filter_polyorder=kwargs.pop("filter_polyorder", 3),
             clip_actions=kwargs.pop("clip_actions", False),
             **base, **kwargs)
+    from ..models.dmd import DMDModel
+
+    if isinstance(model, DMDModel):
+        # a DMD model implies the adaptive controller: the closed-loop
+        # runner's save(x, u, x_next) hook then re-identifies (A, B) online
+        from .dmd import DMDMPPI
+
+        for cfg_key, kw in (("refit-every", "refit_every"),
+                            ("min-samples", "min_samples"),
+                            ("buffer-capacity", "buffer_capacity")):
+            if cfg_key in config_dict:
+                kwargs[kw] = config_dict[cfg_key]
+        return DMDMPPI(model, cost, observer=observer, **kwargs)
     return MPPI(model, cost, observer=observer, **kwargs)

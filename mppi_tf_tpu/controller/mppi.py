@@ -82,7 +82,7 @@ class MPPI:
             (fused VMEM-resident Pallas kernel: PointMass x {Static,
             Elipse2D} and AUV x {StaticQuat, Elipse3D} — see kernels/).
             "auto" picks pallas when supported.
-        kernel_tile: samples per fused-kernel VMEM tile (default 8192,
+        kernel_tile: samples per fused-kernel VMEM tile (default 4096,
             measured optimal for the point-mass kernel at H=50).
         antithetic: draw k/2 noise sequences and mirror them (eps, -eps) —
             a variance-reduction option absent from the reference. On the
@@ -109,7 +109,7 @@ class MPPI:
         observer=None,
         log: bool = False,
         kernel: str = "xla",
-        kernel_tile: int = 8192,
+        kernel_tile: int = 4096,
         antithetic: bool = False,
         prng_impl: str = "auto",
     ):

@@ -495,7 +495,7 @@ class FusedAUVMPPI:
     """
 
     def __init__(self, model, cost, k: int, tau: int, lam: float,
-                 upsilon: float, sigma, tile: int = 8192,
+                 upsilon: float, sigma, tile: int = 4096,
                  interpret: bool = False, antithetic: bool = False):
         from ..costs.elipse import ElipseCost3D
         from ..costs.static import StaticQuatCost

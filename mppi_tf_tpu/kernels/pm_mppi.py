@@ -383,7 +383,7 @@ def chunk_steps(adim: int) -> int:
     return _CH
 
 
-def chunk_noise(z_std, tile: int = 8192):
+def chunk_noise(z_std, tile: int = 4096):
     """[tau, adim, K] standard normals -> folded chunk layout
     [n_chunks, adim*2*8, n_tiles*L] (parity-test helper).
 
@@ -419,7 +419,7 @@ class FusedPointMassMPPI:
     """
 
     def __init__(self, model, cost, k: int, tau: int, lam: float,
-                 upsilon: float, sigma, tile: int = 8192,
+                 upsilon: float, sigma, tile: int = 4096,
                  interpret: bool = False, antithetic: bool = False):
         from ..costs.elipse import ElipseCost
         from ..costs.static import StaticCost

@@ -242,7 +242,7 @@ class ShardedFusedMPPI(ShardedControllerMixin):
     """
 
     def __init__(self, model, cost, mesh: Mesh, k: int, tau: int,
-                 lam: float, upsilon: float, sigma, tile: int = 8192,
+                 lam: float, upsilon: float, sigma, tile: int = 4096,
                  seed: int = 0, axis: str = SAMPLE_AXIS,
                  interpret: bool = False, observer=None, init_seq=None,
                  normalize_cost: bool = False, clip_actions: bool = False,
