@@ -82,8 +82,9 @@ class MPPI:
             (fused VMEM-resident Pallas kernel: PointMass x {Static,
             Elipse2D} and AUV x {StaticQuat, Elipse3D} — see kernels/).
             "auto" picks pallas when supported.
-        kernel_tile: samples per fused-kernel VMEM tile (default 4096,
-            measured optimal for the point-mass kernel at H=50).
+        kernel_tile: samples per fused-kernel VMEM tile. Default (None):
+            the measured-optimal ``kernels.pm_mppi.default_tile(k)`` —
+            4096 for large K, shrunk to a 512-multiple covering small K.
         antithetic: draw k/2 noise sequences and mirror them (eps, -eps) —
             a variance-reduction option absent from the reference. On the
             fused path the kernels mirror lane pairs in-kernel
@@ -109,7 +110,7 @@ class MPPI:
         observer=None,
         log: bool = False,
         kernel: str = "xla",
-        kernel_tile: int = 4096,
+        kernel_tile: Optional[int] = None,
         antithetic: bool = False,
         prng_impl: str = "auto",
     ):
@@ -183,8 +184,10 @@ class MPPI:
             if not unsupported:
                 from ..kernels.auv_mppi import FusedAUVMPPI
                 from ..kernels.errors import KernelUnsupportedError
-                from ..kernels.pm_mppi import FusedPointMassMPPI
+                from ..kernels.pm_mppi import FusedPointMassMPPI, default_tile
 
+                tile = (default_tile(self._k) if kernel_tile is None
+                        else int(kernel_tile))
                 err = None
                 for cls in (FusedPointMassMPPI, FusedAUVMPPI):
                     try:
@@ -192,7 +195,7 @@ class MPPI:
                             model, cost, k=self._k, tau=self._tau,
                             lam=self._lam, upsilon=self._upsilon,
                             sigma=np.asarray(sigma, np.float64),
-                            tile=int(kernel_tile),
+                            tile=tile,
                             interpret=not on_tpu,
                             antithetic=self._antithetic,
                         )

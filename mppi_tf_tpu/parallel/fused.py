@@ -242,7 +242,7 @@ class ShardedFusedMPPI(ShardedControllerMixin):
     """
 
     def __init__(self, model, cost, mesh: Mesh, k: int, tau: int,
-                 lam: float, upsilon: float, sigma, tile: int = 4096,
+                 lam: float, upsilon: float, sigma, tile=None,
                  seed: int = 0, axis: str = SAMPLE_AXIS,
                  interpret: bool = False, observer=None, init_seq=None,
                  normalize_cost: bool = False, clip_actions: bool = False,
@@ -257,6 +257,11 @@ class ShardedFusedMPPI(ShardedControllerMixin):
         if k % n != 0:
             raise ValueError(f"k={k} not divisible by mesh axis {axis}={n}")
         k_local = k // n
+        if tile is None:  # measured default, per-shard (pm_mppi sweep)
+            from ..kernels.pm_mppi import default_tile
+
+            tile = default_tile(k_local)
+        tile = int(tile)
         err = None
         self._fused = None
         for cls in (FusedPointMassMPPI, FusedAUVMPPI):

@@ -10,6 +10,20 @@ RNG — and is validated on hardware by bench.py / __graft_entry__.
 """
 
 import numpy as np
+
+
+def test_default_tile():
+    """Measured auto-tile (v5e sweep): 512-multiple covering small K,
+    capped at 4096; always a multiple of 16 (antithetic lane pairing)."""
+    from mppi_tf_tpu.kernels.pm_mppi import default_tile
+
+    assert default_tile(500) == 512
+    assert default_tile(512) == 512
+    assert default_tile(513) == 1024
+    assert default_tile(3000) == 3072
+    assert default_tile(4096) == 4096
+    assert default_tile(100_000) == 4096
+    assert all(default_tile(k) % 16 == 0 for k in (1, 100, 3000, 1 << 20))
 import jax
 import jax.numpy as jnp
 import pytest
