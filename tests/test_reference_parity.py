@@ -745,6 +745,92 @@ def test_full_nn_solve_matches_reference(ref, ref_nn, ours):
                                update_ref[1:, :, 0], rtol=1e-6, atol=1e-9)
 
 
+def test_auv_closed_loop_trajectory_matches_reference(ref, ref_auv, ours):
+    """Flagship closed-loop oracle: 5 control steps of the full Fossen AUV
+    (rk2) + StaticQuatCost, same per-step noise realisation into the
+    reference graph (C++ receding-horizon carry applied manually, see
+    test_closed_loop_trajectory_matches_reference) and into MPPI; actions,
+    sequences and the 13-dim quaternion state compared in f64."""
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _auv_params
+    from src.costs.static_cost import StaticQuatCost as RefSQ
+
+    from mppi_tf_tpu.costs.static import StaticQuatCost
+
+    rng = np.random.RandomState(29)
+    k, tau, sdim, adim, steps = 50, 5, 13, 6, 5
+    lam, gamma, ups = 0.5, 0.2, 1.0
+    sig6 = np.diag([40.0, 40.0, 40.0, 5.0, 5.0, 5.0])
+    goal = np.zeros(sdim)
+    goal[2] = -2.0
+    goal[6] = 1.0
+    Qd = np.array([100.0, 100.0, 100.0, 10.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0])
+
+    ref_model = ref_auv({}, actionDim=adim, dt=0.1,
+                        parameters=_auv_parameters(2))
+    # separate instance as the plant: the reference model caches the batch
+    # size internally (set_k during the k=50 rollout breaks 1-batch predict)
+    ref_plant = ref_auv({}, actionDim=adim, dt=0.1,
+                        parameters=_auv_parameters(2))
+    ref_cost = RefSQ(lam, gamma, ups, sig6, goal.reshape(-1, 1), Qd,
+                     diag=True)
+    ctrl_ref = ref.ControllerBase(
+        ref_model, ref_cost, k=k, tau=tau, sDim=sdim, aDim=adim, lam=lam,
+        upsilon=ups, sigma=sig6)
+    # the AUV pads size off model._k (auv_model.py:343); _next sets it
+    # before build_graph (controller_base.py:239 set_k) — but set_k assumes
+    # a tf.Variable while ModelBase.__init__ stores a plain int
+    # (model_base.py:28, another stale-glue defect): assign directly
+    ref_model._k = k
+
+    our_model = ours.get_model(dict(_auv_params(), rk=2), dt=0.1,
+                               action_dim=adim, dtype=jnp.float64)
+    our_cost = StaticQuatCost(lam, gamma, ups, sig6, goal, Qd, diag=True,
+                              dtype=jnp.float64)
+    mppi = ours.MPPI(our_model, our_cost, k=k, tau=tau, lam=lam,
+                     upsilon=ups, sigma=sig6)
+    mp, cp = mppi.model_params, mppi._cparams
+
+    x_ref = np.zeros(sdim)
+    x_ref[6] = 1.0
+    x_ref[0] = 0.3
+    x_our = jnp.asarray(x_ref)
+    U_ref = np.zeros((tau, adim, 1))
+    U_our = jnp.zeros((tau, adim))
+
+    for step in range(steps):
+        eps = np.einsum("ij,ktj->kti", ups * sig6, rng.randn(k, tau, adim))
+
+        ctrl_ref._actionSeq = tf.constant(U_ref, tf.float64)
+        costs = ctrl_ref.build_model(
+            "roll", k, tf.constant(x_ref.reshape(sdim, 1), tf.float64),
+            tf.constant(eps.reshape(k, tau, adim, 1), tf.float64),
+            tf.constant(U_ref, tf.float64))
+        updated = ctrl_ref.update(
+            "up", costs, tf.constant(eps.reshape(k, tau, adim, 1),
+                                     tf.float64))
+        a_ref = ctrl_ref.get_next("n", updated, 1).numpy()[0, :, 0]
+        U_ref = ctrl_ref.shift(
+            "s", updated, ctrl_ref.init_zeros("z", 1), 1).numpy()
+        x_ref = ref_plant.predict(
+            tf.constant(x_ref.reshape(1, sdim, 1), tf.float64),
+            tf.constant(a_ref.reshape(1, adim, 1), tf.float64)
+        ).numpy().reshape(sdim)
+
+        a_our, U_our, _ = mppi._solve_with_noise_jit(
+            jnp.asarray(eps), x_our, U_our, mp, cp)
+        x_our = our_model.predict(mp, x_our, a_our)
+
+        np.testing.assert_allclose(np.asarray(a_our), a_ref, rtol=1e-6,
+                                   atol=1e-10, err_msg=f"step {step} action")
+        np.testing.assert_allclose(np.asarray(U_our), U_ref[:, :, 0],
+                                   rtol=1e-6, atol=1e-10,
+                                   err_msg=f"step {step} sequence")
+        np.testing.assert_allclose(np.asarray(x_our), x_ref, rtol=1e-6,
+                                   atol=1e-10, err_msg=f"step {step} state")
+
+
 def test_closed_loop_trajectory_matches_reference(ref, ours):
     """Multi-step closed-loop oracle (VERDICT r1 item 7): 10 control steps
     on point_mass3d with the SAME noise realisation injected per step into
