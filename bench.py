@@ -24,7 +24,8 @@ Env knobs (single-workload mode, back-compat):
   BENCH_WORKLOAD=point_mass|auv|nn   run ONE workload instead of the suite
   BENCH_KERNEL=pallas|xla            solve path (pallas = fused VMEM kernel)
   BENCH_K / BENCH_TAU / BENCH_CHAIN  shape overrides
-  BENCH_TILE                         fused-kernel tile (default 4096)
+  BENCH_TILE                         fused-kernel tile (default: the
+                                     library's auto default_tile(K))
   BENCH_SHARDED=1                    shard K over a mesh of all devices
   BENCH_SUITE=0                      skip the suite even with no overrides
 
@@ -343,7 +344,10 @@ def main():
 
     backend = jax.default_backend()
     default_kernel = "pallas" if backend == "tpu" else "xla"
-    tile = int(os.environ.get("BENCH_TILE", 4096))
+    # None = the library's measured auto default (kernels.pm_mppi.
+    # default_tile) — the bench measures what ships unless overridden
+    tile = (int(os.environ["BENCH_TILE"])
+            if os.environ.get("BENCH_TILE") else None)
 
     single_mode = any(os.environ.get(v) for v in
                       ("BENCH_WORKLOAD", "BENCH_K", "BENCH_TAU",

@@ -46,6 +46,17 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
         from ..parallel.sharded import ShardedMPPI
 
         from ..kernels.errors import KernelUnsupportedError
+        from ..models.dmd import DMDModel
+
+        if isinstance(model, DMDModel):
+            # the sharded controllers have no save()-driven refit hook: a
+            # factory-built sharded DMD would run forever on the identity
+            # prior (B=0 -> every rollout identical, near-zero actions)
+            raise ValueError(
+                "a DMD model from the factory starts at the identity prior "
+                "and the mesh-sharded controllers do not refit online; use "
+                "the single-device DMDMPPI (mesh=None), or fit (A, B) first "
+                "and install them via ShardedMPPI(...).model_params")
 
         kernel = kwargs.pop("kernel", "auto")
         kwargs.pop("log", None)  # sharded info is the collective-reduced set
@@ -69,7 +80,7 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
                 raise TypeError(
                     f"kernel='pallas' does not support {blockers}")
             fused_kwargs = dict(base)
-            if "kernel_tile" in kwargs:
+            if kwargs.get("kernel_tile") is not None:
                 fused_kwargs["tile"] = int(kwargs["kernel_tile"])
             fused_opts = ("normalize_cost", "clip_actions", "filter_seq",
                           "filter_window", "filter_polyorder", "antithetic",
@@ -117,6 +128,8 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
                             ("min-samples", "min_samples"),
                             ("buffer-capacity", "buffer_capacity")):
             if cfg_key in config_dict:
-                kwargs[kw] = config_dict[cfg_key]
+                # explicit **overrides win over config keys, like every
+                # other option
+                kwargs.setdefault(kw, config_dict[cfg_key])
         return DMDMPPI(model, cost, observer=observer, **kwargs)
     return MPPI(model, cost, observer=observer, **kwargs)

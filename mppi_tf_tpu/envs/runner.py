@@ -142,8 +142,11 @@ def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
         actions = np.asarray(dactions, np.float64)
         if observer is not None:
             # post-hoc trajectory logging: per-solve cost stats live inside
-            # the compiled program, but state/action scalars are recoverable
-            for s, a in zip(states[1:], actions):
+            # the compiled program, but state/action scalars are
+            # recoverable. Pair each action with the state the solve ran
+            # FROM (states[:-1]) — same convention as the host-driven path
+            # (MPPI.next logs its input state)
+            for s, a in zip(states[:-1], actions):
                 observer.write_control(state=s, action=a)
                 observer.advance()
         return {

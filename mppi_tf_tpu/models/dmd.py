@@ -18,9 +18,12 @@ read the operator off the pseudo-inverse,
 ``fit`` is a pure jnp function of the data (jit-compatible for a fixed
 snapshot count), so a controller can re-identify the model online between
 control steps without leaving the device. The model follows the standard
-ModelBase protocol — it drops into MPPI / ShardedMPPI and into the Learner
-(whose state-MSE loss fine-tunes A and B by gradient, the analytic-model
-training path).
+ModelBase protocol — it drops into MPPI (via controller.dmd.DMDMPPI for
+online refits) and into the Learner (whose state-MSE loss fine-tunes A and
+B by gradient, the analytic-model training path). The mesh-sharded
+controllers accept it only with PRE-FIT (A, B) installed through
+``model_params`` — they have no save()-driven refit hook, and the factory
+rejects the frozen identity prior loudly (controller/__init__.py).
 """
 
 from __future__ import annotations

@@ -249,6 +249,18 @@ def test_factory_and_runner_build_adaptive_dmd_controller():
     assert isinstance(ctrl, DMDMPPI)
     assert ctrl._refit_every == 5
 
+    # explicit overrides beat config keys, like every other option
+    ctrl2 = get_controller(dmd, cost, env_cfg, refit_every=2)
+    assert ctrl2._refit_every == 2
+
+    # the mesh path has no refit hook: a factory-built sharded DMD would
+    # run forever on the identity prior — reject loudly
+    from mppi_tf_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="identity prior"):
+        get_controller(dmd, cost, dict(env_cfg, samples=400),
+                       mesh=make_mesh(8, ("k",)))
+
     res = run_experiment(env_cfg, task_cfg, model_cfg, steps=80, seed=3)
     assert res["controller"].n_fits >= 1
     final = res["states"][-1]

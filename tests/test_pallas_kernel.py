@@ -10,13 +10,20 @@ RNG — and is validated on hardware by bench.py / __graft_entry__.
 """
 
 import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mppi_tf_tpu.controller.mppi import MPPI
+from mppi_tf_tpu.costs import get_cost
+from mppi_tf_tpu.kernels.pm_mppi import (FusedPointMassMPPI, chunk_noise,
+                                         default_tile)
+from mppi_tf_tpu.models import get_model
 
 
 def test_default_tile():
     """Measured auto-tile (v5e sweep): 512-multiple covering small K,
     capped at 4096; always a multiple of 16 (antithetic lane pairing)."""
-    from mppi_tf_tpu.kernels.pm_mppi import default_tile
-
     assert default_tile(500) == 512
     assert default_tile(512) == 512
     assert default_tile(513) == 1024
@@ -24,14 +31,6 @@ def test_default_tile():
     assert default_tile(4096) == 4096
     assert default_tile(100_000) == 4096
     assert all(default_tile(k) % 16 == 0 for k in (1, 100, 3000, 1 << 20))
-import jax
-import jax.numpy as jnp
-import pytest
-
-from mppi_tf_tpu.controller.mppi import MPPI
-from mppi_tf_tpu.costs import get_cost
-from mppi_tf_tpu.kernels.pm_mppi import FusedPointMassMPPI, chunk_noise
-from mppi_tf_tpu.models import get_model
 
 
 def _setup(k, tau, lam=0.8, gamma=0.2, upsilon=1.2, tile=256):
