@@ -270,6 +270,37 @@ def test_factory_and_runner_build_adaptive_dmd_controller():
     assert err < 0.3, err
 
 
+def test_prefit_dmd_runs_sharded():
+    """The route the factory guard recommends: fit (A, B) offline, install
+    them via model_params, and run the identified linear model K-sharded on
+    the 8-device mesh — matching the true-plant controller's solve."""
+    from mppi_tf_tpu.parallel import ShardedMPPI, make_mesh
+
+    sdim, adim = 4, 2
+    pm, _, _ = _pm_truth(sdim=sdim, adim=adim)
+    X, U, Xn = _transitions(pm, 64, sdim, adim)
+    dmd = DMDModel(state_dim=sdim, action_dim=adim, dtype=jnp.float64,
+                   reg=0.0)
+    fitted = dmd.fit(X, U, Xn)
+
+    sigma = np.diag([0.4, 0.4])
+    cost = get_cost({"type": "static", "diag": True,
+                     "goal": [1.0, 0.0, -0.5, 0.0],
+                     "Q": [6.0, 0.4, 6.0, 0.4]},
+                    lam=0.4, gamma=0.1, upsilon=1.0, sigma=sigma)
+    mesh = make_mesh(8, ("k",))
+    ctrl = ShardedMPPI(dmd, cost, mesh, k=256, tau=10, lam=0.4,
+                       upsilon=1.0, sigma=sigma, seed=5)
+    ctrl.model_params = fitted
+    truth = ShardedMPPI(pm, cost, mesh, k=256, tau=10, lam=0.4,
+                        upsilon=1.0, sigma=sigma, seed=5)
+    x = np.array([0.2, 0.0, -0.3, 0.0])
+    a_dmd = ctrl.next(x)
+    a_true = truth.next(x)
+    # exact LTI identification -> same rollouts -> same action (same seed)
+    np.testing.assert_allclose(a_dmd, a_true, rtol=1e-8, atol=1e-10)
+
+
 def test_dmd_mppi_guards():
     sigma = np.diag([0.4, 0.4])
     cost = get_cost({"type": "static", "diag": True,
