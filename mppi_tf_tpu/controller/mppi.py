@@ -24,7 +24,7 @@ returned sequence — the C++ (correct receding-horizon) semantics.
 from __future__ import annotations
 
 import time
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ single-device, SURVEY.md §2.8). Design:
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Optional
 
 import jax
