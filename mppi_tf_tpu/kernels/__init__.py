@@ -35,7 +35,6 @@ sequence (see kernels/pm_mppi.py header and the perf notes in README.md).
 
 from .auv_mppi import FusedAUVMPPI
 from .errors import KernelUnsupportedError
-from .pm_mppi import FusedPointMassMPPI, fused_pm_solve
+from .pm_mppi import FusedPointMassMPPI
 
-__all__ = ["FusedAUVMPPI", "FusedPointMassMPPI", "KernelUnsupportedError",
-           "fused_pm_solve"]
+__all__ = ["FusedAUVMPPI", "FusedPointMassMPPI", "KernelUnsupportedError"]

@@ -769,9 +769,3 @@ def fused_pm_weights(seed, nrm, costs, z=None, *, fused: FusedPointMassMPPI,
         ),
     )(*args)
     return S.reshape(tau, adim), stats[1]
-
-
-def fused_pm_solve(seed, consts_or_dyn, *args, **kwargs):  # pragma: no cover
-    raise NotImplementedError(
-        "fused_pm_solve was replaced by FusedPointMassMPPI.solve / "
-        "fused_pm_call in the folded-layout rewrite")

@@ -56,8 +56,10 @@ def test_bench_invalid_workload_rejected():
 
 def test_bench_suite_mode():
     """Default (driver) invocation runs the SUITE: one JSON line per
-    workload, final line = headline with every row under extra.suite
-    (VERDICT r1 item 1). BENCH_SUITE=1 with caps keeps it CPU-fast."""
+    workload, the full suite written to BENCH_SUITE.json, final line = a
+    COMPACT headline referencing it (VERDICT r2 weak #1: an embedded suite
+    overflowed the driver's line capture). BENCH_SUITE=1 with caps keeps
+    it CPU-fast."""
     env = {**os.environ, "BENCH_SUITE": "1", "BENCH_K": "256",
            "BENCH_TAU": "5", "BENCH_CHAIN": "2", "JAX_PLATFORMS": "cpu",
            "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
@@ -69,8 +71,19 @@ def test_bench_suite_mode():
     final = json.loads(lines[-1])
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in final, final
-    suite = final["extra"]["suite"]
+    # the final line must stay compact enough for the driver's capture
+    assert len(lines[-1]) < 2000, len(lines[-1])
+    assert all(not isinstance(v, (list, dict))
+               for k, v in final["extra"].items()), final["extra"]
+    with open(final["extra"]["suite_file"]) as f:
+        suite = json.load(f)["suite"]
+    assert final["extra"]["suite_rows"] == len(suite)
+    assert final["extra"]["suite_errors"] == 0
     assert len(suite) == 8, [r["metric"] for r in suite]
+    # every row was also printed as its own parseable line above the
+    # headline, so the suite is recoverable from stdout alone
+    printed = [json.loads(ln) for ln in lines[:-1]]
+    assert [r["metric"] for r in printed] == [r["metric"] for r in suite]
     workloads = {r["extra"]["workload"] for r in suite if "extra" in r}
     assert workloads == {"point_mass", "auv", "nn"}, workloads
     assert any(r.get("extra", {}).get("sharded") for r in suite)
