@@ -55,6 +55,15 @@ def initialize(coordinator_address: Optional[str] = None,
                 "no cluster metadata, running single-process (%s)", e)
             return
     else:
+        try:
+            # Cross-process collectives on the CPU client need an explicit
+            # implementation (default "none" fails at the first psum); gloo
+            # is the one shipped with jaxlib. Irrelevant for TPU backends
+            # (collectives ride ICI/DCN) and rejected once backends are
+            # already initialized — both cases are safe to ignore.
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
