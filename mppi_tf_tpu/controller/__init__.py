@@ -38,6 +38,22 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
     # (observer_base.py:101-187) unless explicitly overridden
     kwargs["log"] = observer is not None
     kwargs.update(overrides)
+
+    from ..models.dmd import DMDModel
+
+    is_dmd = isinstance(model, DMDModel)
+    if is_dmd:
+        # a DMD model implies the adaptive controller family: the
+        # closed-loop runner's save(x, u, x_next) hook re-identifies
+        # (A, B) online (controller/dmd.py)
+        for cfg_key, kw in (("refit-every", "refit_every"),
+                            ("min-samples", "min_samples"),
+                            ("buffer-capacity", "buffer_capacity")):
+            if cfg_key in config_dict:
+                # explicit **overrides win over config keys, like every
+                # other option
+                kwargs.setdefault(kw, config_dict[cfg_key])
+    dmd_opts = ("refit_every", "min_samples", "buffer_capacity")
     if mesh is not None:
         import jax
         import jax.numpy as jnp
@@ -46,17 +62,13 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
         from ..parallel.sharded import ShardedMPPI
 
         from ..kernels.errors import KernelUnsupportedError
-        from ..models.dmd import DMDModel
 
-        if isinstance(model, DMDModel):
-            # the sharded controllers have no save()-driven refit hook: a
-            # factory-built sharded DMD would run forever on the identity
-            # prior (B=0 -> every rollout identical, near-zero actions)
-            raise ValueError(
-                "a DMD model from the factory starts at the identity prior "
-                "and the mesh-sharded controllers do not refit online; use "
-                "the single-device DMDMPPI (mesh=None), or fit (A, B) first "
-                "and install them via ShardedMPPI(...).model_params")
+        if is_dmd:
+            from .dmd import ShardedDMDMPPI, ShardedFusedDMDMPPI
+
+            fused_cls, xla_cls = ShardedFusedDMDMPPI, ShardedDMDMPPI
+        else:
+            fused_cls, xla_cls = ShardedFusedMPPI, ShardedMPPI
 
         kernel = kwargs.pop("kernel", "auto")
         kwargs.pop("log", None)  # sharded info is the collective-reduced set
@@ -85,6 +97,8 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
             fused_opts = ("normalize_cost", "clip_actions", "filter_seq",
                           "filter_window", "filter_polyorder", "antithetic",
                           "overlap_merge")
+            if is_dmd:
+                fused_opts = fused_opts + dmd_opts
             for opt in fused_opts:
                 if opt in kwargs:
                     fused_kwargs[opt] = kwargs[opt]
@@ -97,8 +111,8 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
                     f"unknown controller option(s) {sorted(leftovers)} "
                     "for the fused sharded path")
             try:
-                return ShardedFusedMPPI(model, cost, mesh,
-                                        interpret=not on_tpu, **fused_kwargs)
+                return fused_cls(model, cost, mesh,
+                                 interpret=not on_tpu, **fused_kwargs)
             except KernelUnsupportedError:
                 if kernel == "pallas":
                     raise
@@ -108,7 +122,7 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
                 "overlap_merge is a fused-kernel (Pallas) option; the XLA "
                 "sharded path has no tile split to overlap — request "
                 "kernel='pallas' with a supported model/cost pair")
-        return ShardedMPPI(
+        return xla_cls(
             model, cost, mesh,
             normalize_cost=kwargs.pop("normalize_cost", False),
             antithetic=kwargs.pop("antithetic", False),
@@ -117,19 +131,8 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
             filter_polyorder=kwargs.pop("filter_polyorder", 3),
             clip_actions=kwargs.pop("clip_actions", False),
             **base, **kwargs)
-    from ..models.dmd import DMDModel
-
-    if isinstance(model, DMDModel):
-        # a DMD model implies the adaptive controller: the closed-loop
-        # runner's save(x, u, x_next) hook then re-identifies (A, B) online
+    if is_dmd:
         from .dmd import DMDMPPI
 
-        for cfg_key, kw in (("refit-every", "refit_every"),
-                            ("min-samples", "min_samples"),
-                            ("buffer-capacity", "buffer_capacity")):
-            if cfg_key in config_dict:
-                # explicit **overrides win over config keys, like every
-                # other option
-                kwargs.setdefault(kw, config_dict[cfg_key])
         return DMDMPPI(model, cost, observer=observer, **kwargs)
     return MPPI(model, cost, observer=observer, **kwargs)

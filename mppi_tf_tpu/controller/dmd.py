@@ -16,7 +16,16 @@ Flow per control step (the reference main.py loop, envs/runner.py here):
                             # saves, refit (A, B) by truncated-SVD DMDc
 
 The refit is a pure jnp least-squares over the replay window — no retrace:
-only the ``model_params`` pytree changes, shapes stay static.
+only the ``model_params`` pytree changes, shapes stay static. On the fused
+(Pallas) path the (A, B) matrices ride in the kernel's SMEM dynamic array
+(kernels/pm_mppi.FusedLTIMPPI), so refits reuse ONE compiled executable.
+
+Three concrete controllers share the refit machinery
+(:class:`DMDAdaptiveMixin`):
+
+- :class:`DMDMPPI` — single-device (XLA scan or fused Pallas kernel);
+- :class:`ShardedDMDMPPI` — K sharded over a ``jax.sharding.Mesh`` (XLA);
+- :class:`ShardedFusedDMDMPPI` — mesh-sharded fused kernel per shard.
 """
 
 from __future__ import annotations
@@ -25,11 +34,16 @@ import numpy as np
 
 from ..learning.replay import ReplayBuffer
 from ..models.dmd import DMDModel
+from ..parallel.fused import ShardedFusedMPPI
+from ..parallel.sharded import ShardedMPPI
 from .mppi import MPPI
 
 
-class DMDMPPI(MPPI):
-    """MPPI with online DMDc model identification.
+class DMDAdaptiveMixin:
+    """Online DMDc identification riding the ``save()`` hook.
+
+    Composes over any controller exposing the shared surface
+    (``save``/``save_state``/``load_state``/``model_params``):
 
     ``refit_every``: re-identify (A, B) every N saved transitions.
     ``min_samples``: do not fit before this many transitions are buffered
@@ -39,13 +53,14 @@ class DMDMPPI(MPPI):
     model tracks a (slowly) time-varying plant.
     """
 
-    def __init__(self, model: DMDModel, cost, *, refit_every: int = 10,
+    def __init__(self, model: DMDModel, cost, *args, refit_every: int = 10,
                  min_samples: int | None = None,
                  buffer_capacity: int = 4096, **kwargs):
         if not isinstance(model, DMDModel):
-            raise TypeError("DMDMPPI needs a models.dmd.DMDModel (got "
-                            f"{type(model).__name__})")
-        super().__init__(model, cost, **kwargs)
+            raise TypeError(
+                f"{type(self).__name__} needs a models.dmd.DMDModel (got "
+                f"{type(model).__name__})")
+        super().__init__(model, cost, *args, **kwargs)
         if refit_every < 1:
             raise ValueError(f"refit_every must be >= 1, got {refit_every}")
         sdim, adim = model.get_state_dim(), model.get_action_dim()
@@ -81,7 +96,8 @@ class DMDMPPI(MPPI):
         """Checkpoint the controller state PLUS the identification state:
         the identified (A, B), the replay window, and the save/fit counters
         (a resumed controller must keep refitting from where it left off).
-        Writes ``path`` (base MPPI state, .npz) and ``path + '.dmd.npz'``.
+        Writes ``path`` (base controller state, .npz) and
+        ``path + '.dmd.npz'``.
         """
         super().save_state(path)
         tr = self._rb.get_all_transitions()
@@ -113,3 +129,24 @@ class DMDMPPI(MPPI):
     @property
     def n_fits(self) -> int:
         return self._fits
+
+
+class DMDMPPI(DMDAdaptiveMixin, MPPI):
+    """Single-device MPPI with online DMDc model identification.
+
+    ``kernel='pallas'`` (or ``'auto'`` on TPU) runs the fused
+    :class:`~..kernels.pm_mppi.FusedLTIMPPI` kernel — refits change only
+    SMEM data, never the executable.
+    """
+
+
+class ShardedDMDMPPI(DMDAdaptiveMixin, ShardedMPPI):
+    """Mesh-sharded (XLA) MPPI with online DMDc identification — the
+    adaptive controller at pod scale; refits replicate the new (A, B)
+    pytree, the sharded solve never retraces."""
+
+
+class ShardedFusedDMDMPPI(DMDAdaptiveMixin, ShardedFusedMPPI):
+    """Mesh-sharded fused-kernel MPPI with online DMDc identification:
+    every shard runs the dynamic-(A, B) Pallas kernel
+    (kernels/pm_mppi.FusedLTIMPPI) on its K/n samples."""

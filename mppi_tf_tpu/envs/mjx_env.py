@@ -151,7 +151,8 @@ class MjxPointMassEnv(JaxPointMassEnv):
         return out.at[1::2].set(data.qvel)
 
 
-def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10):
+def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
+                         refit_window: int | None = None):
     """Compile ``steps`` control periods into ONE on-device program: a
     jitted ``lax.scan`` over [MPPI solve -> zero-order-hold action ->
     ``substeps`` plant steps]. Returns ``run(x0, key, useq0=None) ->
@@ -165,6 +166,20 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10):
     physics dt (e.g. JaxPointMassEnv.step_fn or AUVEnv.step_fn — typically
     dt_physics = dt_control / substeps).
 
+    **On-device MBRL:** for an adaptive DMD controller
+    (controller.dmd.DMDAdaptiveMixin — single-device or mesh-sharded) the
+    scan ALSO carries the model identification: each control period records
+    its (x, u, x') transition into a fixed-capacity ring window
+    (``refit_window``, default min(replay capacity, 256)), and every
+    ``ctrl._refit_every`` periods the carried (A, B) are re-identified with
+    the static-shape DMDc least-squares (models/dmd.py fit — zero rows of
+    the not-yet-filled window are exact no-ops). That is the reference's
+    train-every-N loop (main.py:105-106) with ZERO host round trips:
+    adapt-while-controlling as one device program. ``run`` then returns
+    ``(states, actions, fitted_model_params)``; the window is pre-seeded
+    with the controller's host-side replay content (e.g. exploration
+    transitions, collect.py).
+
     This is the loop the reference CANNOT express: its plant is host-side
     mujoco_py (simulation.py:39-55), so it pays a device round trip per
     control step; here the dispatch overhead (axon relay: ~22-33 ms
@@ -174,50 +189,97 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10):
     """
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
+    from ..controller.dmd import DMDAdaptiveMixin
     from ..parallel.fused import ShardedFusedMPPI
     from ..parallel.sharded import ShardedMPPI
 
-    mp, cp = ctrl._mparams, ctrl._cparams
+    mp0, cp = ctrl._mparams, ctrl._cparams
     tau, adim = ctrl.useq.shape
 
     if isinstance(ctrl, ShardedFusedMPPI):
-        def solve(i, key, state, useq):
+        def solve(i, key, state, useq, mp):
             seed = jnp.int32(ctrl._base_seed + i * ctrl._seed_stride)
             action, shifted, _info = ctrl._solve(seed, state, useq, mp, cp)
             return action, shifted, key
     elif not isinstance(ctrl, ShardedMPPI) and ctrl._fused is not None:
         n_tiles = (ctrl._k + ctrl._fused.tile - 1) // ctrl._fused.tile
 
-        def solve(i, key, state, useq):
+        def solve(i, key, state, useq, mp):
             seed = ctrl._base_seed + i * n_tiles
             action, shifted, _info = ctrl._fused_step(seed, state, useq,
                                                       mp, cp)
             return action, shifted, key
     else:  # key-based solves: MPPI XLA path and ShardedMPPI share the
         # (key, state, useq, mparams, cparams) signature
-        def solve(i, key, state, useq):
+        def solve(i, key, state, useq, mp):
             key, sub = jax.random.split(key)
             action, shifted, _info = ctrl._solve(sub, state, useq, mp, cp)
             return action, shifted, key
 
+    adaptive = isinstance(ctrl, DMDAdaptiveMixin)
+    if adaptive:
+        model = ctrl._model
+        W = (min(ctrl.replay.capacity, 256) if refit_window is None
+             else int(refit_window))
+        refit_every = ctrl._refit_every
+        min_samples = ctrl._min_samples
+        ms, ma = model.get_state_dim(), model.get_action_dim()
+        # pre-seed the ring window with the host-side replay content
+        # (newest-last; zeros elsewhere are least-squares no-ops)
+        tr = ctrl.replay.get_all_transitions()
+        n0 = min(tr["obs"].shape[0], W)
+        obs0 = np.zeros((W, ms), np.float64)
+        act0 = np.zeros((W, ma), np.float64)
+        nxt0 = np.zeros((W, ms), np.float64)
+        obs0[:n0] = tr["obs"][-n0:]
+        act0[:n0] = tr["act"][-n0:]
+        nxt0[:n0] = tr["next_obs"][-n0:]
+        buf0 = (jnp.asarray(obs0, ctrl._dtype),
+                jnp.asarray(act0, ctrl._dtype),
+                jnp.asarray(nxt0, ctrl._dtype),
+                jnp.int32(n0))
+
     def control_period(carry, i):
-        state, useq, key = carry
-        action, useq, key = solve(i, key, state, useq)
+        state, useq, key, mp, buf = carry
+        action, useq, key = solve(i, key, state, useq, mp)
+        x_prev = state
 
         def sim_body(_, s):
             return plant_step(s, action)
 
         state = jax.lax.fori_loop(0, substeps, sim_body, state)
-        return (state, useq, key), (state, action)
+        if adaptive:
+            obs, act, nxt, cnt = buf
+            j = jnp.mod(cnt, W)
+            obs = jax.lax.dynamic_update_slice_in_dim(
+                obs, x_prev[None].astype(obs.dtype), j, 0)
+            act = jax.lax.dynamic_update_slice_in_dim(
+                act, action[None, :ma].astype(act.dtype), j, 0)
+            nxt = jax.lax.dynamic_update_slice_in_dim(
+                nxt, state[None].astype(nxt.dtype), j, 0)
+            cnt = cnt + 1
+            do_fit = jnp.logical_and(
+                jnp.mod(i + 1, refit_every) == 0, cnt >= min_samples)
+            mp = jax.lax.cond(
+                do_fit,
+                lambda b: model.fit(b[0], b[1], b[2]),
+                lambda b: mp,
+                (obs, act, nxt))
+            buf = (obs, act, nxt, cnt)
+        return (state, useq, key, mp, buf), (state, action)
 
     @jax.jit
     def run(x0, key, useq0=None):
         x0 = jnp.asarray(x0, ctrl._dtype).reshape(-1)
         if useq0 is None:  # no warm start requested
             useq0 = jnp.zeros((tau, adim), ctrl._dtype)
-        (_, _, _), (states, actions) = jax.lax.scan(
-            control_period, (x0, useq0, key), jnp.arange(steps))
+        buf = buf0 if adaptive else ()
+        (_, _, _, mp_f, _), (states, actions) = jax.lax.scan(
+            control_period, (x0, useq0, key, mp0, buf), jnp.arange(steps))
+        if adaptive:
+            return states, actions, mp_f
         return states, actions
 
     return run

@@ -3,6 +3,9 @@
 Coverage and the design decision per model family (SURVEY.md §7):
 
 - PointMassModel x {StaticCost, ElipseCost}: ``pm_mppi.FusedPointMassMPPI``.
+- DMDModel x {StaticCost, ElipseCost}: ``pm_mppi.FusedLTIMPPI`` — the same
+  kernel family with (A, B@scale) routed through SMEM at runtime, so online
+  DMDc refits (controller/dmd.py) never recompile.
 - AUVModel x {StaticQuatCost, ElipseCost3D}: ``auv_mppi.FusedAUVMPPI``.
 - NN dynamics (NNModel/NNAUVModel/NNAUVModelSpeed): deliberately stay on the
   XLA ``lax.scan`` path; the decision is now MEASURED, not sized (VERDICT r1
@@ -35,6 +38,7 @@ sequence (see kernels/pm_mppi.py header and the perf notes in README.md).
 
 from .auv_mppi import FusedAUVMPPI
 from .errors import KernelUnsupportedError
-from .pm_mppi import FusedPointMassMPPI
+from .pm_mppi import FusedLTIMPPI, FusedPointMassMPPI
 
-__all__ = ["FusedAUVMPPI", "FusedPointMassMPPI", "KernelUnsupportedError"]
+__all__ = ["FusedAUVMPPI", "FusedLTIMPPI", "FusedPointMassMPPI",
+           "KernelUnsupportedError"]

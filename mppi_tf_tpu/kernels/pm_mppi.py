@@ -88,9 +88,16 @@ def _bits_to_uniform(bits):
 
 
 class _Dyn:
-    """SMEM scalar-array layout for the dynamic (per-solve) parameters."""
+    """SMEM scalar-array layout for the dynamic (per-solve) parameters.
 
-    def __init__(self, tau: int, sdim: int, adim: int):
+    With ``dynamic_ab`` the (A, B@scale) matrices themselves ride in SMEM
+    too (``self.A``/``self.Bs`` blocks) so an online-identified linear model
+    (models/dmd.py — (A, B) change every refit) runs the fused kernel with
+    NO recompile: only data changes, the executable is reused.
+    """
+
+    def __init__(self, tau: int, sdim: int, adim: int,
+                 dynamic_ab: bool = False):
         self.inv_mass = 0                    # 1
         self.x0 = 1                          # sdim
         self.goal = 1 + sdim                 # sdim
@@ -98,6 +105,10 @@ class _Dyn:
         self.rhs_z = self.bu + tau * sdim    # tau*adim
         self.u_half = self.rhs_z + tau * adim  # 1: summed pure-action cost
         self.size = self.u_half + 1
+        if dynamic_ab:
+            self.A = self.size               # sdim*sdim, row-major
+            self.Bs = self.A + sdim * sdim   # sdim*adim: B @ scale
+            self.size = self.Bs + sdim * adim
 
 
 def _fill_noise(z_scr, seed_ref, pid, n_chunks, pair_rows, L,
@@ -185,6 +196,93 @@ def make_weights_kernel(tau: int, adim: int, tile: int, k_total: int,
     return wkernel, n_chunks
 
 
+def make_noise_kernel(tau: int, adim: int, tile: int, antithetic: bool):
+    """Noise-dump kernel body: fill the per-tile normals exactly as the
+    solve kernels do (same ``_fill_noise``, same seed + pid scheme) and
+    write them to HBM in the chunked layout. Dynamics-agnostic — serves the
+    point-mass, LTI and AUV kernels alike. Two consumers:
+
+    - the fused-path observer catalogue (controller/mppi.py log mode needs
+      a bounded noise sample, observer_base.py:132-139);
+    - the TPU-side statistical validation of the in-kernel Box-Muller
+      stream (bench.py --check-noise: moments, cross-tile/step correlation,
+      antithetic pair exactness), which interpret mode cannot exercise
+      (pltpu.prng_* are stubs off-TPU).
+    """
+    L = tile // _SUB
+    slots = adim * _CH
+    pair_rows = slots * _SUB // 2
+    n_chunks = (tau + _CH - 1) // _CH
+
+    def nkernel(seed_ref, out_ref, z_scr):
+        pid = pl.program_id(0)
+        _fill_noise(z_scr, seed_ref, pid, n_chunks, pair_rows, L,
+                    antithetic)
+        for c in range(n_chunks):
+            out_ref[c] = z_scr[c]
+
+    return nkernel, n_chunks, slots
+
+
+@functools.partial(jax.jit, static_argnames=("fused", "n_tiles"))
+def fused_noise_dump(seed, *, fused, n_tiles: int | None = None):
+    """One realisation of the EXACT in-kernel noise stream the fused solve
+    at ``seed`` consumes, in the chunked layout
+    ``[n_chunks, adim*2*8, n_tiles*L]`` (see :func:`chunk_noise`).
+
+    ``n_tiles=1`` dumps only tile 0 (a bounded sample for observer
+    histograms); default dumps every tile of ``fused.k``.
+    """
+    tau, adim, tile = fused.tau, fused.adim, fused.tile
+    L = tile // _SUB
+    if n_tiles is None:
+        n_tiles = (fused.k + tile - 1) // tile
+    nkernel, n_chunks, slots = make_noise_kernel(tau, adim, tile,
+                                                 fused.antithetic)
+    rows = slots * _SUB
+    return pl.pallas_call(
+        nkernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((n_chunks, rows, L), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, rows, n_tiles * L),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_chunks, rows, L), jnp.float32)],
+        interpret=(pltpu.InterpretParams() if fused.interpret else False),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(jnp.asarray(seed, jnp.int32).reshape(1))
+
+
+def unchunk_noise(zc, tau: int, adim: int, k: int, tile: int):
+    """Inverse of :func:`chunk_noise`, jit-friendly:
+    ``[n_chunks, adim*2*8, n_tiles*L] -> [tau, adim, k]`` standard normals.
+    """
+    L = tile // _SUB
+    n_chunks, rows, total_lanes = zc.shape
+    n_tiles = total_lanes // L
+    assert rows == adim * _CH * _SUB and n_tiles * L == total_lanes
+    z = jnp.asarray(zc).reshape(n_chunks, _CH, adim, _SUB, n_tiles, L)
+    # sample global index = p*tile + sub*L + lane -> order (p, sub, lane)
+    z = z.transpose(0, 1, 2, 4, 3, 5).reshape(
+        n_chunks * _CH, adim, n_tiles * tile)
+    return z[:tau, :, :k]
+
+
+def fused_noise_sample(seed, fused, max_samples: int = 512):
+    """Bounded eps sample ``[min(max_samples, tile, k), tau, adim]`` of the
+    in-kernel noise at ``seed`` (tile 0 only), in action units
+    (eps = scale @ z) — the fused-path counterpart of the XLA log mode's
+    ``eps[:512]`` (controller/mppi.py)."""
+    zc = fused_noise_dump(seed, fused=fused, n_tiles=1)
+    n_keep = min(max_samples, fused.tile, fused.k)
+    z = unchunk_noise(zc, fused.tau, fused.adim, n_keep, fused.tile)
+    scale = jnp.asarray(fused._scale, jnp.float32)
+    return jnp.einsum("ij,tjn->nti", scale, z)
+
+
 def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
                  k_total: int, use_prng: bool, mode: str = "fused"):
     """Kernel body. ``mc`` compile-time constants: A (sdim x sdim),
@@ -208,9 +306,11 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
     slots = adim * _CH
     pair_rows = slots * _SUB // 2
     n_chunks = (tau + _CH - 1) // _CH
-    dyn = _Dyn(tau, sdim, adim)
-    A = np.asarray(mc["A"], np.float64)
-    BS = np.asarray(mc["Bs"], np.float64)
+    dynamic_ab = bool(mc.get("dynamic_ab", False))
+    dyn = _Dyn(tau, sdim, adim, dynamic_ab)
+    if not dynamic_ab:
+        A = np.asarray(mc["A"], np.float64)
+        BS = np.asarray(mc["Bs"], np.float64)
     MZ = np.asarray(mc["Mz"], np.float64)
     lam = float(mc["lam"])
     nc_half = float(mc["nc_half"])
@@ -277,6 +377,20 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
                 out.append(acc)
             return out
 
+        def smem_dot(base, nrows, ncols, vec):
+            """[Σ_j dyn[base + i*ncols + j] vec_j]_i — the dense runtime
+            counterpart of ``sparse_dot`` for the dynamic-(A, B) layout:
+            matrix entries are SMEM scalars, so a refit (models/dmd.py)
+            changes only data, never the executable."""
+            out = []
+            for i in range(nrows):
+                acc = None
+                for j in range(ncols):
+                    term = d_(base + i * ncols + j) * vec[j]
+                    acc = term if acc is None else acc + term
+                out.append(acc)
+            return out
+
         # ---- rollout: x as sdim (8, L) blocks, tau unrolled -----------
         x = [jnp.full((_SUB, L), 1.0, jnp.float32) * d_(dyn.x0 + i)
              for i in range(sdim)]
@@ -309,18 +423,27 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
         inv_m = d_(dyn.inv_mass)
         for t in range(tau):
             z_t = [zrow(t, j) for j in range(adim)]
-            ax = sparse_dot(A, x)
-            bz = sparse_dot(BS, z_t)     # B @ scale @ z (mass-free)
-            x = []
-            for i in range(sdim):
-                xi = ax[i] if ax[i] is not None else jnp.zeros((_SUB, L),
-                                                               jnp.float32)
-                drive = d_(dyn.bu + t * sdim + i)
-                if bz[i] is not None:
-                    xi = xi + inv_m * (drive + bz[i])
-                else:
-                    xi = xi + inv_m * drive
-                x.append(xi)
+            if dynamic_ab:
+                # dense FMA chains over SMEM-resident (A, B@scale): bu is
+                # packed as the true B u_t (no mass factor), so the step is
+                # x' = A x + B u + (B scale) z
+                ax = smem_dot(dyn.A, sdim, sdim, x)
+                bz = smem_dot(dyn.Bs, sdim, adim, z_t)
+                x = [ax[i] + (d_(dyn.bu + t * sdim + i) + bz[i])
+                     for i in range(sdim)]
+            else:
+                ax = sparse_dot(A, x)
+                bz = sparse_dot(BS, z_t)     # B @ scale @ z (mass-free)
+                x = []
+                for i in range(sdim):
+                    xi = ax[i] if ax[i] is not None else jnp.zeros(
+                        (_SUB, L), jnp.float32)
+                    drive = d_(dyn.bu + t * sdim + i)
+                    if bz[i] is not None:
+                        xi = xi + inv_m * (drive + bz[i])
+                    else:
+                        xi = xi + inv_m * drive
+                    x.append(xi)
             sc = state_cost(x)
             if sc is not None:
                 acc_cost = acc_cost + sc
@@ -429,16 +552,24 @@ class FusedPointMassMPPI:
     happens in plain XLA (ops/update.py).
     """
 
-    def __init__(self, model, cost, k: int, tau: int, lam: float,
-                 upsilon: float, sigma, tile: int = 4096,
-                 interpret: bool = False, antithetic: bool = False):
-        from ..costs.elipse import ElipseCost
-        from ..costs.static import StaticCost
+    #: subclasses set True to route (A, B@scale) through SMEM (dynamic
+    #: per-solve data) instead of baking them as compile-time constants
+    dynamic_ab = False
+
+    def _check_model(self, model):
         from ..models.point_mass import PointMassModel
 
         if not isinstance(model, PointMassModel):
             raise KernelUnsupportedError(
                 "fused kernel supports PointMassModel only")
+
+    def __init__(self, model, cost, k: int, tau: int, lam: float,
+                 upsilon: float, sigma, tile: int = 4096,
+                 interpret: bool = False, antithetic: bool = False):
+        from ..costs.elipse import ElipseCost
+        from ..costs.static import StaticCost
+
+        self._check_model(model)
         if type(cost) is StaticCost:
             cost_kind = "quadratic"
         elif type(cost) is ElipseCost:
@@ -472,18 +603,20 @@ class FusedPointMassMPPI:
         self._scale = upsilon * sigma
         self._inv_sigma = np.linalg.inv(sigma)
         nc_half = 0.5 * self.lam * (1.0 - 1.0 / self.upsilon)
-        A = np.asarray(model._A, np.float64)
-        B = np.asarray(model._B, np.float64)
-        self._B = B
         self._mc = {
-            "A": A,
-            "Bs": B @ self._scale,
             "Mz": self._scale.T @ self._inv_sigma @ self._scale,
             "lam": self.lam,
             "nc_half": nc_half,
             "cost_kind": cost_kind,
             "antithetic": self.antithetic,
+            "dynamic_ab": self.dynamic_ab,
         }
+        if not self.dynamic_ab:
+            A = np.asarray(model._A, np.float64)
+            B = np.asarray(model._B, np.float64)
+            self._B = B
+            self._mc["A"] = A
+            self._mc["Bs"] = B @ self._scale
         if cost_kind == "quadratic":
             self._mc["Q"] = np.asarray(cost.Q, np.float64)
         else:
@@ -590,6 +723,64 @@ class FusedPointMassMPPI:
         nrm = jnp.stack([beta, 1.0 / (denom * self.lam)]).astype(jnp.float32)
         return fused_pm_weights(seed, nrm, costs, z, fused=self,
                                 use_prng=use_prng)
+
+
+class FusedLTIMPPI(FusedPointMassMPPI):
+    """Fused solve for a generic linear model x' = A x + B u with RUNTIME
+    (A, B): the matrices ride in the SMEM dynamic array instead of being
+    baked into the kernel as compile-time constants, so the
+    online-refitted DMD model (models/dmd.py — (A, B) change on every
+    ``save()``-driven refit, controller/dmd.py) reuses ONE compiled
+    executable across refits. The s*s + s*a extra SMEM scalars cost dense
+    FMA chains per step (no zero elision) — for the 6-dim point-mass-sized
+    case that is 36+18 scalars, well inside SMEM.
+
+    Same cost domain as the point-mass kernel: StaticCost (quadratic) or
+    ElipseCost (4-dim [x, vx, y, vy] state). Reference extension point:
+    scripts/src/controllers/dmd_controller.py (the reserved DMD-MPPI).
+    """
+
+    dynamic_ab = True
+
+    def _check_model(self, model):
+        from ..models.dmd import DMDModel
+
+        if not isinstance(model, DMDModel):
+            raise KernelUnsupportedError(
+                "fused LTI kernel supports DMDModel only (PointMassModel "
+                "uses the specialised compile-time-constant kernel)")
+
+    def pack_dyn(self, mparams, cparams, x0, useq):
+        """Assemble the SMEM array INCLUDING the runtime (A, B@scale).
+
+        ``bu`` here is the true B u_t (the kernel skips the point-mass
+        1/mass factor on the dynamic path) and ``inv_mass`` is unused.
+        """
+        dyn = _Dyn(self.tau, self.sdim, self.adim, dynamic_ab=True)
+        useq = jnp.asarray(useq, jnp.float32).reshape(self.tau, self.adim)
+        A = jnp.asarray(mparams["A"], jnp.float32)
+        B = jnp.asarray(mparams["B"], jnp.float32)
+        inv_sig = jnp.asarray(self._inv_sigma, jnp.float32)
+        scale = jnp.asarray(self._scale, jnp.float32)
+        bu = useq @ B.T                      # [tau, sdim] (true B u)
+        rhs_z = (self.gamma * (useq @ inv_sig.T)) @ scale
+        u_half = 0.5 * self.gamma * jnp.einsum(
+            "ti,ij,tj->t", useq, inv_sig, useq)
+        out = jnp.zeros((dyn.size,), jnp.float32)
+        out = out.at[dyn.x0:dyn.x0 + self.sdim].set(
+            jnp.asarray(x0, jnp.float32).reshape(self.sdim))
+        if "goal" in cparams:  # ellipse cost has no dynamic goal
+            out = out.at[dyn.goal:dyn.goal + self.sdim].set(
+                jnp.asarray(cparams["goal"], jnp.float32))
+        out = out.at[dyn.bu:dyn.bu + self.tau * self.sdim].set(
+            bu.reshape(-1))
+        out = out.at[dyn.rhs_z:dyn.rhs_z + self.tau * self.adim].set(
+            rhs_z.reshape(-1))
+        out = out.at[dyn.u_half].set(jnp.sum(u_half))
+        out = out.at[dyn.A:dyn.A + self.sdim * self.sdim].set(
+            A.reshape(-1))
+        return out.at[dyn.Bs:dyn.Bs + self.sdim * self.adim].set(
+            (B @ scale).reshape(-1))
 
 
 @functools.partial(jax.jit, static_argnames=("fused", "use_prng",

@@ -188,9 +188,25 @@ class Learner:
                 self._log_grad_weights(grads, net, e)
             if val is not None and e % 10 == 0:
                 self.params = self.model.with_trainable(self.params, net)
-                err = self.validate(val[1], val[0])
                 if self.observer:
+                    # the full reference validation catalogue
+                    # (learner_base.py:339-357): train-set loss, total
+                    # rollout error, per-dimension and per-step splits,
+                    # transition error and its per-dimension split
+                    err, trans, err_split, trans_split, err_step = \
+                        self.validate(val[1], val[0], transition=True,
+                                      split=True, per_step=True)
                     self.observer.scalar("Val/rollout_mse", float(err), e)
+                    self.observer.scalar(
+                        "Val/train_set", float(self._loss(net, X, Y)), e)
+                    self.observer.scalar("Val/transition", float(trans), e)
+                    self._log_split("Val/split", np.asarray(err_split), e)
+                    self._log_split("Val/transition_split",
+                                    np.asarray(trans_split), e)
+                    self.observer.histogram("Val/step_mse",
+                                            np.asarray(err_step), e)
+                else:
+                    self.validate(val[1], val[0])
         self.params = self.model.with_trainable(self.params, net)
         return last_loss
 
@@ -315,12 +331,14 @@ class Learner:
     # validation (learner_base.py:218-322)
     # ------------------------------------------------------------------
     def validate(self, action_seqs, gt_trajs, transition: bool = False,
-                 split: bool = False):
+                 split: bool = False, per_step: bool = False):
         """Open-loop rollout MSE against ground-truth trajectories.
 
         action_seqs: [k, tau, aDim]; gt_trajs: [k, tau, sDim].
         Returns err (and transition/split errors when requested), matching
-        the reference's flag combinatorics (learner_base.py:298-322).
+        the reference's flag combinatorics (learner_base.py:298-322);
+        ``per_step`` appends the [tau] per-step rollout error (the error
+        growth along the horizon) as the last output.
         """
         dt = self.model.dtype
         action_seqs = jnp.asarray(action_seqs, dt)
@@ -350,6 +368,8 @@ class Learner:
                 outs.extend([err_split, trans_split])
         elif split:
             outs.append(err_split)
+        if per_step:
+            outs.append(jnp.mean((traj - gt) ** 2, axis=(0, 2)))
         return outs[0] if len(outs) == 1 else tuple(outs)
 
     # ------------------------------------------------------------------
@@ -368,6 +388,26 @@ class Learner:
         self.params = load_checkpoint(path, like=self.params)
 
     # ------------------------------------------------------------------
+    _SPLIT_NAMES = {
+        6: ["vx", "vy", "vz", "p", "q", "r"],
+        12: ["x", "y", "z", "roll", "pitch", "yaw",
+             "vx", "vy", "vz", "p", "q", "r"],
+        13: ["x", "y", "z", "qx", "qy", "qz", "qw",
+             "vx", "vy", "vz", "p", "q", "r"],
+    }
+
+    def _log_split(self, scope: str, tensor, step: int):
+        """Per-dimension scalars, named by the reference's axis convention
+        for the 6/12/13-dim AUV layouts (learner_base.py:534-552), generic
+        ``d{i}`` otherwise (the reference errors out on other dims; here
+        every model family gets its split)."""
+        tensor = np.asarray(tensor).reshape(-1)
+        names = self._SPLIT_NAMES.get(
+            tensor.shape[0],
+            [f"d{i}" for i in range(tensor.shape[0])])
+        for i, axs in enumerate(names):
+            self.observer.scalar(f"{scope}-{axs}", float(tensor[i]), step)
+
     def _log_grad_weights(self, grads, net, step: int):
         """Per-leaf grad/weight histograms, keyed by pytree path — works for
         NN layer lists and analytic physical-param dicts alike.

@@ -19,11 +19,11 @@ read the operator off the pseudo-inverse,
 snapshot count), so a controller can re-identify the model online between
 control steps without leaving the device. The model follows the standard
 ModelBase protocol — it drops into MPPI (via controller.dmd.DMDMPPI for
-online refits) and into the Learner (whose state-MSE loss fine-tunes A and
-B by gradient, the analytic-model training path). The mesh-sharded
-controllers accept it only with PRE-FIT (A, B) installed through
-``model_params`` — they have no save()-driven refit hook, and the factory
-rejects the frozen identity prior loudly (controller/__init__.py).
+online refits, single-device or mesh-sharded: ShardedDMDMPPI /
+ShardedFusedDMDMPPI share the same save()-driven refit hook) and into the
+Learner (whose state-MSE loss fine-tunes A and B by gradient, the
+analytic-model training path). On the fused Pallas path the (A, B) ride in
+SMEM (kernels/pm_mppi.FusedLTIMPPI), so refits never recompile.
 """
 
 from __future__ import annotations

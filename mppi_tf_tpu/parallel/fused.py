@@ -251,7 +251,7 @@ class ShardedFusedMPPI(ShardedControllerMixin):
                  overlap_merge: bool = False):
         from ..kernels.auv_mppi import FusedAUVMPPI
         from ..kernels.errors import KernelUnsupportedError
-        from ..kernels.pm_mppi import FusedPointMassMPPI
+        from ..kernels.pm_mppi import FusedLTIMPPI, FusedPointMassMPPI
 
         n = mesh.shape[axis]
         if k % n != 0:
@@ -264,7 +264,7 @@ class ShardedFusedMPPI(ShardedControllerMixin):
         tile = int(tile)
         err = None
         self._fused = None
-        for cls in (FusedPointMassMPPI, FusedAUVMPPI):
+        for cls in (FusedPointMassMPPI, FusedLTIMPPI, FusedAUVMPPI):
             try:
                 self._fused = cls(model, cost, k=k_local, tau=tau, lam=lam,
                                   upsilon=upsilon, sigma=sigma, tile=tile,

@@ -253,13 +253,16 @@ def test_factory_and_runner_build_adaptive_dmd_controller():
     ctrl2 = get_controller(dmd, cost, env_cfg, refit_every=2)
     assert ctrl2._refit_every == 2
 
-    # the mesh path has no refit hook: a factory-built sharded DMD would
-    # run forever on the identity prior — reject loudly
+    # the mesh path builds the ADAPTIVE sharded controller (round-2 item:
+    # a sharded DMD no longer needs the pre-fit workaround — the save()
+    # hook refits, the sharded solve never retraces)
+    from mppi_tf_tpu.controller.dmd import ShardedDMDMPPI
     from mppi_tf_tpu.parallel import make_mesh
 
-    with pytest.raises(ValueError, match="identity prior"):
-        get_controller(dmd, cost, dict(env_cfg, samples=400),
-                       mesh=make_mesh(8, ("k",)))
+    sctrl = get_controller(dmd, cost, dict(env_cfg, samples=400),
+                           mesh=make_mesh(8, ("k",)))
+    assert isinstance(sctrl, ShardedDMDMPPI)
+    assert sctrl._refit_every == 5
 
     res = run_experiment(env_cfg, task_cfg, model_cfg, steps=80, seed=3)
     assert res["controller"].n_fits >= 1
@@ -271,9 +274,9 @@ def test_factory_and_runner_build_adaptive_dmd_controller():
 
 
 def test_prefit_dmd_runs_sharded():
-    """The route the factory guard recommends: fit (A, B) offline, install
-    them via model_params, and run the identified linear model K-sharded on
-    the 8-device mesh — matching the true-plant controller's solve."""
+    """Pre-fit route: fit (A, B) offline, install them via model_params,
+    and run the identified linear model K-sharded on the 8-device mesh —
+    matching the true-plant controller's solve."""
     from mppi_tf_tpu.parallel import ShardedMPPI, make_mesh
 
     sdim, adim = 4, 2
@@ -314,3 +317,86 @@ def test_dmd_mppi_guards():
     ctrl = DMDMPPI(dmd, cost, k=8, tau=3, lam=0.4, upsilon=1.0, sigma=sigma)
     with pytest.raises(ValueError, match="min_samples"):
         ctrl.fit_now()
+
+
+def test_sharded_adaptive_dmd_closed_loop():
+    """ShardedDMDMPPI (8-device mesh, XLA path): the save() hook refits the
+    sharded controller online — no pre-fit workaround — and the closed loop
+    reaches the goal from the identity prior."""
+    from mppi_tf_tpu.controller.dmd import ShardedDMDMPPI
+    from mppi_tf_tpu.parallel import make_mesh
+
+    sdim, adim = 4, 2
+    pm, _, _ = _pm_truth(sdim=sdim, adim=adim)
+    pm_params = pm.init_params()
+    sigma = np.diag([0.4, 0.4])
+    goal = [1.0, 0.0, -0.5, 0.0]
+    cost = get_cost({"type": "static", "diag": True, "goal": goal,
+                     "Q": [6.0, 0.4, 6.0, 0.4]},
+                    lam=0.4, gamma=0.1, upsilon=1.0, sigma=sigma)
+    dmd = DMDModel(state_dim=sdim, action_dim=adim, dtype=jnp.float64,
+                   reg=1e-10)
+    ctrl = ShardedDMDMPPI(dmd, cost, make_mesh(8, ("k",)), k=320, tau=15,
+                          lam=0.4, upsilon=1.0, sigma=sigma, seed=4,
+                          refit_every=5)
+
+    rng = np.random.RandomState(7)
+    x = np.zeros(sdim)
+    for _ in range(30):
+        u = rng.uniform(-1.0, 1.0, size=adim)
+        xn = np.asarray(pm.predict(pm_params, jnp.asarray(x), jnp.asarray(u)))
+        ctrl.save(x, u, xn)
+        x = xn
+    assert ctrl.n_fits >= 1
+    np.testing.assert_allclose(np.asarray(ctrl.model_params["A"]),
+                               np.asarray(pm._A), atol=1e-6)
+
+    x = np.zeros(sdim)
+    d0 = np.linalg.norm(x[[0, 2]] - np.asarray(goal)[[0, 2]])
+    for _ in range(50):
+        u = ctrl.next(x)
+        xn = np.asarray(pm.predict(pm_params, jnp.asarray(x),
+                                   jnp.asarray(u)))
+        ctrl.save(x, u, xn)
+        x = xn
+    d = np.linalg.norm(x[[0, 2]] - np.asarray(goal)[[0, 2]])
+    assert d < 0.15, f"goal distance {d} (initial {d0})"
+
+
+def test_fused_lti_dmd_refit_never_recompiles():
+    """DMDMPPI(kernel='pallas') runs the dynamic-(A, B) FusedLTIMPPI kernel:
+    a refit changes only the SMEM data, so the jitted fused step is NOT
+    retraced (one executable across refits — round-2 item 3)."""
+    from mppi_tf_tpu.kernels.pm_mppi import FusedLTIMPPI
+
+    sdim, adim = 4, 2
+    pm = PointMassModel(mass=1.3, dt=0.1, state_dim=sdim, action_dim=adim,
+                        dtype=jnp.float32)
+    pm_params = pm.init_params()
+    sigma = np.diag([0.4, 0.4])
+    cost = get_cost({"type": "static", "diag": True,
+                     "goal": [1.0, 0.0, -0.5, 0.0],
+                     "Q": [6.0, 0.4, 6.0, 0.4]},
+                    lam=0.4, gamma=0.1, upsilon=1.0, sigma=sigma)
+    dmd = DMDModel(state_dim=sdim, action_dim=adim, dtype=jnp.float32,
+                   reg=1e-8)
+    ctrl = DMDMPPI(dmd, cost, k=64, tau=4, lam=0.4, upsilon=1.0,
+                   sigma=sigma, seed=0, refit_every=5,
+                   kernel="pallas", kernel_tile=64)
+    assert isinstance(ctrl._fused, FusedLTIMPPI)
+
+    x = np.zeros(sdim)
+    ctrl.next(x)  # compile once
+    n_compiled = ctrl._fused_step_jit._cache_size()
+    assert n_compiled >= 1
+
+    rng = np.random.RandomState(1)
+    for _ in range(21):  # min_samples=2*(s+a)=12, refit_every=5 -> 2 fits
+        u = rng.uniform(-1.0, 1.0, size=adim)
+        xn = np.asarray(pm.predict(pm_params, jnp.asarray(x, jnp.float32),
+                                   jnp.asarray(u, jnp.float32)))
+        ctrl.save(x, u, xn)
+        x = xn
+    assert ctrl.n_fits >= 2  # (A, B) changed at least twice
+    ctrl.next(x)
+    assert ctrl._fused_step_jit._cache_size() == n_compiled

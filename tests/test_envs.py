@@ -375,3 +375,79 @@ class TestOnDevicePlant:
         qn = np.linalg.norm(states[:, 3:7], axis=1)
         np.testing.assert_allclose(qn, 1.0, atol=1e-3)
         assert abs(states[-1, 2] - goal[2]) < 0.2, states[-1, 2]
+
+
+class TestOnDeviceAdaptiveDMD:
+    """On-device MBRL (VERDICT r2 item 5): the DMD identification runs
+    INSIDE the scan — the scan carries (A, B) plus a fixed-capacity
+    transition window, refitting every refit_every periods with the
+    static-shape DMDc least-squares. The reference's train-every-N loop
+    (main.py:105-106) with zero host round trips."""
+
+    def _setup(self, plant_mass=3.0):
+        from mppi_tf_tpu.costs import get_cost
+        from mppi_tf_tpu.envs.mjx_env import JaxPointMassEnv
+        from mppi_tf_tpu.models import get_model
+
+        sigma = np.diag([0.4, 0.4])
+        goal = [1.0, 0.0, -0.5, 0.0]
+        cost = get_cost({"type": "static", "diag": True, "goal": goal,
+                         "Q": [8.0, 1.5, 8.0, 1.5]},
+                        lam=0.6, gamma=0.2, upsilon=1.0, sigma=sigma)
+        # prior: the WRONG plant (mass 1.0); the true plant is heavier
+        prior = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                          state_dim=4, action_dim=2)
+        truth = get_model({"type": "point_mass", "mass": plant_mass},
+                          dt=0.1, state_dim=4, action_dim=2)
+        env = JaxPointMassEnv(n_dof=2, mass=plant_mass, dt=0.01)
+        return sigma, goal, cost, prior, truth, env
+
+    def test_identification_inside_the_scan_converges(self):
+        import jax.numpy as jnp
+
+        from mppi_tf_tpu.controller.dmd import DMDMPPI
+        from mppi_tf_tpu.envs.mjx_env import on_device_closed_loop
+        from mppi_tf_tpu.models.dmd import DMDModel
+
+        sigma, goal, cost, prior, truth, env = self._setup()
+        dmd = DMDModel(4, 2, reg=1e-11, dtype=jnp.float64,
+                       init_A=prior._A, init_B=prior._B)
+        ctrl = DMDMPPI(dmd, cost, k=256, tau=15, lam=0.6, upsilon=1.0,
+                       sigma=sigma, seed=2, refit_every=5)
+        states, actions, mp_f = on_device_closed_loop(
+            ctrl, env.step_fn, np.zeros(4), steps=60, substeps=10)
+        states = np.asarray(states)
+        assert states.shape == (60, 4)
+        # the in-scan refits identified the TRUE (mass-3) control-period
+        # map despite the mass-1 prior
+        np.testing.assert_allclose(np.asarray(mp_f["A"]),
+                                   np.asarray(truth._A), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(mp_f["B"]),
+            np.asarray(truth._B) / 3.0, atol=1e-5)
+        err = np.linalg.norm(states[-1, 0::2] - np.array([1.0, -0.5]))
+        assert err < 0.25, err
+
+    def test_sharded_adaptive_dmd_on_device(self):
+        """The adaptive scan composes with the mesh-sharded solve: one
+        program carries identification AND the cross-device collectives."""
+        import jax.numpy as jnp
+
+        from mppi_tf_tpu.controller.dmd import ShardedDMDMPPI
+        from mppi_tf_tpu.envs.mjx_env import on_device_closed_loop
+        from mppi_tf_tpu.models.dmd import DMDModel
+        from mppi_tf_tpu.parallel import make_mesh
+
+        sigma, goal, cost, prior, truth, env = self._setup()
+        dmd = DMDModel(4, 2, reg=1e-11, dtype=jnp.float64,
+                       init_A=prior._A, init_B=prior._B)
+        ctrl = ShardedDMDMPPI(dmd, cost, make_mesh(8, ("k",)), k=256,
+                              tau=15, lam=0.6, upsilon=1.0, sigma=sigma,
+                              seed=2, refit_every=5)
+        states, _actions, mp_f = on_device_closed_loop(
+            ctrl, env.step_fn, np.zeros(4), steps=50, substeps=10)
+        states = np.asarray(states)
+        np.testing.assert_allclose(np.asarray(mp_f["A"]),
+                                   np.asarray(truth._A), atol=1e-5)
+        err = np.linalg.norm(states[-1, 0::2] - np.array([1.0, -0.5]))
+        assert err < 0.25, err

