@@ -9,8 +9,11 @@ row the framework claims, driver-verifiable in one run:
     AUV (Fossen rk2)  pallas K=262144 H=25
     AUV (Fossen rk2)  pallas K=65536  H=50
     NN (3x32 MLP)     XLA    K=65536  H=25 (bf16 MXU path)
+    DMD (dynamic A,B) pallas K=100k H=50 (SMEM-resident runtime matrices)
     sharded smoke: point-mass pallas over ALL visible devices
     on-device closed loop: 500 control steps (solve + plant) as ONE program
+    on-device ADAPTIVE DMD loop: DMDc refits inside the scan (wrong-mass prior)
+    in-kernel noise check (TPU only): moments/correlations/antithetic exactness
 
 One JSON line is printed per workload as it completes; the full suite is
 written to ``BENCH_SUITE.json`` next to this file and the FINAL line is a
@@ -48,7 +51,7 @@ import time
 
 import numpy as np
 
-_VALID_WORKLOADS = ("point_mass", "auv", "nn")
+_VALID_WORKLOADS = ("point_mass", "auv", "nn", "dmd")
 
 
 def _build_workload(workload, jnp):
@@ -68,6 +71,16 @@ def _build_workload(workload, jnp):
         )
         lam = 0.8
         state0 = np.zeros(6)
+    elif workload == "dmd":
+        # identified-linear-model workload: DMDModel pre-fit to the point-
+        # mass map, running the dynamic-(A, B) FusedLTIMPPI kernel (SMEM-
+        # resident matrices, dense FMA chains) — measures the price of
+        # runtime dynamics vs the zero-elided compile-time kernel above
+        from mppi_tf_tpu.models.dmd import DMDModel
+
+        pm, cost, sigma, lam, state0 = _build_workload("point_mass", jnp)
+        model = DMDModel(6, 3, dt=0.1, init_A=np.asarray(pm._A),
+                         init_B=np.asarray(pm._B))
     elif workload == "nn":
         # learned-dynamics workload: NNAUVModel 3x32 MLP, static_quat cost
         # (the MBRL sampling hot path; no fused kernel by design — XLA MXU
@@ -245,7 +258,7 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
         dispatch_p50 = float(np.median(lat))
 
     wname = {"point_mass": "point_mass3d", "nn": "auv_nn_mlp",
-             "auv": "auv_rexrov2"}[workload]
+             "auv": "auv_rexrov2", "dmd": "dmd_lti6"}[workload]
     p50_ms = per_solve * 1e3
     used_pallas = (ctrl._fused is not None if ctrl is not None
                    else kernel == "pallas")
@@ -329,6 +342,178 @@ def run_on_device_loop_workload(K, TAU, STEPS, tile):
     }
 
 
+def run_noise_check(K, TAU, tile):
+    """Statistically validate the in-kernel Box-Muller noise ON HARDWARE
+    (VERDICT r2 weak #4): interpret mode stubs pltpu.prng_* so the stream,
+    the seed+pid per-tile seeding, and the per-solve seed stride are only
+    exercisable on a real TPU. Dumps one [tau, aDim, K] realisation via the
+    noise-dump kernel (kernels/pm_mppi.fused_noise_dump — the SAME
+    _fill_noise the solve kernels run) and checks, on-device:
+
+    - moments: mean/var/skew/kurtosis within 6-sigma estimator bounds;
+    - tail mass beyond 3 sigma matches the normal 0.27%;
+    - cross-step, cross-dim, cross-tile, and cross-SOLVE (seed + n_tiles
+      stride, controller/mppi.py _next_fused) correlations ~ 1/sqrt(N);
+    - antithetic variant: lane pairs mirror EXACTLY over the whole
+      [tau, aDim] sequence (eps_pair = -eps, bitwise).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mppi_tf_tpu.kernels.pm_mppi import (FusedPointMassMPPI,
+                                             default_tile, fused_noise_dump,
+                                             unchunk_noise)
+
+    backend = jax.default_backend()
+    model, cost, sigma, lam, _state0 = _build_workload("point_mass", jnp)
+    tile = tile or default_tile(K)
+    n_tiles = (K + tile - 1) // tile
+    fused = FusedPointMassMPPI(model, cost, k=K, tau=TAU, lam=lam,
+                               upsilon=1.0, sigma=sigma, tile=tile,
+                               interpret=(backend != "tpu"))
+    adim = fused.adim
+    # every lane of every tile carries a genuine PRNG draw (the solve masks
+    # the pad lanes, the generator does not) — analyse the full padded set
+    kp = n_tiles * tile
+
+    @jax.jit
+    def stats(seed, seed2):
+        z = unchunk_noise(fused_noise_dump(seed, fused=fused),
+                          TAU, adim, kp, tile)         # [tau, adim, kp]
+        z2 = unchunk_noise(fused_noise_dump(seed2, fused=fused),
+                           TAU, adim, kp, tile)
+
+        def corr(a, b):
+            a = a - jnp.mean(a)
+            b = b - jnp.mean(b)
+            return jnp.sum(a * b) * jax.lax.rsqrt(
+                jnp.sum(a * a) * jnp.sum(b * b))
+
+        zt = z.reshape(TAU, adim, n_tiles, tile)
+        return {
+            "mean": jnp.mean(z),
+            "var": jnp.var(z),
+            "skew": jnp.mean(z ** 3),
+            "kurtosis": jnp.mean(z ** 4),
+            "tail_3sigma": jnp.mean(jnp.abs(z) > 3.0),
+            "corr_step": corr(z[:-1].ravel(), z[1:].ravel()),
+            "corr_dim": corr(z[:, :-1].ravel(), z[:, 1:].ravel()),
+            "corr_tile": corr(zt[:, :, :-1].ravel(), zt[:, :, 1:].ravel()),
+            "corr_solve": corr(z.ravel(), z2.ravel()),
+        }
+
+    s = {k: float(v) for k, v in stats(
+        jnp.int32(0), jnp.int32(n_tiles)).items()}
+
+    n = kp * TAU * adim
+    sig_mean = n ** -0.5
+    checks = {
+        "mean": abs(s["mean"]) < 6 * sig_mean,
+        "var": abs(s["var"] - 1.0) < 6 * (2.0 / n) ** 0.5 + 1e-3,
+        "skew": abs(s["skew"]) < 6 * (6.0 / n) ** 0.5,
+        # Box-Muller with u1 >= 2^-24 clips the tail at 5.77 sigma; the
+        # kurtosis deficit of that clip is ~1e-5 — inside the bound
+        "kurtosis": abs(s["kurtosis"] - 3.0) < 6 * (24.0 / n) ** 0.5 + 1e-3,
+        "tail_3sigma": abs(s["tail_3sigma"] - 0.0027) < 6e-4,
+        "corr_step": abs(s["corr_step"]) < 6 * sig_mean,
+        "corr_dim": abs(s["corr_dim"]) < 6 * sig_mean,
+        "corr_tile": abs(s["corr_tile"]) < 6 * sig_mean,
+        "corr_solve": abs(s["corr_solve"]) < 6 * sig_mean,
+    }
+
+    # antithetic lane mirroring must be EXACT over the whole sequence
+    fused_a = FusedPointMassMPPI(model, cost, k=K, tau=TAU, lam=lam,
+                                 upsilon=1.0, sigma=sigma, tile=tile,
+                                 interpret=(backend != "tpu"),
+                                 antithetic=True)
+    L = tile // 8
+
+    @jax.jit
+    def anti_err(seed):
+        z = unchunk_noise(fused_noise_dump(seed, fused=fused_a),
+                          TAU, adim, kp, tile)
+        z5 = z.reshape(TAU, adim, n_tiles, 8, L)
+        return jnp.max(jnp.abs(z5[..., : L // 2] + z5[..., L // 2:]))
+
+    s["antithetic_max_pair_err"] = float(anti_err(jnp.int32(0)))
+    checks["antithetic"] = s["antithetic_max_pair_err"] == 0.0
+
+    ok = all(checks.values())
+    return {
+        "metric": f"in_kernel_noise_check@K={K},H={TAU},{backend}",
+        "value": 1.0 if ok else 0.0,
+        "unit": "pass",
+        "vs_baseline": 1.0 if ok else 0.0,
+        "extra": {**{k: round(v, 8) for k, v in s.items()},
+                  "failed": sorted(k for k, v in checks.items() if not v),
+                  "n_samples": n, "backend": backend, "K": K, "H": TAU},
+    }
+
+
+def run_adaptive_dmd_loop_workload(K, TAU, STEPS, tile):
+    """On-device MBRL: DMD identification INSIDE the scan (mjx_env
+    build_on_device_loop) — solve + plant + periodic DMDc refit as ONE
+    program. The controller starts from a wrong-mass prior (point-mass map
+    at mass 1.0; the plant weighs 3.0) and must identify the true map while
+    controlling. Reports ms per control step INCLUDING plant + refits."""
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    from mppi_tf_tpu.controller.dmd import DMDMPPI
+    from mppi_tf_tpu.envs.mjx_env import (JaxPointMassEnv,
+                                          build_on_device_loop)
+    from mppi_tf_tpu.models import get_model
+    from mppi_tf_tpu.models.dmd import DMDModel
+
+    _model, cost, sigma, lam, state0 = _build_workload("point_mass", jnp)
+    prior = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                      state_dim=6, action_dim=3)
+    plant_mass = 3.0
+    truth = get_model({"type": "point_mass", "mass": plant_mass}, dt=0.1,
+                      state_dim=6, action_dim=3)
+    dmd = DMDModel(6, 3, dt=0.1, init_A=np.asarray(prior._A),
+                   init_B=np.asarray(prior._B), reg=1e-8)
+    kernel = "pallas" if backend == "tpu" else "xla"
+    ctrl = DMDMPPI(dmd, cost, k=K, tau=TAU, lam=lam, upsilon=1.0,
+                   sigma=sigma, kernel=kernel, kernel_tile=tile,
+                   refit_every=10)
+    env = JaxPointMassEnv(n_dof=3, mass=plant_mass, dt=0.01)
+    run = build_on_device_loop(ctrl, env.step_fn, steps=STEPS, substeps=10)
+    key = jax.random.PRNGKey(0)
+    states, _a, mp_f = jax.block_until_ready(run(state0, key))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        states, _a, mp_f = jax.block_until_ready(run(state0, key))
+        times.append(time.perf_counter() - t0)
+    per_step = float(np.median(times)) / STEPS
+    goal_err = float(np.linalg.norm(
+        np.asarray(states)[-1, 0::2] - np.array([1.0, 0.5, -0.5])))
+    b_err = float(np.max(np.abs(
+        np.asarray(mp_f["B"]) - np.asarray(truth._B) / plant_mass)))
+    p50_ms = per_step * 1e3
+    return {
+        "metric": (f"on_device_adaptive_dmd_step_ms@K={K},H={TAU},"
+                   f"steps={STEPS},{backend},{kernel}"),
+        "value": round(p50_ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(10.0 / p50_ms, 3),
+        "extra": {
+            "control_steps_per_s": round(1.0 / per_step, 2),
+            "goal_err": round(goal_err, 4),
+            "identified_B_err": round(b_err, 6),
+            "refit_every": 10,
+            "backend": backend,
+            "kernel": kernel,
+            "workload": "dmd_adaptive",
+            "K": K, "H": TAU, "steps": STEPS,
+            "on_device_loop": True, "sharded": False,
+            "n_devices": len(jax.devices()),
+        },
+    }
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/repo/.jax_cache")
@@ -389,6 +574,7 @@ def main():
         ("auv", default_kernel, 262_144, 25, 300, False, False),
         ("auv", default_kernel, 65_536, 50, 300, False, False),
         ("nn", "xla", 65_536, 25, 300, False, False),
+        ("dmd", default_kernel, 100_000, 50, 300, False, False),
         ("point_mass", default_kernel, 100_000, 50, 300, True, False),
     ]
     cap_k = int(os.environ.get("BENCH_K", 0)) or None
@@ -425,6 +611,25 @@ def main():
              "error": f"{type(e).__name__}: {e}"}
     print(json.dumps(r), flush=True)
     suite.append(r)
+    # adaptive DMD on-device loop: identification inside the scan
+    steps_ad = min(200, steps_od)
+    try:
+        r = run_adaptive_dmd_loop_workload(k_od, tau_od, steps_ad, tile)
+    except Exception as e:
+        r = {"metric": f"FAILED@on_device_adaptive_dmd,K={k_od},H={tau_od}",
+             "error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(r), flush=True)
+    suite.append(r)
+    # in-kernel noise statistics (hardware-only semantics: interpret mode
+    # stubs the PRNG, so off-TPU this records the stub, not a failure)
+    if backend == "tpu":
+        try:
+            r = run_noise_check(k_od, tau_od, tile)
+        except Exception as e:
+            r = {"metric": f"FAILED@in_kernel_noise_check,K={k_od}",
+                 "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(r), flush=True)
+        suite.append(r)
     suite_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_SUITE.json")
     try:

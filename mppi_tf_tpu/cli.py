@@ -41,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("-g", "--gif", action="store_true",
                    help="write an animated GIF of the run (run.gif in the "
                         "logdir, or ./run.gif without -l)")
+    p.add_argument("-f", "--filter", action="store_true",
+                   help="Savitzky-Golay smooth the action sequence "
+                        "(reference main.py:44-48; equivalent to "
+                        "'filter: true' in the env config)")
     p.add_argument("--on-device", action="store_true",
                    help="compile the whole experiment (solve + plant) into "
                         "one device program (needs a jax:/mjx:/analytic-AUV "
@@ -86,6 +90,9 @@ def main(argv=None):
             print("error: --config, --task and --model are required "
                   "(or --replay --log-dir)", file=sys.stderr)
             return 2
+    if args.filter:
+        # the factory reads the env-config 'filter' key; the flag forces it
+        env_cfg = dict(env_cfg, filter=True)
 
     result = run_experiment(
         env_cfg, task_cfg, model_cfg,

@@ -17,13 +17,19 @@ class ClosedLoopRunner:
     """Drives controller + env + (optional) learner + observer."""
 
     def __init__(self, env, controller, control_dt: float,
-                 learner=None, observer=None, train_every: int = 0):
+                 learner=None, observer=None, train_every: int = 0,
+                 waypoint_radius: float = 0.0):
         self.env = env
         self.controller = controller
         self.control_dt = float(control_dt)
         self.learner = learner
         self.observer = observer
         self.train_every = int(train_every)
+        # > 0 enables waypoint-queue advancement: when the plant comes
+        # within this distance of the leading waypoint of a WayPointsCost,
+        # the queue pops to the next one (the wiring the reference's
+        # waypoint draft never got, cost_base.py:210-284 / cost.py:45-48)
+        self.waypoint_radius = float(waypoint_radius)
 
     def run(self, steps: int, x0=None):
         """Run ``steps`` control steps; returns (states, actions) history.
@@ -60,8 +66,30 @@ class ClosedLoopRunner:
             states.append(np.reshape(x, (-1,)).copy())
             actions.append(np.reshape(u, (-1,)).copy())
             x = x_next
+            if self.waypoint_radius > 0.0:
+                self._advance_waypoints(x)
         states.append(np.reshape(x, (-1,)).copy())
         return np.asarray(states), np.asarray(actions)
+
+    def _advance_waypoints(self, x):
+        """Pop the leading waypoint once the plant state is inside
+        ``waypoint_radius`` of it (Euclidean over the cost's dist vector;
+        pass-through waypoints therefore want a radius that tolerates the
+        crossing velocity)."""
+        from ..costs.waypoints import WayPointsCost
+
+        cost = getattr(self.controller, "_cost", None)
+        if not isinstance(cost, WayPointsCost):
+            return
+        import jax.numpy as jnp
+
+        cp = self.controller._cparams
+        if int(cp["count"]) < 2:
+            return  # last waypoint behaves as the single goal
+        d = np.asarray(cost.dist(
+            cp, jnp.asarray(np.reshape(x, (-1,)), cost._dtype)))
+        if np.linalg.norm(d) < self.waypoint_radius:
+            self.controller._cparams = cost.pop(cp)
 
 
 def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
@@ -167,7 +195,8 @@ def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
 
     runner = ClosedLoopRunner(env, controller, control_dt=dt,
                               learner=learner, observer=observer,
-                              train_every=train_every)
+                              train_every=train_every,
+                              waypoint_radius=task_cfg.get("radius", 0.0))
     states, actions = runner.run(steps)
     return {
         "states": states,

@@ -185,3 +185,25 @@ class TestCLI:
         assert logdir is not None
         rc = cli.main(["--replay", "--log-dir", logdir, "-s", "2", "--cpu"])
         assert rc == 0
+
+    def test_cli_filter_flag(self, tmp_path, monkeypatch):
+        """-f/--filter (reference main.py:44-48) forces Savitzky-Golay
+        smoothing: the built controller must carry the filter operator."""
+        from mppi_tf_tpu import cli
+        from mppi_tf_tpu.controller import mppi as mppi_mod
+
+        built = []
+        orig = mppi_mod.MPPI.__init__
+
+        def spy(self, *a, **kw):
+            orig(self, *a, **kw)
+            built.append(self)
+
+        monkeypatch.setattr(mppi_mod.MPPI, "__init__", spy)
+        rc = cli.main([
+            "--config", "envs/point_mass", "--task", "tasks/static_cost",
+            "--model", "models/point_mass_model", "-s", "2", "-f",
+            "--log-dir", str(tmp_path), "--cpu",
+        ])
+        assert rc == 0
+        assert built and built[-1]._S is not None  # savgol matrix installed
