@@ -400,3 +400,37 @@ class TestFusedLogCatalogue:
         # fused per-sample costs agree with the XLA rollout when fed the
         # SAME noise: covered by kernel parity tests; here the two paths
         # use different RNG streams so only structure is compared.
+
+    def test_log_info_keys_fused_auv(self):
+        """The fused-path log catalogue also works on the AUV kernel (its
+        costs-phase output and noise layout match the point-mass family)."""
+        import __graft_entry__ as g
+
+        from mppi_tf_tpu.costs import get_cost
+        from mppi_tf_tpu.models import get_model
+
+        sigma = np.diag([1500.0] * 6)
+        model = get_model(g._auv_params(), dt=0.1, action_dim=6)
+        cost = get_cost(g._auv_task(), lam=0.5, gamma=0.2, upsilon=1.0,
+                        sigma=sigma)
+        ctrl = MPPI(model, cost, k=64, tau=4, lam=0.5, upsilon=1.0,
+                    sigma=sigma, kernel="pallas", kernel_tile=32, log=True)
+        captured = {}
+
+        class _Obs:
+            def write_control(self, state, action, info):
+                captured.update(info)
+
+            def write_predict(self, **kw):
+                pass
+
+            def advance(self):
+                pass
+
+        ctrl._observer = _Obs()
+        x = np.zeros(13)
+        x[6] = 1.0
+        ctrl.next(x)
+        assert captured["sample_costs"].shape == (64,)
+        assert captured["weights"].shape == (64,)
+        assert captured["noise"].shape[1:] == (4, 6)
