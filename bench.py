@@ -14,6 +14,8 @@ row the framework claims, driver-verifiable in one run:
     on-device closed loop: 500 control steps (solve + plant) as ONE program
     on-device ADAPTIVE DMD loop: DMDc refits inside the scan (wrong-mass prior)
     in-kernel noise check (TPU only): moments/correlations/antithetic exactness
+    2-process gloo cluster: the sharded solve timed with REAL cross-process
+    collectives (the BASELINE.md "N>=2 hosts" reporting row; CPU workers)
 
 One JSON line is printed per workload as it completes; the full suite is
 written to ``BENCH_SUITE.json`` next to this file and the FINAL line is a
@@ -514,6 +516,51 @@ def run_adaptive_dmd_loop_workload(K, TAU, STEPS, tile):
     }
 
 
+def run_multiprocess_workload(K, TAU, CHAIN, nproc=2, devices_per_proc=4):
+    """The BASELINE.md "N>=2 hosts" reporting row, executed: a REAL
+    ``nproc``-process jax.distributed cluster on localhost (gloo
+    cross-process collectives, ``devices_per_proc`` virtual CPU devices
+    each — tests/_mp_worker.py), timing the chained mesh-sharded solve with
+    the pmin/pmax/psum tree crossing process boundaries every step. CPU by
+    construction (this testbed has one TPU chip); the row measures the
+    multi-process collective path itself, labeled ``backend: cpu``."""
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(here, "tests"))
+    from test_multiprocess import run_cluster
+
+    results = run_cluster(nproc=nproc, devices_per_proc=devices_per_proc,
+                          bench=f"{K},{TAU},{CHAIN}")
+    # replicated SPMD: every worker measures the same program; take the max
+    # (the cluster is only as fast as its slowest participant)
+    p50_ms = max(r["p50_solve_ms"] for r in results)
+    n_dev = nproc * devices_per_proc
+    return {
+        "metric": (f"p50_replan_latency_ms@K={K},H={TAU},point_mass3d,"
+                   f"{nproc}proc_gloo,cpu,xla"),
+        "value": round(p50_ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(10.0 / p50_ms, 3),
+        "extra": {
+            "solves_per_s": round(1e3 / p50_ms, 2),
+            "rollouts_per_s_per_chip": round(K / (p50_ms / 1e3) / n_dev, 0),
+            "backend": "cpu",
+            "kernel": "xla",
+            "chain": CHAIN,
+            "workload": "point_mass_multiprocess",
+            "K": K, "H": TAU,
+            "sharded": True,
+            "n_devices": n_dev,
+            "n_processes": nproc,
+            "note": ("CPU gloo cluster — this testbed has one TPU chip; "
+                     "the 10 ms budget (vs_baseline) applies to the TPU "
+                     "rows, this row proves+times the multi-process "
+                     "collective path"),
+        },
+    }
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/repo/.jax_cache")
@@ -630,6 +677,18 @@ def main():
                  "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(r), flush=True)
         suite.append(r)
+    # N=2-process cluster (gloo, CPU workers): the BASELINE.md "N>=2 hosts"
+    # reporting row, executed with real cross-process collectives
+    k_mp = min(8192, cap_k) if cap_k else 8192
+    tau_mp = min(25, cap_tau) if cap_tau else 25
+    chain_mp = min(20, cap_chain) if cap_chain else 20
+    try:
+        r = run_multiprocess_workload(k_mp, tau_mp, chain_mp)
+    except Exception as e:
+        r = {"metric": f"FAILED@multiprocess,K={k_mp},H={tau_mp}",
+             "error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(r), flush=True)
+    suite.append(r)
     suite_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_SUITE.json")
     try:

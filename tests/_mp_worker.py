@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--nproc", type=int, required=True)
     ap.add_argument("--pid", type=int, required=True)
     ap.add_argument("--out", required=True, help="result JSON path")
+    ap.add_argument("--bench", default="",
+                    help="'K,TAU,CHAIN': also time a chained sharded solve "
+                         "at these shapes and report p50_solve_ms (the "
+                         "BASELINE.md 'N>=2 hosts' reporting row)")
     args = ap.parse_args()
 
     import jax
@@ -124,6 +128,41 @@ def main():
         "norm_useq": np.asarray(n_useq).tolist(),
         "prng_action": np.asarray(prng_action, np.float64).tolist(),
     }
+
+    if args.bench:
+        # time CHAIN receding-horizon solves inside one jitted fori_loop
+        # (bench.py methodology) with the cross-process gloo collectives in
+        # the loop body — the measured N=2-"hosts" datapoint
+        import time
+
+        bk, btau, bchain = (int(v) for v in args.bench.split(","))
+        bctrl = ShardedMPPI(model, cost, mesh, k=bk, tau=btau, lam=lam,
+                            upsilon=ups, sigma=sigma, seed=3)
+        mp_, cp_ = bctrl._mparams, bctrl._cparams
+        bsolve = bctrl._solve
+
+        def chained(key, state, useq):
+            def body(_, carry):
+                key, state, useq = carry
+                key, sub = jax.random.split(key)
+                a, useq, _i = bsolve(sub, state, useq, mp_, cp_)
+                state = model.step(mp_, state[None, :], a[None, :])[0]
+                return (key, state, useq)
+
+            return jax.lax.fori_loop(0, bchain, body, (key, state, useq))
+
+        cj = jax.jit(chained)
+        key = jax.random.PRNGKey(0)
+        st = jnp.zeros((sdim,), model.dtype)
+        us = jnp.zeros((btau, adim), model.dtype)
+        jax.block_until_ready(cj(key, st, us))  # compile
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(cj(key, st, us))
+            times.append((time.perf_counter() - t0) / bchain)
+        out["p50_solve_ms"] = 1e3 * float(np.median(times))
+        out["bench"] = {"K": bk, "TAU": btau, "CHAIN": bchain}
     with open(args.out, "w") as f:
         json.dump(out, f)
     print(f"worker {args.pid}/{args.nproc} OK "

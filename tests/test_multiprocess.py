@@ -36,11 +36,12 @@ def _free_port() -> int:
 
 
 def run_cluster(nproc: int = 2, devices_per_proc: int = 4,
-                timeout: int = 420, out_dir: str = "/tmp"):
+                timeout: int = 420, out_dir: str = "/tmp", bench: str = ""):
     """Spawn ``nproc`` worker processes; returns their parsed result dicts.
 
-    Shared helper for this test and __graft_entry__.dryrun_multichip's
-    multi-process phase.
+    Shared helper for this test, __graft_entry__.dryrun_multichip's
+    multi-process phase, and bench.py's N=2-process reporting row
+    (``bench='K,TAU,CHAIN'`` adds a timed chained solve per worker).
     """
     port = _free_port()
     env = {**os.environ,
@@ -57,10 +58,12 @@ def run_cluster(nproc: int = 2, devices_per_proc: int = 4,
     for i in range(nproc):
         if os.path.exists(outs[i]):
             os.remove(outs[i])
+        cmd = [sys.executable, WORKER, "--coord", f"127.0.0.1:{port}",
+               "--nproc", str(nproc), "--pid", str(i), "--out", outs[i]]
+        if bench:
+            cmd += ["--bench", bench]
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER, "--coord", f"127.0.0.1:{port}",
-             "--nproc", str(nproc), "--pid", str(i), "--out", outs[i]],
-            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            cmd, env=env, cwd=REPO, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True))
     results, logs = [], []
     try:
