@@ -520,15 +520,11 @@ def run_multiprocess_workload(K, TAU, CHAIN, nproc=2, devices_per_proc=4):
     """The BASELINE.md "N>=2 hosts" reporting row, executed: a REAL
     ``nproc``-process jax.distributed cluster on localhost (gloo
     cross-process collectives, ``devices_per_proc`` virtual CPU devices
-    each — tests/_mp_worker.py), timing the chained mesh-sharded solve with
+    each — parallel/_mp_worker.py), timing the chained mesh-sharded solve with
     the pmin/pmax/psum tree crossing process boundaries every step. CPU by
     construction (this testbed has one TPU chip); the row measures the
     multi-process collective path itself, labeled ``backend: cpu``."""
-    import sys
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    sys.path.insert(0, os.path.join(here, "tests"))
-    from test_multiprocess import run_cluster
+    from mppi_tf_tpu.parallel.cluster import run_cluster
 
     results = run_cluster(nproc=nproc, devices_per_proc=devices_per_proc,
                           bench=f"{K},{TAU},{CHAIN}")

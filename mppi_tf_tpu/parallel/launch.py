@@ -35,6 +35,17 @@ def initialize(coordinator_address: Optional[str] = None,
 
     import jax
 
+    try:
+        # Cross-process collectives on the CPU client need an explicit
+        # implementation (default "none" fails at the first psum); gloo is
+        # the one shipped with jaxlib. Applies to BOTH the explicit-args
+        # and the auto-detected (env/cluster-metadata) paths. Irrelevant
+        # for TPU backends (collectives ride ICI/DCN) and rejected once
+        # backends are already initialized — both cases are safe to ignore.
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
+
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
@@ -55,15 +66,6 @@ def initialize(coordinator_address: Optional[str] = None,
                 "no cluster metadata, running single-process (%s)", e)
             return
     else:
-        try:
-            # Cross-process collectives on the CPU client need an explicit
-            # implementation (default "none" fails at the first psum); gloo
-            # is the one shipped with jaxlib. Irrelevant for TPU backends
-            # (collectives ride ICI/DCN) and rejected once backends are
-            # already initialized — both cases are safe to ignore.
-            jax.config.update("jax_cpu_collectives_implementation", "gloo")
-        except Exception:
-            pass
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

@@ -15,72 +15,13 @@ Reference counterpart: none — the reference is single-device
 surface (SURVEY.md §2.8, BASELINE.md "N>=2 hosts" row).
 """
 
-import json
-import os
-import socket
-import subprocess
-import sys
-
 import numpy as np
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "_mp_worker.py")
-
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
-
-
-def run_cluster(nproc: int = 2, devices_per_proc: int = 4,
-                timeout: int = 420, out_dir: str = "/tmp", bench: str = ""):
-    """Spawn ``nproc`` worker processes; returns their parsed result dicts.
-
-    Shared helper for this test, __graft_entry__.dryrun_multichip's
-    multi-process phase, and bench.py's N=2-process reporting row
-    (``bench='K,TAU,CHAIN'`` adds a timed chained solve per worker).
-    """
-    port = _free_port()
-    env = {**os.environ,
-           "JAX_PLATFORMS": "cpu",
-           "XLA_FLAGS": f"--xla_force_host_platform_device_count="
-                        f"{devices_per_proc}",
-           "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH",
-                                                            "")}
-    # a worker must not inherit the parent's compilation-cache lock dir
-    env.pop("JAX_COMPILATION_CACHE_DIR", None)
-    outs = [os.path.join(out_dir, f"mp_worker_{i}.json")
-            for i in range(nproc)]
-    procs = []
-    for i in range(nproc):
-        if os.path.exists(outs[i]):
-            os.remove(outs[i])
-        cmd = [sys.executable, WORKER, "--coord", f"127.0.0.1:{port}",
-               "--nproc", str(nproc), "--pid", str(i), "--out", outs[i]]
-        if bench:
-            cmd += ["--bench", bench]
-        procs.append(subprocess.Popen(
-            cmd, env=env, cwd=REPO, stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True))
-    results, logs = [], []
-    try:
-        for i, p in enumerate(procs):
-            stdout, _ = p.communicate(timeout=timeout)
-            logs.append(f"--- worker {i} (rc={p.returncode}) ---\n{stdout}")
-            if p.returncode != 0:
-                raise AssertionError(
-                    f"worker {i} failed:\n" + "\n".join(logs))
-            with open(outs[i]) as f:
-                results.append(json.load(f))
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-                p.wait()
-    return results
+# the harness lives in the package (parallel/cluster.py) so bench.py and
+# __graft_entry__ use it without sys.path surgery; these tests assert the
+# parity properties of its workers
+from mppi_tf_tpu.parallel.cluster import run_cluster
 
 
 @pytest.fixture(scope="module")
@@ -99,7 +40,7 @@ def _single_process_expected():
     from mppi_tf_tpu.parallel import make_mesh
     from mppi_tf_tpu.parallel.sharded import ShardedMPPI
 
-    # mirrors tests/_mp_worker.py exactly
+    # mirrors parallel/_mp_worker.py exactly
     k, tau, sdim, adim = 64, 6, 6, 3
     dt, mass, lam, gamma, ups = 0.1, 1.5, 1.2, 1.1, 2.0
     sigma = np.diag([0.25, 0.3, 0.2])
