@@ -217,8 +217,25 @@ class MPPI:
 
     def _fused_step(self, seed, state, useq, mparams, cparams):
         """Pallas solve + XLA sequence update as one pure function."""
-        wnoise, info = self._fused.solve(seed, state, useq, mparams, cparams,
-                                         normalize=self._normalize_cost)
+        costs_t = None
+        if self._log and self._normalize_cost:
+            # log mode needs per-sample costs in HBM and the normalized
+            # solve ALREADY materialises them (phase A) — run the two
+            # phases explicitly instead of solve() + a third rollout
+            # (code review r3 finding #8)
+            costs_t, cstats = self._fused.costs_phase(seed, state, useq,
+                                                      mparams, cparams)
+            beta, cmax = cstats["cost_min"], cstats["cost_max"]
+            zsum, l = self._fused.weights_phase(seed, costs_t, beta, cmax)
+            scale = jnp.asarray(self._fused._scale, jnp.float32)
+            wnoise = (zsum @ scale.T) / l
+            info = {"cost_min": beta, "cost_max": cmax,
+                    "cost_mean": cstats["cost_sum"] / self._fused.k,
+                    "nabla": l}
+        else:
+            wnoise, info = self._fused.solve(seed, state, useq, mparams,
+                                             cparams,
+                                             normalize=self._normalize_cost)
         new_useq = useq + wnoise.astype(useq.dtype)
         if self._clip_actions:
             new_useq = jnp.clip(new_useq, self._model.min_act(),
@@ -239,8 +256,9 @@ class MPPI:
             # noise (tile 0, same seed) — key set matches the XLA log path.
             from ..kernels.pm_mppi import fused_noise_sample
 
-            costs_t, _ = self._fused.costs_phase(seed, state, useq,
-                                                 mparams, cparams)
+            if costs_t is None:  # non-normalized solve: one extra rollout
+                costs_t, _ = self._fused.costs_phase(seed, state, useq,
+                                                     mparams, cparams)
             # [n_tiles, 8, L] -> flat [k]: sample (p, sub, lane) lives at
             # p*tile + sub*L + lane; padding is only in the trailing tile
             costs = costs_t.reshape(-1)[: self._k]

@@ -151,13 +151,42 @@ class MjxPointMassEnv(JaxPointMassEnv):
         return out.at[1::2].set(data.qvel)
 
 
+def _dmd_window(ctrl, W: int):
+    """Materialise the adaptive controller's CURRENT host-side replay
+    content as the fixed-capacity on-device ring window (newest-last;
+    zero rows are exact least-squares no-ops). Read at every ``run`` call
+    so transitions recorded between calls (e.g. exploration via
+    ``ctrl.save``) seed the next on-device identification."""
+    import jax.numpy as jnp
+
+    model = ctrl._model
+    ms, ma = model.get_state_dim(), model.get_action_dim()
+    tr = ctrl.replay.get_all_transitions()
+    n0 = min(tr["obs"].shape[0], W)
+    obs0 = np.zeros((W, ms), np.float64)
+    act0 = np.zeros((W, ma), np.float64)
+    nxt0 = np.zeros((W, ms), np.float64)
+    if n0:
+        obs0[:n0] = tr["obs"][-n0:]
+        act0[:n0] = tr["act"][-n0:]
+        nxt0[:n0] = tr["next_obs"][-n0:]
+    return (jnp.asarray(obs0, ctrl._dtype), jnp.asarray(act0, ctrl._dtype),
+            jnp.asarray(nxt0, ctrl._dtype), jnp.int32(n0))
+
+
 def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
                          refit_window: int | None = None):
     """Compile ``steps`` control periods into ONE on-device program: a
     jitted ``lax.scan`` over [MPPI solve -> zero-order-hold action ->
-    ``substeps`` plant steps]. Returns ``run(x0, key, useq0=None) ->
-    (states, actions)`` — call it repeatedly without retracing; ``useq0``
-    warm-starts the nominal sequence (defaults to zeros).
+    ``substeps`` plant steps]. Returns ``run(x0, key, useq0=None,
+    mparams=None, cparams=None, window=None) -> (states, actions)`` — call
+    it repeatedly without retracing; ``useq0`` warm-starts the nominal
+    sequence (defaults to zeros). Model and cost parameters are traced
+    ARGUMENTS of the compiled program, resolved from the controller at each
+    call when not passed explicitly — so a Learner update
+    (``ctrl.model_params = ...``), a ``ctrl.set_goal(...)``, or replay
+    growth between calls takes effect WITHOUT recompiling (same pytree
+    shapes reuse the trace).
 
     ``ctrl`` is a controller.MPPI (fused or XLA path) or a mesh-sharded
     controller (parallel.ShardedMPPI / parallel.fused.ShardedFusedMPPI —
@@ -176,9 +205,9 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
     the not-yet-filled window are exact no-ops). That is the reference's
     train-every-N loop (main.py:105-106) with ZERO host round trips:
     adapt-while-controlling as one device program. ``run`` then returns
-    ``(states, actions, fitted_model_params)``; the window is pre-seeded
-    with the controller's host-side replay content (e.g. exploration
-    transitions, collect.py).
+    ``(states, actions, fitted_model_params)``; the window is seeded at
+    each call with the controller's current host-side replay content (e.g.
+    exploration transitions, collect.py), overridable via ``window=``.
 
     This is the loop the reference CANNOT express: its plant is host-side
     mujoco_py (simulation.py:39-55), so it pays a device round trip per
@@ -195,25 +224,24 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
     from ..parallel.fused import ShardedFusedMPPI
     from ..parallel.sharded import ShardedMPPI
 
-    mp0, cp = ctrl._mparams, ctrl._cparams
     tau, adim = ctrl.useq.shape
 
     if isinstance(ctrl, ShardedFusedMPPI):
-        def solve(i, key, state, useq, mp):
+        def solve(i, key, state, useq, mp, cp):
             seed = jnp.int32(ctrl._base_seed + i * ctrl._seed_stride)
             action, shifted, _info = ctrl._solve(seed, state, useq, mp, cp)
             return action, shifted, key
     elif not isinstance(ctrl, ShardedMPPI) and ctrl._fused is not None:
         n_tiles = (ctrl._k + ctrl._fused.tile - 1) // ctrl._fused.tile
 
-        def solve(i, key, state, useq, mp):
+        def solve(i, key, state, useq, mp, cp):
             seed = ctrl._base_seed + i * n_tiles
             action, shifted, _info = ctrl._fused_step(seed, state, useq,
                                                       mp, cp)
             return action, shifted, key
     else:  # key-based solves: MPPI XLA path and ShardedMPPI share the
         # (key, state, useq, mparams, cparams) signature
-        def solve(i, key, state, useq, mp):
+        def solve(i, key, state, useq, mp, cp):
             key, sub = jax.random.split(key)
             action, shifted, _info = ctrl._solve(sub, state, useq, mp, cp)
             return action, shifted, key
@@ -225,25 +253,11 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
              else int(refit_window))
         refit_every = ctrl._refit_every
         min_samples = ctrl._min_samples
-        ms, ma = model.get_state_dim(), model.get_action_dim()
-        # pre-seed the ring window with the host-side replay content
-        # (newest-last; zeros elsewhere are least-squares no-ops)
-        tr = ctrl.replay.get_all_transitions()
-        n0 = min(tr["obs"].shape[0], W)
-        obs0 = np.zeros((W, ms), np.float64)
-        act0 = np.zeros((W, ma), np.float64)
-        nxt0 = np.zeros((W, ms), np.float64)
-        obs0[:n0] = tr["obs"][-n0:]
-        act0[:n0] = tr["act"][-n0:]
-        nxt0[:n0] = tr["next_obs"][-n0:]
-        buf0 = (jnp.asarray(obs0, ctrl._dtype),
-                jnp.asarray(act0, ctrl._dtype),
-                jnp.asarray(nxt0, ctrl._dtype),
-                jnp.int32(n0))
+        ma = model.get_action_dim()
 
     def control_period(carry, i):
-        state, useq, key, mp, buf = carry
-        action, useq, key = solve(i, key, state, useq, mp)
+        state, useq, key, mp, cp, buf = carry
+        action, useq, key = solve(i, key, state, useq, mp, cp)
         x_prev = state
 
         def sim_body(_, s):
@@ -268,19 +282,31 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
                 lambda b: mp,
                 (obs, act, nxt))
             buf = (obs, act, nxt, cnt)
-        return (state, useq, key, mp, buf), (state, action)
+        return (state, useq, key, mp, cp, buf), (state, action)
 
     @jax.jit
-    def run(x0, key, useq0=None):
-        x0 = jnp.asarray(x0, ctrl._dtype).reshape(-1)
-        if useq0 is None:  # no warm start requested
-            useq0 = jnp.zeros((tau, adim), ctrl._dtype)
-        buf = buf0 if adaptive else ()
-        (_, _, _, mp_f, _), (states, actions) = jax.lax.scan(
-            control_period, (x0, useq0, key, mp0, buf), jnp.arange(steps))
+    def _run(x0, key, useq0, mp, cp, buf):
+        (_, _, _, mp_f, _, _), (states, actions) = jax.lax.scan(
+            control_period, (x0, useq0, key, mp, cp, buf),
+            jnp.arange(steps))
         if adaptive:
             return states, actions, mp_f
         return states, actions
+
+    def run(x0, key, useq0=None, mparams=None, cparams=None, window=None):
+        # thin non-jitted wrapper: defaults are read from the controller at
+        # CALL time (not baked at trace time), so learner updates, set_goal
+        # and new replay transitions are picked up without a retrace
+        x0 = jnp.asarray(x0, ctrl._dtype).reshape(-1)
+        if useq0 is None:  # no warm start requested
+            useq0 = jnp.zeros((tau, adim), ctrl._dtype)
+        mp = ctrl._mparams if mparams is None else mparams
+        cp = ctrl._cparams if cparams is None else cparams
+        if adaptive:
+            buf = _dmd_window(ctrl, W) if window is None else window
+        else:
+            buf = ()
+        return _run(x0, key, useq0, mp, cp, buf)
 
     return run
 
@@ -291,7 +317,9 @@ def on_device_closed_loop(ctrl, plant_step, x0, steps: int,
     ``run`` is cached on ``ctrl`` so repeated calls do not retrace). Starts
     from the controller's CURRENT nominal sequence (so a configured
     ``init_seq`` warm start carries into the on-device run, matching the
-    host-driven loop)."""
+    host-driven loop). Model/cost params and the DMD window are resolved
+    from the controller at each call (see build_on_device_loop), so a
+    cached loop never serves stale parameters."""
     import jax
     import jax.numpy as jnp
 

@@ -161,10 +161,19 @@ def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
         substeps = max(1, int(round(dt / env.dt)))
         x0 = np.reshape(env.getState(), (-1,))
         start = time.perf_counter()
-        dstates, dactions = on_device_closed_loop(
+        out = on_device_closed_loop(
             controller, env.step_fn, x0, steps, substeps=substeps)
-        jax.block_until_ready(dstates)
+        jax.block_until_ready(out[0])
         elapsed = time.perf_counter() - start
+        fitted_params = None
+        if len(out) == 3:  # adaptive DMD: identification ran inside the
+            # scan — sync the identified (A, B) back into the controller so
+            # subsequent host-side solves use them (the on-device analogue
+            # of runner.run's post-train `controller.model_params = ...`)
+            dstates, dactions, fitted_params = out
+            controller.model_params = fitted_params
+        else:
+            dstates, dactions = out
         states = np.concatenate(
             [x0[None, :], np.asarray(dstates, np.float64)], axis=0)
         actions = np.asarray(dactions, np.float64)
@@ -184,6 +193,7 @@ def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
             "env": env,
             "observer": observer,
             "learner": None,
+            "fitted_model_params": fitted_params,
             "on_device_ms_per_step": 1e3 * elapsed / steps,
         }
 

@@ -650,20 +650,18 @@ class FusedPointMassMPPI:
                 and other._jit_key == self._jit_key)
 
 
-    def pack_dyn(self, mparams, cparams, x0, useq):
-        """Assemble the SMEM dynamic-scalar array for one solve."""
-        dyn = _Dyn(self.tau, self.sdim, self.adim)
+    def _pack_dyn_base(self, dyn, cparams, x0, useq, B):
+        """SMEM packing shared by the constant-(A,B) and runtime-(A,B)
+        kernels: the useq-derived bu / rhs_z / u_half blocks plus x0 and
+        the (optional) dynamic goal."""
         useq = jnp.asarray(useq, jnp.float32).reshape(self.tau, self.adim)
-        B = jnp.asarray(self._B, jnp.float32)
         inv_sig = jnp.asarray(self._inv_sigma, jnp.float32)
         scale = jnp.asarray(self._scale, jnp.float32)
-        bu = useq @ B.T                      # [tau, sdim] (mass-free)
+        bu = useq @ B.T                      # [tau, sdim]
         rhs_z = (self.gamma * (useq @ inv_sig.T)) @ scale
         u_half = 0.5 * self.gamma * jnp.einsum(
             "ti,ij,tj->t", useq, inv_sig, useq)
         out = jnp.zeros((dyn.size,), jnp.float32)
-        out = out.at[dyn.inv_mass].set(
-            1.0 / jnp.asarray(mparams["mass"], jnp.float32))
         out = out.at[dyn.x0:dyn.x0 + self.sdim].set(
             jnp.asarray(x0, jnp.float32).reshape(self.sdim))
         if "goal" in cparams:  # ellipse cost has no dynamic goal
@@ -673,8 +671,15 @@ class FusedPointMassMPPI:
             bu.reshape(-1))
         out = out.at[dyn.rhs_z:dyn.rhs_z + self.tau * self.adim].set(
             rhs_z.reshape(-1))
-        out = out.at[dyn.u_half].set(jnp.sum(u_half))
-        return out
+        return out.at[dyn.u_half].set(jnp.sum(u_half))
+
+    def pack_dyn(self, mparams, cparams, x0, useq):
+        """Assemble the SMEM dynamic-scalar array for one solve."""
+        dyn = _Dyn(self.tau, self.sdim, self.adim)
+        out = self._pack_dyn_base(dyn, cparams, x0, useq,
+                                  jnp.asarray(self._B, jnp.float32))
+        return out.at[dyn.inv_mass].set(
+            1.0 / jnp.asarray(mparams["mass"], jnp.float32))
 
     def solve(self, seed, x0, useq, mparams, cparams, z=None,
               use_prng: bool = True, return_raw: bool = False,
@@ -757,26 +762,10 @@ class FusedLTIMPPI(FusedPointMassMPPI):
         1/mass factor on the dynamic path) and ``inv_mass`` is unused.
         """
         dyn = _Dyn(self.tau, self.sdim, self.adim, dynamic_ab=True)
-        useq = jnp.asarray(useq, jnp.float32).reshape(self.tau, self.adim)
         A = jnp.asarray(mparams["A"], jnp.float32)
         B = jnp.asarray(mparams["B"], jnp.float32)
-        inv_sig = jnp.asarray(self._inv_sigma, jnp.float32)
         scale = jnp.asarray(self._scale, jnp.float32)
-        bu = useq @ B.T                      # [tau, sdim] (true B u)
-        rhs_z = (self.gamma * (useq @ inv_sig.T)) @ scale
-        u_half = 0.5 * self.gamma * jnp.einsum(
-            "ti,ij,tj->t", useq, inv_sig, useq)
-        out = jnp.zeros((dyn.size,), jnp.float32)
-        out = out.at[dyn.x0:dyn.x0 + self.sdim].set(
-            jnp.asarray(x0, jnp.float32).reshape(self.sdim))
-        if "goal" in cparams:  # ellipse cost has no dynamic goal
-            out = out.at[dyn.goal:dyn.goal + self.sdim].set(
-                jnp.asarray(cparams["goal"], jnp.float32))
-        out = out.at[dyn.bu:dyn.bu + self.tau * self.sdim].set(
-            bu.reshape(-1))
-        out = out.at[dyn.rhs_z:dyn.rhs_z + self.tau * self.adim].set(
-            rhs_z.reshape(-1))
-        out = out.at[dyn.u_half].set(jnp.sum(u_half))
+        out = self._pack_dyn_base(dyn, cparams, x0, useq, B)
         out = out.at[dyn.A:dyn.A + self.sdim * self.sdim].set(
             A.reshape(-1))
         return out.at[dyn.Bs:dyn.Bs + self.sdim * self.adim].set(

@@ -186,27 +186,26 @@ class Learner:
             if self.observer:
                 self.observer.scalar("Train/loss_norm", last_loss, e)
                 self._log_grad_weights(grads, net, e)
-            if val is not None and e % 10 == 0:
+            if val is not None and e % 10 == 0 and self.observer:
+                # the full reference validation catalogue
+                # (learner_base.py:339-357): train-set loss, total
+                # rollout error, per-dimension and per-step splits,
+                # transition error and its per-dimension split. Without
+                # an observer there is nowhere to report to, so the
+                # validation pass is skipped entirely.
                 self.params = self.model.with_trainable(self.params, net)
-                if self.observer:
-                    # the full reference validation catalogue
-                    # (learner_base.py:339-357): train-set loss, total
-                    # rollout error, per-dimension and per-step splits,
-                    # transition error and its per-dimension split
-                    err, trans, err_split, trans_split, err_step = \
-                        self.validate(val[1], val[0], transition=True,
-                                      split=True, per_step=True)
-                    self.observer.scalar("Val/rollout_mse", float(err), e)
-                    self.observer.scalar(
-                        "Val/train_set", float(self._loss(net, X, Y)), e)
-                    self.observer.scalar("Val/transition", float(trans), e)
-                    self._log_split("Val/split", np.asarray(err_split), e)
-                    self._log_split("Val/transition_split",
-                                    np.asarray(trans_split), e)
-                    self.observer.histogram("Val/step_mse",
-                                            np.asarray(err_step), e)
-                else:
-                    self.validate(val[1], val[0])
+                err, trans, err_split, trans_split, err_step = \
+                    self.validate(val[1], val[0], transition=True,
+                                  split=True, per_step=True)
+                self.observer.scalar("Val/rollout_mse", float(err), e)
+                self.observer.scalar(
+                    "Val/train_set", float(self._loss(net, X, Y)), e)
+                self.observer.scalar("Val/transition", float(trans), e)
+                self._log_split("Val/split", np.asarray(err_split), e)
+                self._log_split("Val/transition_split",
+                                np.asarray(trans_split), e)
+                self.observer.histogram("Val/step_mse",
+                                        np.asarray(err_step), e)
         self.params = self.model.with_trainable(self.params, net)
         return last_loss
 

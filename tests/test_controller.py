@@ -401,6 +401,46 @@ class TestFusedLogCatalogue:
         # SAME noise: covered by kernel parity tests; here the two paths
         # use different RNG streams so only structure is compared.
 
+    def test_log_normalized_fused_reuses_costs_phase(self):
+        """Code review r3 #8: with normalize_cost=True, log mode runs the
+        two kernel phases explicitly (phase-A costs feed BOTH the weights
+        kernel and the per-sample catalogue — no third rollout) and must
+        emit the same action/sequence as the non-logging fused solve."""
+        sigma = np.diag([0.25, 0.3, 0.2])
+        model = PointMassModel(mass=1.5, dt=0.1, state_dim=6, action_dim=3,
+                               dtype=jnp.float32)
+        goal = np.zeros(6)
+        goal[0] = 1.0
+        cost = StaticCost(1.2, 1.1, 2.0, sigma, goal, np.eye(6),
+                          dtype=jnp.float32)
+        kw = dict(k=96, tau=4, lam=1.2, upsilon=2.0, sigma=sigma, seed=7,
+                  kernel="pallas", kernel_tile=32, normalize_cost=True)
+        ctrl_log = MPPI(model, cost, log=True, **kw)
+        ctrl_plain = MPPI(model, cost, **kw)
+        captured = {}
+
+        class _Obs:
+            def write_control(self, state, action, info):
+                captured.update(info)
+
+            def write_predict(self, **kw):
+                pass
+
+            def advance(self):
+                pass
+
+        ctrl_log._observer = _Obs()
+        x = np.zeros(6)
+        a_log = np.asarray(ctrl_log.next(x))
+        a_plain = np.asarray(ctrl_plain.next(x))
+        np.testing.assert_allclose(a_log, a_plain, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(ctrl_log.useq),
+                                   np.asarray(ctrl_plain.useq),
+                                   rtol=1e-5, atol=1e-7)
+        assert captured["sample_costs"].shape == (96,)
+        np.testing.assert_allclose(
+            float(jnp.sum(captured["weights"])), 1.0, rtol=1e-4)
+
     def test_log_info_keys_fused_auv(self):
         """The fused-path log catalogue also works on the AUV kernel (its
         costs-phase output and noise layout match the point-mass family)."""

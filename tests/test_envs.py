@@ -269,6 +269,54 @@ class TestOnDevicePlant:
         assert not np.allclose(np.asarray(actions_warm)[0],
                                np.asarray(actions_cold)[0], atol=0.2)
 
+    def test_on_device_loop_params_fresh_across_calls(self):
+        """Regression (code review r3): the compiled loop must read the
+        controller's CURRENT model/cost params at each call — set_goal and
+        learner updates between calls were silently ignored (baked as
+        closure constants at build time) and the cached program never saw
+        them."""
+        from mppi_tf_tpu.controller.mppi import MPPI
+        from mppi_tf_tpu.costs import get_cost
+        from mppi_tf_tpu.envs.mjx_env import (JaxPointMassEnv,
+                                              on_device_closed_loop)
+        from mppi_tf_tpu.models import get_model
+
+        sigma = np.diag([0.4, 0.4])
+        model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                          state_dim=4, action_dim=2)
+        cost = get_cost({"type": "static", "diag": True,
+                         "goal": [1.0, 0.0, -0.5, 0.0],
+                         "Q": [8.0, 1.5, 8.0, 1.5]},
+                        lam=0.6, gamma=0.2, upsilon=1.0, sigma=sigma)
+        ctrl = MPPI(model, cost, k=256, tau=15, lam=0.6, upsilon=1.0,
+                    sigma=sigma, seed=2)
+        env = JaxPointMassEnv(n_dof=2, dt=0.01)
+        states, _ = on_device_closed_loop(ctrl, env.step_fn, np.zeros(4),
+                                          steps=60, substeps=10)
+        err1 = np.linalg.norm(
+            np.asarray(states)[-1, 0::2] - np.array([1.0, -0.5]))
+        assert err1 < 0.25, err1
+
+        # (a) cost params: a new goal steers the SAME cached program
+        ctrl.set_goal(np.array([-0.6, 0.0, 0.8, 0.0]))
+        states, _ = on_device_closed_loop(ctrl, env.step_fn, np.zeros(4),
+                                          steps=60, substeps=10)
+        assert len(ctrl._ondevice_loops) == 1  # no rebuild
+        err2 = np.linalg.norm(
+            np.asarray(states)[-1, 0::2] - np.array([-0.6, 0.8]))
+        assert err2 < 0.25, err2
+
+        # (b) model params: a learner-style update changes the rollouts
+        a_before = np.asarray(on_device_closed_loop(
+            ctrl, env.step_fn, np.zeros(4), steps=60, substeps=10)[1])
+        import jax.numpy as jnp
+
+        ctrl.model_params = {"mass": jnp.asarray(4.0, model.dtype)}
+        a_after = np.asarray(on_device_closed_loop(
+            ctrl, env.step_fn, np.zeros(4), steps=60, substeps=10)[1])
+        assert len(ctrl._ondevice_loops) == 1
+        assert not np.allclose(a_before, a_after, atol=1e-6)
+
     def test_run_experiment_on_device(self):
         """Config-driven on-device experiment (cli --on-device): the whole
         run compiles into one program, converges, and the guards for
@@ -427,6 +475,36 @@ class TestOnDeviceAdaptiveDMD:
             np.asarray(truth._B) / 3.0, atol=1e-5)
         err = np.linalg.norm(states[-1, 0::2] - np.array([1.0, -0.5]))
         assert err < 0.25, err
+
+    def test_run_experiment_on_device_dmd_syncs_params(self):
+        """Regression (code review r3): the config-driven on-device path
+        crashed unpacking the adaptive controller's 3-tuple; it must return
+        the identified params AND sync them back into the controller."""
+        from mppi_tf_tpu.envs.runner import run_experiment
+
+        env_cfg = {"env": "jax:point_mass", "state-dim": 4, "action-dim": 2,
+                   "dt": 0.1, "noise": (0.4 * np.eye(2)).tolist(),
+                   "lambda": 0.6, "gamma": 0.2, "upsilon": 1.0,
+                   "samples": 128, "horizon": 10, "refit-every": 5}
+        task_cfg = {"type": "static", "diag": True,
+                    "goal": [1.0, 0.0, -0.5, 0.0], "Q": [8.0, 1.5, 8.0, 1.5]}
+        model_cfg = {"type": "dmd", "reg": 1e-8}
+        res = run_experiment(env_cfg, task_cfg, model_cfg, steps=40,
+                             on_device=True)
+        fitted = res["fitted_model_params"]
+        assert fitted is not None
+        assert np.all(np.isfinite(res["states"]))
+        ctrl = res["controller"]
+        np.testing.assert_array_equal(np.asarray(ctrl.model_params["A"]),
+                                      np.asarray(fitted["A"]))
+        # identified from the identity/zero prior: the fitted map must be
+        # the plant's true control-period LTI map (mass 1, dt 0.1)
+        from mppi_tf_tpu.models import get_model
+
+        truth = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                          state_dim=4, action_dim=2)
+        np.testing.assert_allclose(np.asarray(fitted["A"]),
+                                   np.asarray(truth._A), atol=1e-3)
 
     def test_sharded_adaptive_dmd_on_device(self):
         """The adaptive scan composes with the mesh-sharded solve: one
