@@ -29,6 +29,9 @@ class ReplayBuffer:
         self.capacity = int(capacity)
         self.s_dim = int(s_dim)
         self.a_dim = int(a_dim)
+        # monotonic adds counter: len() saturates at capacity, so consumers
+        # caching derived views (e.g. the on-device DMD window) key on this
+        self.total_added = 0
         self._native = None
         if use_native:
             try:
@@ -58,6 +61,7 @@ class ReplayBuffer:
         obs = np.asarray(obs, np.float64).reshape(-1)
         act = np.asarray(act, np.float64).reshape(-1)
         next_obs = np.asarray(next_obs, np.float64).reshape(-1)
+        self.total_added += 1
         if self._native is not None:
             self._native.add(obs, act, next_obs)
             return

@@ -51,7 +51,8 @@ def run_cluster(nproc: int = 2, devices_per_proc: int = 4,
                          + os.environ.get("PYTHONPATH", "")}
     # a worker must not inherit the parent's compilation-cache lock dir
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
-    if out_dir is None:
+    auto_dir = out_dir is None
+    if auto_dir:
         out_dir = tempfile.mkdtemp(prefix="mppi_mp_cluster_")
     outs = [os.path.join(out_dir, f"mp_worker_{i}.json")
             for i in range(nproc)]
@@ -81,4 +82,8 @@ def run_cluster(nproc: int = 2, devices_per_proc: int = 4,
             if p.poll() is None:
                 p.kill()
                 p.wait()
+        if auto_dir:  # results are parsed above; don't leak the tmpdir
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
     return results
