@@ -11,6 +11,8 @@ row the framework claims, driver-verifiable in one run:
     NN (3x32 MLP)     XLA    K=65536  H=25 (bf16 MXU path)
     DMD (dynamic A,B) pallas K=100k H=50 (SMEM-resident runtime matrices)
     sharded smoke: point-mass pallas over ALL visible devices
+    fleet serving: 32 vehicles x K=8192, distinct goals, ONE dispatch per
+    whole-fleet replan (controller/fleet.py)
     on-device closed loop: 500 control steps (solve + plant) as ONE program
     on-device ADAPTIVE DMD loop: DMDc refits inside the scan (wrong-mass prior)
     in-kernel noise check (TPU only): moments/correlations/antithetic exactness
@@ -516,6 +518,81 @@ def run_adaptive_dmd_loop_workload(K, TAU, STEPS, tile):
     }
 
 
+def run_fleet_workload(N, K, TAU, CHAIN):
+    """Fleet serving row (controller/fleet.py — no reference counterpart):
+    N vehicles with DISTINCT goals replanned in ONE dispatch via the
+    vmapped solve, chained CHAIN control steps inside one fori_loop with
+    each vehicle's plant stepped by its own action. Reports p50 latency per
+    whole-fleet replan (the 10 ms budget now covers N vehicles at once) and
+    aggregate vehicle-solves/s."""
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    from mppi_tf_tpu.controller.fleet import FleetMPPI
+
+    model, cost, sigma, lam, state0 = _build_workload("point_mass", jnp)
+    adim = model.get_action_dim()
+    rng = np.random.default_rng(0)
+    goals = np.zeros((N, 6))
+    goals[:, 0::2] = rng.uniform(-1.0, 1.0, (N, 3))
+    fleet = FleetMPPI(model, cost, n_vehicles=N, k=K, tau=TAU, lam=lam,
+                      upsilon=1.0, sigma=sigma, goals=goals)
+    mp, cp = fleet._mparams, fleet._cparams
+    solve = fleet._tpl._solve
+
+    def chained(keys, states, useq):
+        def body(_, carry):
+            keys, states, useq = carry
+
+            def one(key, x, u, cpv):
+                key, sub = jax.random.split(key)
+                action, shifted, _info = solve(sub, x, u, mp, cpv)
+                xn = model.step(mp, x[None, :], action[None, :])[0]
+                return key, xn, shifted
+
+            keys, states, useq = jax.vmap(one)(keys, states, useq, cp)
+            return keys, states, useq
+
+        return jax.lax.fori_loop(0, CHAIN, body, (keys, states, useq))
+
+    chained_jit = jax.jit(chained)
+    keys = fleet._keys
+    states = jnp.tile(jnp.asarray(state0, model.dtype)[None], (N, 1))
+    useq = jnp.zeros((N, TAU, adim), model.dtype)
+    out = chained_jit(keys, states, useq)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chained_jit(keys, states, useq)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / CHAIN)
+    per_fleet = float(np.median(times))
+    p50_ms = per_fleet * 1e3
+    return {
+        "metric": (f"fleet_replan_latency_ms@N={N},K={K},H={TAU},"
+                   f"point_mass3d,{backend},xla"),
+        "value": round(p50_ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(10.0 / p50_ms, 3),
+        "extra": {
+            "vehicle_solves_per_s": round(N / per_fleet, 1),
+            "rollouts_per_s_per_chip": round(N * K / per_fleet, 0),
+            "backend": backend,
+            "kernel": "xla",
+            "chain": CHAIN,
+            "workload": "point_mass_fleet",
+            "n_vehicles": N,
+            "K": K,
+            "H": TAU,
+            "note": "whole-fleet replan per dispatch (vmapped solve, "
+                    "distinct goals); budget vs_baseline covers all N "
+                    "vehicles at once",
+        },
+    }
+
+
 def run_multiprocess_workload(K, TAU, CHAIN, nproc=2, devices_per_proc=4):
     """The BASELINE.md "N>=2 hosts" reporting row, executed: a REAL
     ``nproc``-process jax.distributed cluster on localhost (gloo
@@ -643,6 +720,19 @@ def main():
         suite.append(r)
         if headline is None and "error" not in r:
             headline = r
+    # fleet serving: N vehicles with distinct goals, one dispatch per
+    # whole-fleet replan (controller/fleet.py)
+    n_fl = 32
+    k_fl = min(8192, cap_k) if cap_k else 8192
+    tau_fl = min(25, cap_tau) if cap_tau else 25
+    chain_fl = min(300, cap_chain) if cap_chain else 300
+    try:
+        r = run_fleet_workload(n_fl, k_fl, tau_fl, chain_fl)
+    except Exception as e:
+        r = {"metric": f"FAILED@fleet,N={n_fl},K={k_fl},H={tau_fl}",
+             "error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(r), flush=True)
+    suite.append(r)
     # on-device closed loop: whole experiment as one program (mjx_env)
     k_od = min(100_000, cap_k) if cap_k else 100_000
     tau_od = min(50, cap_tau) if cap_tau else 50

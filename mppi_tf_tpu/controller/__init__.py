@@ -1,6 +1,7 @@
+from .fleet import FleetMPPI
 from .mppi import MPPI, savgol_matrix
 
-__all__ = ["MPPI", "savgol_matrix", "get_controller"]
+__all__ = ["MPPI", "FleetMPPI", "savgol_matrix", "get_controller"]
 
 
 def get_controller(model, cost, config_dict, observer=None, mesh=None,

@@ -1,0 +1,232 @@
+"""Fleet MPPI: one compiled dispatch replans N independent vehicles.
+
+Greenfield — no reference counterpart (the reference drives ONE controller
+per process, scripts/main.py:94-106). Production serving on TPU wants the
+whole fleet's replan as a single device program: the [n, k] rollout batch
+keeps the chip saturated at sample counts where one vehicle's solve
+underfills it, and the host<->device round trip (the dominant latency on a
+relay-attached chip, ~22-33 ms RTT) is paid once per FLEET instead of once
+per vehicle.
+
+The implementation is pure batching over the existing solve:
+``MPPI._solve`` is already a pure function of (key, state, useq, mparams,
+cparams), so the fleet step is ``jit(vmap(_solve))`` with the model params
+broadcast and key/state/sequence/cost-params carried per vehicle. Per-
+vehicle goals live in a batched cost-params pytree (leading fleet axis), so
+re-tasking any subset of the fleet never retraces.
+
+Scale-out composes with the existing parallel/ layer along the OTHER axis:
+
+- ``FleetMPPI(..., mesh=...)`` shards the FLEET axis across devices — each
+  vehicle's solve is device-local, so this is collective-free data
+  parallelism (the jit partitioner just splits the batch).
+- ``parallel.ShardedMPPI`` shards ONE vehicle's SAMPLE axis with
+  pmin/pmax/psum collectives when a single solve needs the whole pod.
+
+Like every stateful controller here, the jitted step carries no host state:
+``useq``/keys/goals are explicit arguments, donated and returned.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mppi import MPPI, make_prng_key
+
+
+class FleetMPPI:
+    """Batched MPPI over ``n_vehicles`` sharing one model/cost family.
+
+    Same per-vehicle semantics as :class:`MPPI` on the XLA path (the fused
+    Pallas kernels are single-vehicle by design — at fleet batch sizes the
+    XLA path's [n*k] tensors already saturate the VPU, which is the fused
+    kernel's advantage at n=1). Options mirror MPPI where they are
+    per-solve pure (normalize_cost/filter/clip/antithetic); observer/log
+    mode is a single-vehicle debugging surface and intentionally absent.
+
+    ``goals``: optional [n, goal_dim] array of per-vehicle goals applied
+    through ``cost.set_goal`` (defaults to the cost's own goal for every
+    vehicle). ``mesh``: optional ``jax.sharding.Mesh`` whose FIRST axis
+    shards the fleet (n must divide by it).
+    """
+
+    def __init__(self, model, cost, n_vehicles: int, k: int, tau: int,
+                 lam: float, upsilon: float, sigma=None, goals=None,
+                 init_seq=None, normalize_cost: bool = False,
+                 filter_seq: bool = False, filter_window: int = 9,
+                 filter_polyorder: int = 3, clip_actions: bool = False,
+                 antithetic: bool = False, seed: int = 0,
+                 mesh=None, prng_impl: str = "auto"):
+        n = int(n_vehicles)
+        if n < 1:
+            raise ValueError(f"n_vehicles must be >= 1, got {n}")
+        # the template carries the pure solve + all validated config; its
+        # own mutable state (useq/key) is unused
+        self._tpl = MPPI(model, cost, k=k, tau=tau, lam=lam, upsilon=upsilon,
+                         sigma=sigma, normalize_cost=normalize_cost,
+                         filter_seq=filter_seq, filter_window=filter_window,
+                         filter_polyorder=filter_polyorder,
+                         clip_actions=clip_actions, antithetic=antithetic,
+                         seed=seed, kernel="xla", prng_impl=prng_impl)
+        self._model = model
+        self._cost = cost
+        self._n = n
+        self._tau = int(tau)
+        self._sdim = model.get_state_dim()
+        self._adim = model.get_action_dim()
+        self._dtype = model.dtype
+
+        if init_seq is None:
+            self._useq = jnp.zeros((n, self._tau, self._adim), self._dtype)
+        else:
+            init_seq = jnp.asarray(init_seq, self._dtype)
+            if init_seq.shape == (self._tau, self._adim):  # shared warmstart
+                init_seq = jnp.tile(init_seq[None], (n, 1, 1))
+            if init_seq.shape != (n, self._tau, self._adim):
+                raise ValueError(
+                    f"init_seq must be [tau, aDim] or [n, tau, aDim], got "
+                    f"{init_seq.shape}")
+            self._useq = init_seq
+        key0, self._prng_impl = make_prng_key(seed, prng_impl)
+        self._keys = jax.random.split(key0, n)
+        self._mparams = model.init_params()
+        cp0 = cost.init_params()
+        if goals is None:
+            self._cparams = jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    jnp.asarray(x)[None], (n,) + jnp.shape(x)), cp0)
+        else:
+            goals = jnp.asarray(np.asarray(goals, np.float64), self._dtype)
+            if goals.shape[0] != n:
+                raise ValueError(
+                    f"goals must carry one row per vehicle: got "
+                    f"{goals.shape[0]} for n={n}")
+            self._cparams = jax.vmap(
+                lambda g: cost.set_goal(cp0, g))(goals)
+        self._steps = 0
+        self._timing = {"total": 0.0, "calls": 0}
+
+        solve = self._tpl._solve
+
+        def fleet_step(keys, states, useq, mparams, cparams):
+            def one(key, x, u, cp):
+                key, sub = jax.random.split(key)  # same order as MPPI.next
+                action, shifted, info = solve(sub, x, u, mparams, cp)
+                return action, shifted, key, info
+
+            return jax.vmap(one)(keys, states, useq, cparams)
+
+        if mesh is None:
+            self._step_jit = jax.jit(fleet_step, donate_argnums=(0, 2))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            ndev = mesh.shape[axis]
+            if n % ndev != 0:
+                raise ValueError(
+                    f"n_vehicles={n} not divisible by mesh axis "
+                    f"{axis}={ndev}")
+            batched = NamedSharding(mesh, P(axis))
+            rep = NamedSharding(mesh, P())
+            # fleet-axis data parallelism: every batched argument splits on
+            # the first (vehicle) axis, the model params replicate; each
+            # vehicle's solve is device-local so NO collectives are needed
+            self._step_jit = jax.jit(
+                fleet_step, donate_argnums=(0, 2),
+                in_shardings=(batched, batched, batched, rep, batched),
+                out_shardings=(batched, batched, batched, batched))
+        self._mesh = mesh
+
+    # ------------------------------------------------------------------
+    # user-facing surface (the fleet analogue of MPPI.next/set_goal)
+    # ------------------------------------------------------------------
+    def next(self, states) -> np.ndarray:
+        """Replan the whole fleet: states [n, sDim] -> actions [n, aDim].
+
+        ONE jitted dispatch; per-vehicle nominal sequences and PRNG keys
+        advance in-place (donated buffers)."""
+        states = jnp.asarray(
+            np.asarray(states, np.float64).reshape(self._n, self._sdim),
+            self._dtype)
+        start = time.perf_counter()
+        actions, self._useq, self._keys, info = self._step_jit(
+            self._keys, states, self._useq, self._mparams, self._cparams)
+        actions = np.asarray(actions)
+        self._timing["total"] += time.perf_counter() - start
+        self._timing["calls"] += 1
+        self._steps += 1
+        self._last_info = info  # per-vehicle cost stats, [n]-leading
+        return actions
+
+    def set_goals(self, goals) -> None:
+        """Re-task every vehicle: goals [n, goal_dim]. No retrace."""
+        goals = jnp.asarray(np.asarray(goals, np.float64), self._dtype)
+        if goals.shape[0] != self._n:
+            raise ValueError(
+                f"goals must carry one row per vehicle: got "
+                f"{goals.shape[0]} for n={self._n}")
+        cp0 = self._cost.init_params()
+        self._cparams = jax.vmap(lambda g: self._cost.set_goal(cp0, g))(
+            goals)
+
+    def set_vehicle_goal(self, i: int, goal) -> None:
+        """Re-task vehicle ``i`` only. No retrace."""
+        if not 0 <= int(i) < self._n:
+            raise IndexError(f"vehicle {i} out of range [0, {self._n})")
+        cp_i = jax.tree.map(lambda x: x[int(i)], self._cparams)
+        cp_i = self._cost.set_goal(cp_i, goal)
+        self._cparams = jax.tree.map(
+            lambda full, row: full.at[int(i)].set(row), self._cparams, cp_i)
+
+    # checkpoint/resume (same .npz scheme as MPPI.save_state) -------------
+    def save_state(self, path: str) -> None:
+        np.savez(
+            path,
+            useq=np.asarray(self._useq),
+            keys=np.asarray(jax.random.key_data(self._keys)),
+            key_impl=np.str_(self._prng_impl),
+            steps=self._steps,
+            timing_total=self._timing["total"],
+            timing_calls=self._timing["calls"],
+        )
+
+    def load_state(self, path: str) -> None:
+        d = np.load(path)
+        if d["useq"].shape != tuple(self._useq.shape):
+            raise ValueError(
+                f"checkpoint useq {d['useq'].shape} != fleet "
+                f"{tuple(self._useq.shape)}")
+        self._useq = jnp.asarray(d["useq"], self._dtype)
+        self._prng_impl = str(d["key_impl"])
+        self._keys = jax.random.wrap_key_data(
+            jnp.asarray(d["keys"]), impl=self._prng_impl)
+        self._steps = int(d["steps"])
+        self._timing = {"total": float(d["timing_total"]),
+                        "calls": int(d["timing_calls"])}
+
+    # accessors -----------------------------------------------------------
+    @property
+    def n_vehicles(self) -> int:
+        return self._n
+
+    @property
+    def useq(self):
+        return self._useq
+
+    @property
+    def timing(self):
+        return dict(self._timing)
+
+    @property
+    def model_params(self):
+        return self._mparams
+
+    @model_params.setter
+    def model_params(self, p):
+        self._mparams = p

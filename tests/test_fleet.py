@@ -1,0 +1,162 @@
+"""FleetMPPI: one compiled dispatch replans N vehicles (controller/fleet.py).
+
+Greenfield surface (no reference counterpart — the reference drives one
+controller per process, scripts/main.py:94-106). The contract: per-vehicle
+results are EXACTLY what n independent single-vehicle MPPI controllers
+would produce given the same PRNG keys, and the fleet-axis sharding over
+the 8-device virtual mesh changes nothing.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mppi_tf_tpu.controller import FleetMPPI, MPPI
+from mppi_tf_tpu.costs import get_cost
+from mppi_tf_tpu.models import get_model
+
+
+def _family(lam=0.6, gamma=0.2, upsilon=1.0):
+    sigma = np.diag([0.4, 0.4])
+    model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                      state_dim=4, action_dim=2)
+    cost = get_cost({"type": "static", "diag": True,
+                     "goal": [1.0, 0.0, -0.5, 0.0],
+                     "Q": [8.0, 1.5, 8.0, 1.5]},
+                    lam=lam, gamma=gamma, upsilon=upsilon, sigma=sigma)
+    return model, cost, sigma
+
+
+def test_fleet_matches_independent_controllers():
+    """The vmapped fleet step == n independent MPPI.next calls when seeded
+    with the same per-vehicle keys (same split order, same solve)."""
+    model, cost, sigma = _family()
+    n, k, tau = 3, 64, 6
+    goals = np.array([[1.0, 0.0, -0.5, 0.0],
+                      [-0.8, 0.0, 0.3, 0.0],
+                      [0.2, 0.0, 1.1, 0.0]])
+    fleet = FleetMPPI(model, cost, n_vehicles=n, k=k, tau=tau, lam=0.6,
+                      upsilon=1.0, sigma=sigma, goals=goals, seed=4)
+
+    singles = []
+    for i in range(n):
+        c = MPPI(model, cost, k=k, tau=tau, lam=0.6, upsilon=1.0,
+                 sigma=sigma, seed=0)
+        c._key = fleet._keys[i]  # identical per-vehicle streams
+        c.set_goal(goals[i])
+        singles.append(c)
+
+    rng = np.random.default_rng(0)
+    states = rng.normal(size=(n, 4))
+    for _ in range(3):  # several steps: keys AND useq must stay in lockstep
+        a_fleet = fleet.next(states)
+        a_single = np.stack([c.next(states[i])
+                             for i, c in enumerate(singles)])
+        np.testing.assert_allclose(a_fleet, a_single, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(fleet.useq),
+            np.stack([np.asarray(c.useq) for c in singles]),
+            rtol=1e-5, atol=1e-7)
+
+
+def test_fleet_closed_loop_distinct_goals():
+    """Each vehicle converges to ITS OWN goal through the shared compiled
+    step; per-vehicle info stats come back [n]-leading."""
+    model, cost, sigma = _family()
+    n, k, tau = 4, 256, 15
+    goals = np.array([[1.0, 0.0, -0.5, 0.0],
+                      [-1.0, 0.0, 0.5, 0.0],
+                      [0.5, 0.0, 1.0, 0.0],
+                      [-0.5, 0.0, -1.0, 0.0]])
+    fleet = FleetMPPI(model, cost, n_vehicles=n, k=k, tau=tau, lam=0.6,
+                      upsilon=1.0, sigma=sigma, goals=goals, seed=2)
+    mp = model.init_params()
+    states = jnp.zeros((n, 4), model.dtype)
+    step = jax.jit(jax.vmap(lambda x, u: model.predict(mp, x, u)))
+    for _ in range(60):
+        actions = fleet.next(np.asarray(states))
+        states = step(states, jnp.asarray(actions, model.dtype))
+    err = np.linalg.norm(np.asarray(states)[:, 0::2] - goals[:, 0::2],
+                         axis=1)
+    assert np.all(err < 0.25), err
+    assert fleet._last_info["cost_min"].shape == (n,)
+
+
+def test_fleet_sharded_matches_unsharded():
+    """mesh= shards the fleet axis (collective-free data parallelism);
+    results are identical to the unsharded fleet with the same keys."""
+    from mppi_tf_tpu.parallel import make_mesh
+
+    model, cost, sigma = _family()
+    n, k, tau = 8, 64, 5
+    goals = np.tile(np.array([[1.0, 0.0, -0.5, 0.0]]), (n, 1))
+    goals[:, 0] = np.linspace(-1, 1, n)
+    mesh = make_mesh(8, ("fleet",))
+    f_ref = FleetMPPI(model, cost, n_vehicles=n, k=k, tau=tau, lam=0.6,
+                      upsilon=1.0, sigma=sigma, goals=goals, seed=9)
+    f_sh = FleetMPPI(model, cost, n_vehicles=n, k=k, tau=tau, lam=0.6,
+                     upsilon=1.0, sigma=sigma, goals=goals, seed=9,
+                     mesh=mesh)
+    rng = np.random.default_rng(1)
+    states = rng.normal(size=(n, 4))
+    for _ in range(2):
+        a_ref = f_ref.next(states)
+        a_sh = f_sh.next(states)
+        np.testing.assert_allclose(a_sh, a_ref, rtol=1e-5, atol=1e-7)
+
+    with pytest.raises(ValueError, match="divisible"):
+        FleetMPPI(model, cost, n_vehicles=6, k=k, tau=tau, lam=0.6,
+                  upsilon=1.0, sigma=sigma, mesh=mesh)
+
+
+def test_fleet_retasking_and_checkpoint(tmp_path):
+    """set_goals / set_vehicle_goal re-task without retracing; save/load
+    resumes the whole fleet bit-exact."""
+    model, cost, sigma = _family()
+    n, k, tau = 3, 64, 5
+    fleet = FleetMPPI(model, cost, n_vehicles=n, k=k, tau=tau, lam=0.6,
+                      upsilon=1.0, sigma=sigma, seed=7)
+    states = np.zeros((n, 4))
+    fleet.next(states)
+    compiles_before = fleet._step_jit._cache_size()
+
+    new_goals = np.array([[0.3, 0.0, 0.3, 0.0]] * n)
+    fleet.set_goals(new_goals)
+    fleet.set_vehicle_goal(1, [0.9, 0.0, -0.9, 0.0])
+    np.testing.assert_allclose(
+        np.asarray(fleet._cparams["goal"][1]), [0.9, 0.0, -0.9, 0.0])
+    np.testing.assert_allclose(
+        np.asarray(fleet._cparams["goal"][0]), [0.3, 0.0, 0.3, 0.0])
+    fleet.next(states)
+    assert fleet._step_jit._cache_size() == compiles_before  # no retrace
+
+    path = str(tmp_path / "fleet_state.npz")
+    fleet.save_state(path)
+    a_expected = fleet.next(states)
+
+    resumed = FleetMPPI(model, cost, n_vehicles=n, k=k, tau=tau, lam=0.6,
+                        upsilon=1.0, sigma=sigma, seed=0)
+    resumed.set_goals(new_goals)
+    resumed.set_vehicle_goal(1, [0.9, 0.0, -0.9, 0.0])
+    resumed.load_state(path)
+    a_resumed = resumed.next(states)
+    np.testing.assert_array_equal(a_resumed, a_expected)
+
+    with pytest.raises(IndexError):
+        fleet.set_vehicle_goal(99, [0.0, 0.0, 0.0, 0.0])
+    with pytest.raises(ValueError, match="one row per vehicle"):
+        fleet.set_goals(np.zeros((n + 1, 4)))
+
+
+def test_fleet_validates_construction():
+    model, cost, sigma = _family()
+    with pytest.raises(ValueError, match="n_vehicles"):
+        FleetMPPI(model, cost, n_vehicles=0, k=8, tau=3, lam=0.6,
+                  upsilon=1.0, sigma=sigma)
+    with pytest.raises(ValueError, match="one row per vehicle"):
+        FleetMPPI(model, cost, n_vehicles=2, k=8, tau=3, lam=0.6,
+                  upsilon=1.0, sigma=sigma, goals=np.zeros((3, 4)))
+    with pytest.raises(ValueError, match="init_seq"):
+        FleetMPPI(model, cost, n_vehicles=2, k=8, tau=3, lam=0.6,
+                  upsilon=1.0, sigma=sigma, init_seq=np.zeros((5, 2, 7)))
