@@ -2,8 +2,9 @@
 
 Coverage and the design decision per model family (SURVEY.md §7):
 
-- PointMassModel x {StaticCost, ElipseCost}: ``pm_mppi.FusedPointMassMPPI``.
-- DMDModel x {StaticCost, ElipseCost}: ``pm_mppi.FusedLTIMPPI`` — the same
+- PointMassModel x {StaticCost, WayPointsCost, ElipseCost}:
+  ``pm_mppi.FusedPointMassMPPI``.
+- DMDModel x {StaticCost, WayPointsCost, ElipseCost}: ``pm_mppi.FusedLTIMPPI`` — the same
   kernel family with (A, B@scale) routed through SMEM at runtime, so online
   DMDc refits (controller/dmd.py) never recompile.
 - AUVModel x {StaticQuatCost, ElipseCost3D}: ``auv_mppi.FusedAUVMPPI``.

@@ -545,11 +545,15 @@ def chunk_noise(z_std, tile: int = 4096):
 
 
 class FusedPointMassMPPI:
-    """Drop-in fused solve for MPPI over PointMassModel + StaticCost.
+    """Drop-in fused solve for MPPI over PointMassModel + {StaticCost,
+    WayPointsCost, ElipseCost}.
 
     Used by controller.MPPI when ``kernel="pallas"``: computes the weighted
     noise + cost stats with the fused kernel, then the sequence update/shift
-    happens in plain XLA (ops/update.py).
+    happens in plain XLA (ops/update.py). The waypoint cost runs as the
+    effective-goal quadratic with the dropped constant added back
+    (_cost_offset), so queue advancement (pop/add_waypoint) re-packs one
+    SMEM vector instead of recompiling.
     """
 
     #: subclasses set True to route (A, B@scale) through SMEM (dynamic
@@ -568,10 +572,23 @@ class FusedPointMassMPPI:
                  interpret: bool = False, antithetic: bool = False):
         from ..costs.elipse import ElipseCost
         from ..costs.static import StaticCost
+        from ..costs.waypoints import WayPointsCost
 
         self._check_model(model)
+        self._is_waypoints = False
         if type(cost) is StaticCost:
             cost_kind = "quadratic"
+        elif type(cost) is WayPointsCost:
+            # the waypoint blend (1-a) d(w0) + a d(w1) with shared Q is ONE
+            # quadratic around the effective goal g = (1-a) w0 + a w1 plus a
+            # per-evaluation constant (costs/waypoints.py state_cost): the
+            # kernel runs the effective-goal quadratic (goal rides SMEM, so
+            # pop/add_waypoint never recompile) and the wrapper adds the
+            # constant back to per-sample costs and stats (_cost_offset —
+            # MPPI weights are invariant to constant cost shifts, so the
+            # control law is exact either way)
+            cost_kind = "quadratic"
+            self._is_waypoints = True
         elif type(cost) is ElipseCost:
             if model.get_state_dim() != 4:
                 raise KernelUnsupportedError(
@@ -580,7 +597,8 @@ class FusedPointMassMPPI:
             cost_kind = "elipse"
         else:
             raise KernelUnsupportedError(
-                "fused kernel supports StaticCost or ElipseCost only")
+                "fused kernel supports StaticCost, WayPointsCost or "
+                "ElipseCost only")
         if tile % _SUB:
             raise ValueError("tile must be a multiple of 8")
         if antithetic and (tile // _SUB) % 2:
@@ -650,6 +668,39 @@ class FusedPointMassMPPI:
                 and other._jit_key == self._jit_key)
 
 
+    def _goal_from_cparams(self, cparams):
+        """The kernel's SMEM goal: the static goal, or the waypoint queue's
+        effective goal (1-a) w0 + a w1 (w0 alone when one waypoint remains
+        — costs/waypoints.py state_cost). None for the ellipse cost."""
+        if self._is_waypoints:
+            w0 = jnp.asarray(cparams["waypoints"][0], jnp.float32)
+            w1 = jnp.asarray(cparams["waypoints"][1], jnp.float32)
+            a = jnp.float32(self.cost.alpha)
+            g = (1.0 - a) * w0 + a * w1
+            return jnp.where(cparams["count"] < 2, w0, g)
+        return cparams.get("goal")
+
+    def _cost_offset(self, cparams):
+        """Constant per-sample cost the effective-goal quadratic drops
+        relative to the true waypoint blend: (tau+1) evaluations (tau step
+        costs + terminal, ops/rollout.py:73-77) of
+        (1-a) w0'Qw0 + a w1'Qw1 - g'Qg (>= 0 by convexity). None unless a
+        waypoint cost; zero while one waypoint remains."""
+        if not self._is_waypoints:
+            return None
+        Q = jnp.asarray(self._mc["Q"], jnp.float32)
+        w0 = jnp.asarray(cparams["waypoints"][0], jnp.float32)
+        w1 = jnp.asarray(cparams["waypoints"][1], jnp.float32)
+        a = jnp.float32(self.cost.alpha)
+        g = (1.0 - a) * w0 + a * w1
+
+        def q(w):  # matches WayPointsCost._dist_waypoint's (w @ Q.T) * w
+            return jnp.sum((w @ Q.T) * w)
+
+        c = (1.0 - a) * q(w0) + a * q(w1) - q(g)
+        return jnp.where(cparams["count"] < 2, jnp.float32(0.0),
+                         jnp.float32(self.tau + 1) * c)
+
     def _pack_dyn_base(self, dyn, cparams, x0, useq, B):
         """SMEM packing shared by the constant-(A,B) and runtime-(A,B)
         kernels: the useq-derived bu / rhs_z / u_half blocks plus x0 and
@@ -664,9 +715,10 @@ class FusedPointMassMPPI:
         out = jnp.zeros((dyn.size,), jnp.float32)
         out = out.at[dyn.x0:dyn.x0 + self.sdim].set(
             jnp.asarray(x0, jnp.float32).reshape(self.sdim))
-        if "goal" in cparams:  # ellipse cost has no dynamic goal
+        goal = self._goal_from_cparams(cparams)
+        if goal is not None:  # ellipse cost has no dynamic goal
             out = out.at[dyn.goal:dyn.goal + self.sdim].set(
-                jnp.asarray(cparams["goal"], jnp.float32))
+                jnp.asarray(goal, jnp.float32))
         out = out.at[dyn.bu:dyn.bu + self.tau * self.sdim].set(
             bu.reshape(-1))
         out = out.at[dyn.rhs_z:dyn.rhs_z + self.tau * self.adim].set(
@@ -689,31 +741,57 @@ class FusedPointMassMPPI:
         two-phase kernel: phase A (rollout -> per-sample costs + stats),
         phase B (regenerated noise + bounded-exponent weights)."""
         dyn_arr = self.pack_dyn(mparams, cparams, x0, useq)
+        off = self._cost_offset(cparams)  # None except for waypoint costs
         if not normalize:
-            return fused_pm_call(seed, dyn_arr, z, fused=self,
-                                 use_prng=use_prng, return_raw=return_raw)
+            out = fused_pm_call(seed, dyn_arr, z, fused=self,
+                                use_prng=use_prng, return_raw=return_raw)
+            if off is None:
+                return out
+            # weights (m, l, zsum) are shift-invariant and stay as computed;
+            # only the reported cost stats move (identically on every shard,
+            # so the cross-shard merge stays consistent)
+            if return_raw:
+                return {**out, "cost_min": out["cost_min"] + off,
+                        "cost_max": out["cost_max"] + off,
+                        "cost_sum": out["cost_sum"] + self.k * off}
+            wnoise, info = out
+            return wnoise, {**info, "cost_min": info["cost_min"] + off,
+                            "cost_max": info["cost_max"] + off,
+                            "cost_mean": info["cost_mean"] + off}
         costs, stats = fused_pm_costs(seed, dyn_arr, z, fused=self,
                                       use_prng=use_prng)
         beta, cmax = stats[2], stats[3]
+        cost_sum = stats[4]
+        if off is not None:
+            # correct costs AND beta/cmax together: the (c - beta)/(max -
+            # beta) normalization the weights kernel applies is unchanged
+            costs, beta, cmax = costs + off, beta + off, cmax + off
+            cost_sum = cost_sum + self.k * off
         if return_raw:
             # sharded caller: pmin/pmax beta/cmax across shards, then call
             # weights_phase per shard and psum (l, zsum)
             return {"costs": costs, "beta": beta, "cmax": cmax,
-                    "cost_sum": stats[4]}
+                    "cost_sum": cost_sum}
         zsum, l = self.weights_phase(seed, costs, beta, cmax, z=z,
                                      use_prng=use_prng)
         scale = jnp.asarray(self._scale, jnp.float32)
         wnoise = (zsum @ scale.T) / l
         info = {"cost_min": beta, "cost_max": cmax,
-                "cost_mean": stats[4] / self.k, "nabla": l}
+                "cost_mean": cost_sum / self.k, "nabla": l}
         return wnoise, info
 
     def costs_phase(self, seed, x0, useq, mparams, cparams, z=None,
                     use_prng: bool = True):
-        """Phase A of the normalized solve: per-sample costs + stats."""
+        """Phase A of the normalized solve: per-sample costs + stats (the
+        waypoint constant offset already applied — see _cost_offset)."""
         dyn_arr = self.pack_dyn(mparams, cparams, x0, useq)
         costs, stats = fused_pm_costs(seed, dyn_arr, z, fused=self,
                                       use_prng=use_prng)
+        off = self._cost_offset(cparams)
+        if off is not None:
+            return costs + off, {"cost_min": stats[2] + off,
+                                 "cost_max": stats[3] + off,
+                                 "cost_sum": stats[4] + self.k * off}
         return costs, {"cost_min": stats[2], "cost_max": stats[3],
                        "cost_sum": stats[4]}
 

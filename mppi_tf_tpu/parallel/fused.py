@@ -234,8 +234,9 @@ class ShardedFusedMPPI(ShardedControllerMixin):
     """ShardedMPPI with a fused Pallas kernel per device shard.
 
     Same user-facing surface (next/set_goal/useq). Supports the kernels'
-    model/cost domains: PointMassModel + {StaticCost, ElipseCost}, or
-    AUVModel + {StaticQuatCost, ElipseCost3D}, with the single-device
+    model/cost domains: PointMassModel + {StaticCost, WayPointsCost,
+    ElipseCost}, or AUVModel + {StaticQuatCost, ElipseCost3D}, with the
+    single-device
     option set (normalize_cost/clip/filter/antithetic) plus
     ``overlap_merge`` (head-tiles collective overlapped with the tail
     kernel — see build_sharded_fused_solve).
