@@ -210,6 +210,72 @@ class FleetMPPI:
         self._timing = {"total": float(d["timing_total"]),
                         "calls": int(d["timing_calls"])}
 
+    # on-device fleet experiment ------------------------------------------
+    def build_on_device_loop(self, plant_step, steps: int,
+                             substeps: int = 10):
+        """All N vehicles' closed loops — solve, per-vehicle ZOH action,
+        ``substeps`` plant steps — compiled into ONE ``lax.scan`` program
+        (the fleet analogue of envs/mjx_env.build_on_device_loop).
+
+        ``plant_step`` is the single-vehicle pure (x, u) -> x_next at the
+        physics dt; it is vmapped over the fleet. Returns ``run(states0,
+        keys=None, useq0=None, mparams=None, cparams=None) -> (states [T,
+        n, sdim], actions [T, n, adim])``; model/cost params default to the
+        fleet's CURRENT values at each call (goal re-tasking between runs
+        needs no retrace). When the fleet was built with ``mesh=``, the
+        batched carries are placed with the fleet-axis sharding so the scan
+        runs data-parallel across devices."""
+        solve = self._tpl._solve
+        n, tau, adim = self._n, self._tau, self._adim
+
+        def control_period(carry, _):
+            keys, states, useq, mp, cp = carry
+
+            def one(key, x, u, cpv):
+                key, sub = jax.random.split(key)
+                action, shifted, _info = solve(sub, x, u, mp, cpv)
+                return key, action, shifted
+
+            keys, actions, useq = jax.vmap(one)(keys, states, useq, cp)
+
+            def sim_body(_, s):
+                return jax.vmap(plant_step)(s, actions)
+
+            states = jax.lax.fori_loop(0, substeps, sim_body, states)
+            return (keys, states, useq, mp, cp), (states, actions)
+
+        @jax.jit
+        def _run(keys, states0, useq0, mp, cp):
+            _, (states, actions) = jax.lax.scan(
+                control_period, (keys, states0, useq0, mp, cp), None,
+                length=steps)
+            return states, actions
+
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batched = NamedSharding(self._mesh, P(self._mesh.axis_names[0]))
+        else:
+            batched = None
+
+        def run(states0, keys=None, useq0=None, mparams=None, cparams=None):
+            states0 = jnp.asarray(
+                np.asarray(states0, np.float64).reshape(n, self._sdim),
+                self._dtype)
+            keys = self._keys if keys is None else keys
+            if useq0 is None:
+                useq0 = jnp.zeros((n, tau, adim), self._dtype)
+            mp = self._mparams if mparams is None else mparams
+            cp = self._cparams if cparams is None else cparams
+            if batched is not None:
+                states0, keys, useq0, cp = jax.device_put(
+                    (states0, keys, useq0, cp),
+                    (batched, batched, batched,
+                     jax.tree.map(lambda _: batched, cp)))
+            return _run(keys, states0, useq0, mp, cp)
+
+        return run
+
     # accessors -----------------------------------------------------------
     @property
     def n_vehicles(self) -> int:
