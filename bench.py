@@ -518,12 +518,14 @@ def run_adaptive_dmd_loop_workload(K, TAU, STEPS, tile):
     }
 
 
-def run_fleet_workload(N, K, TAU, CHAIN):
+def run_fleet_workload(N, K, TAU, CHAIN, kernel="xla", tile=None):
     """Fleet serving row (controller/fleet.py — no reference counterpart):
-    N vehicles with DISTINCT goals replanned in ONE dispatch via the
-    vmapped solve, chained CHAIN control steps inside one fori_loop with
-    each vehicle's plant stepped by its own action. Reports p50 latency per
-    whole-fleet replan (the 10 ms budget now covers N vehicles at once) and
+    N vehicles with DISTINCT goals replanned in ONE dispatch, chained CHAIN
+    control steps inside one fori_loop with each vehicle's plant stepped by
+    its own action. ``kernel='xla'`` runs the vmapped solve as one [N, K]
+    batch; 'pallas' (TPU) scans the vehicles through the fused kernel
+    (in-kernel PRNG, per-vehicle SMEM dyn). Reports p50 latency per
+    whole-fleet replan (the 10 ms budget covers N vehicles at once) and
     aggregate vehicle-solves/s."""
     import jax
     import jax.numpy as jnp
@@ -537,21 +539,21 @@ def run_fleet_workload(N, K, TAU, CHAIN):
     goals = np.zeros((N, 6))
     goals[:, 0::2] = rng.uniform(-1.0, 1.0, (N, 3))
     fleet = FleetMPPI(model, cost, n_vehicles=N, k=K, tau=TAU, lam=lam,
-                      upsilon=1.0, sigma=sigma, goals=goals)
+                      upsilon=1.0, sigma=sigma, goals=goals, kernel=kernel,
+                      kernel_tile=tile)
     mp, cp = fleet._mparams, fleet._cparams
-    solve = fleet._tpl._solve
+    used_kernel = "pallas" if fleet._tpl._fused is not None else "xla"
+    step_jit = fleet._step_jit
 
     def chained(keys, states, useq):
-        def body(_, carry):
+        def body(i, carry):
             keys, states, useq = carry
-
-            def one(key, x, u, cpv):
-                key, sub = jax.random.split(key)
-                action, shifted, _info = solve(sub, x, u, mp, cpv)
-                xn = model.step(mp, x[None, :], action[None, :])[0]
-                return key, xn, shifted
-
-            keys, states, useq = jax.vmap(one)(keys, states, useq, cp)
+            seed = jnp.int32(i * N * max(fleet._n_tiles, 1))
+            actions, useq, keys, _info = step_jit(seed, keys, states, useq,
+                                                  mp, cp)
+            states = jax.vmap(
+                lambda x, u: model.step(mp, x[None, :], u[None, :])[0])(
+                    states, actions)
             return keys, states, useq
 
         return jax.lax.fori_loop(0, CHAIN, body, (keys, states, useq))
@@ -572,7 +574,7 @@ def run_fleet_workload(N, K, TAU, CHAIN):
     p50_ms = per_fleet * 1e3
     return {
         "metric": (f"fleet_replan_latency_ms@N={N},K={K},H={TAU},"
-                   f"point_mass3d,{backend},xla"),
+                   f"point_mass3d,{backend},{used_kernel}"),
         "value": round(p50_ms, 4),
         "unit": "ms",
         "vs_baseline": round(10.0 / p50_ms, 3),
@@ -580,15 +582,14 @@ def run_fleet_workload(N, K, TAU, CHAIN):
             "vehicle_solves_per_s": round(N / per_fleet, 1),
             "rollouts_per_s_per_chip": round(N * K / per_fleet, 0),
             "backend": backend,
-            "kernel": "xla",
+            "kernel": used_kernel,
             "chain": CHAIN,
             "workload": "point_mass_fleet",
             "n_vehicles": N,
             "K": K,
             "H": TAU,
-            "note": "whole-fleet replan per dispatch (vmapped solve, "
-                    "distinct goals); budget vs_baseline covers all N "
-                    "vehicles at once",
+            "note": "whole-fleet replan per dispatch (distinct goals); "
+                    "budget vs_baseline covers all N vehicles at once",
         },
     }
 
@@ -726,13 +727,20 @@ def main():
     k_fl = min(8192, cap_k) if cap_k else 8192
     tau_fl = min(25, cap_tau) if cap_tau else 25
     chain_fl = min(300, cap_chain) if cap_chain else 300
-    try:
-        r = run_fleet_workload(n_fl, k_fl, tau_fl, chain_fl)
-    except Exception as e:
-        r = {"metric": f"FAILED@fleet,N={n_fl},K={k_fl},H={tau_fl}",
-             "error": f"{type(e).__name__}: {e}"}
-    print(json.dumps(r), flush=True)
-    suite.append(r)
+    for fl_kernel in ("xla", default_kernel):
+        try:
+            r = run_fleet_workload(n_fl, k_fl, tau_fl, chain_fl,
+                                   kernel=fl_kernel,
+                                   tile=tile if fl_kernel == "pallas"
+                                   else None)
+        except Exception as e:
+            r = {"metric": f"FAILED@fleet,N={n_fl},K={k_fl},H={tau_fl},"
+                           f"kernel={fl_kernel}",
+                 "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(r), flush=True)
+        suite.append(r)
+        if fl_kernel == default_kernel:
+            break  # off-TPU both kernels resolve to the XLA row
     # on-device closed loop: whole experiment as one program (mjx_env)
     k_od = min(100_000, cap_k) if cap_k else 100_000
     tau_od = min(50, cap_tau) if cap_tau else 50

@@ -42,12 +42,16 @@ from .mppi import MPPI, make_prng_key
 class FleetMPPI:
     """Batched MPPI over ``n_vehicles`` sharing one model/cost family.
 
-    Same per-vehicle semantics as :class:`MPPI` on the XLA path (the fused
-    Pallas kernels are single-vehicle by design — at fleet batch sizes the
-    XLA path's [n*k] tensors already saturate the VPU, which is the fused
-    kernel's advantage at n=1). Options mirror MPPI where they are
-    per-solve pure (normalize_cost/filter/clip/antithetic); observer/log
-    mode is a single-vehicle debugging surface and intentionally absent.
+    Same per-vehicle semantics as :class:`MPPI`, kernel dispatch included:
+    ``kernel='auto'`` attaches the fused Pallas solve on TPU for eligible
+    model/cost pairs and the fleet step scans the vehicles through it
+    (sequential TPU grid — a scan costs the same as one batched grid, with
+    in-kernel PRNG and the kernel's folded constants); otherwise the
+    vmapped XLA solve runs the fleet as one [n, k] batch. Options mirror
+    MPPI where they are per-solve pure (normalize_cost/filter/clip/
+    antithetic); observer/log mode is a single-vehicle debugging surface
+    and intentionally absent. ``mesh=`` forces the XLA path (a sequential
+    vehicle scan cannot split over a fleet-sharded mesh).
 
     ``goals``: optional [n, goal_dim] array of per-vehicle goals applied
     through ``cost.set_goal`` (defaults to the cost's own goal for every
@@ -61,18 +65,30 @@ class FleetMPPI:
                  filter_seq: bool = False, filter_window: int = 9,
                  filter_polyorder: int = 3, clip_actions: bool = False,
                  antithetic: bool = False, seed: int = 0,
-                 mesh=None, prng_impl: str = "auto"):
+                 mesh=None, prng_impl: str = "auto", kernel: str = "auto",
+                 kernel_tile: Optional[int] = None):
         n = int(n_vehicles)
         if n < 1:
             raise ValueError(f"n_vehicles must be >= 1, got {n}")
+        if mesh is not None and kernel != "xla":
+            # the fused fleet step scans vehicles SEQUENTIALLY through the
+            # kernel — that cannot split over a fleet-sharded mesh, where
+            # the vmapped XLA solve parallelises for free
+            kernel = "xla"
         # the template carries the pure solve + all validated config; its
-        # own mutable state (useq/key) is unused
+        # own mutable state (useq/key) is unused. kernel='auto'/'pallas'
+        # attaches the fused Pallas solve when the model/cost pair is
+        # eligible (same rules as MPPI) — the fleet step then scans
+        # vehicles through the kernel (per-vehicle SMEM dyn pack; the TPU
+        # grid is sequential, so a scan loses nothing over a batched grid)
+        # with in-kernel PRNG instead of the vmapped XLA solve.
         self._tpl = MPPI(model, cost, k=k, tau=tau, lam=lam, upsilon=upsilon,
                          sigma=sigma, normalize_cost=normalize_cost,
                          filter_seq=filter_seq, filter_window=filter_window,
                          filter_polyorder=filter_polyorder,
                          clip_actions=clip_actions, antithetic=antithetic,
-                         seed=seed, kernel="xla", prng_impl=prng_impl)
+                         seed=seed, kernel=kernel, kernel_tile=kernel_tile,
+                         prng_impl=prng_impl)
         self._model = model
         self._cost = cost
         self._n = n
@@ -112,17 +128,43 @@ class FleetMPPI:
         self._timing = {"total": 0.0, "calls": 0}
 
         solve = self._tpl._solve
+        fused = self._tpl._fused
+        self._n_tiles = 0
+        if fused is not None:
+            self._n_tiles = (self._tpl._k + fused.tile - 1) // fused.tile
+            n_tiles = self._n_tiles
+            fstep = self._tpl._fused_step
 
-        def fleet_step(keys, states, useq, mparams, cparams):
-            def one(key, x, u, cp):
-                key, sub = jax.random.split(key)  # same order as MPPI.next
-                action, shifted, info = solve(sub, x, u, mparams, cp)
-                return action, shifted, key, info
+            def fleet_step(seed, keys, states, useq, mparams, cparams):
+                # scan the vehicles through the fused kernel: the TPU grid
+                # is sequential, so a scan costs the same as one batched
+                # grid while reusing the single-vehicle kernel unchanged;
+                # per-vehicle seed blocks keep the noise streams disjoint
+                def one(_, xs):
+                    v, x, u, cpv = xs
+                    action, shifted, _info = fstep(seed + v * n_tiles, x,
+                                                   u, mparams, cpv)
+                    return None, (action, shifted,
+                                  {"cost_min": _info["cost_min"],
+                                   "cost_mean": _info["cost_mean"],
+                                   "cost_max": _info["cost_max"]})
 
-            return jax.vmap(one)(keys, states, useq, cparams)
+                _, (actions, new_useq, info) = jax.lax.scan(
+                    one, None,
+                    (jnp.arange(n, dtype=jnp.int32), states, useq, cparams))
+                return actions, new_useq, keys, info
+        else:
+            def fleet_step(seed, keys, states, useq, mparams, cparams):
+                def one(key, x, u, cp):
+                    key, sub = jax.random.split(key)  # MPPI.next's order
+                    action, shifted, info = solve(sub, x, u, mparams, cp)
+                    return action, shifted, key, info
+
+                return jax.vmap(one, in_axes=(0, 0, 0, 0))(
+                    keys, states, useq, cparams)
 
         if mesh is None:
-            self._step_jit = jax.jit(fleet_step, donate_argnums=(0, 2))
+            self._step_jit = jax.jit(fleet_step, donate_argnums=(1, 3))
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -138,8 +180,8 @@ class FleetMPPI:
             # the first (vehicle) axis, the model params replicate; each
             # vehicle's solve is device-local so NO collectives are needed
             self._step_jit = jax.jit(
-                fleet_step, donate_argnums=(0, 2),
-                in_shardings=(batched, batched, batched, rep, batched),
+                fleet_step, donate_argnums=(1, 3),
+                in_shardings=(rep, batched, batched, batched, rep, batched),
                 out_shardings=(batched, batched, batched, batched))
         self._mesh = mesh
 
@@ -154,9 +196,14 @@ class FleetMPPI:
         states = jnp.asarray(
             np.asarray(states, np.float64).reshape(self._n, self._sdim),
             self._dtype)
+        # fused path: disjoint per-(step, vehicle) kernel seed blocks; the
+        # XLA path ignores the seed (keys drive its noise)
+        seed = jnp.int32(self._tpl._base_seed
+                         + self._steps * self._n * self._n_tiles)
         start = time.perf_counter()
         actions, self._useq, self._keys, info = self._step_jit(
-            self._keys, states, self._useq, self._mparams, self._cparams)
+            seed, self._keys, states, self._useq, self._mparams,
+            self._cparams)
         actions = np.asarray(actions)
         self._timing["total"] += time.perf_counter() - start
         self._timing["calls"] += 1
@@ -226,17 +273,33 @@ class FleetMPPI:
         batched carries are placed with the fleet-axis sharding so the scan
         runs data-parallel across devices."""
         solve = self._tpl._solve
+        fused = self._tpl._fused
         n, tau, adim = self._n, self._tau, self._adim
+        if fused is not None:
+            n_tiles = self._n_tiles
+            base_seed = self._tpl._base_seed
+            fstep = self._tpl._fused_step
 
-        def control_period(carry, _):
+        def control_period(carry, i):
             keys, states, useq, mp, cp = carry
 
-            def one(key, x, u, cpv):
-                key, sub = jax.random.split(key)
-                action, shifted, _info = solve(sub, x, u, mp, cpv)
-                return key, action, shifted
+            if fused is not None:
+                def one_f(_, xs):
+                    v, x, u, cpv = xs
+                    seed = base_seed + (i * n + v) * n_tiles
+                    action, shifted, _info = fstep(seed, x, u, mp, cpv)
+                    return None, (action, shifted)
 
-            keys, actions, useq = jax.vmap(one)(keys, states, useq, cp)
+                _, (actions, useq) = jax.lax.scan(
+                    one_f, None,
+                    (jnp.arange(n, dtype=jnp.int32), states, useq, cp))
+            else:
+                def one(key, x, u, cpv):
+                    key, sub = jax.random.split(key)
+                    action, shifted, _info = solve(sub, x, u, mp, cpv)
+                    return key, action, shifted
+
+                keys, actions, useq = jax.vmap(one)(keys, states, useq, cp)
 
             def sim_body(_, s):
                 return jax.vmap(plant_step)(s, actions)
@@ -247,8 +310,8 @@ class FleetMPPI:
         @jax.jit
         def _run(keys, states0, useq0, mp, cp):
             _, (states, actions) = jax.lax.scan(
-                control_period, (keys, states0, useq0, mp, cp), None,
-                length=steps)
+                control_period, (keys, states0, useq0, mp, cp),
+                jnp.arange(steps, dtype=jnp.int32))
             return states, actions
 
         if self._mesh is not None:

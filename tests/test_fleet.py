@@ -149,6 +149,48 @@ def test_fleet_retasking_and_checkpoint(tmp_path):
         fleet.set_goals(np.zeros((n + 1, 4)))
 
 
+def test_fleet_fused_kernel_matches_per_vehicle_fused():
+    """kernel='pallas' scans the vehicles through the fused kernel
+    (interpret mode here): each vehicle's action must equal a standalone
+    fused MPPI seeded with the fleet's per-vehicle seed block, and distinct
+    goals must flow through the per-vehicle SMEM packs."""
+    model, cost, sigma = _family()
+    n, k, tau, tile = 3, 64, 5, 16
+    goals = np.array([[1.0, 0.0, -0.5, 0.0],
+                      [-0.8, 0.0, 0.3, 0.0],
+                      [0.2, 0.0, 1.1, 0.0]])
+    fleet = FleetMPPI(model, cost, n_vehicles=n, k=k, tau=tau, lam=0.6,
+                      upsilon=1.0, sigma=sigma, goals=goals, seed=11,
+                      kernel="pallas", kernel_tile=tile)
+    assert fleet._tpl._fused is not None
+    n_tiles = fleet._n_tiles
+
+    rng = np.random.default_rng(2)
+    states = rng.normal(size=(n, 4))
+    a_fleet = fleet.next(states)
+
+    for v in range(n):
+        single = MPPI(model, cost, k=k, tau=tau, lam=0.6, upsilon=1.0,
+                      sigma=sigma, seed=11 + v * n_tiles, kernel="pallas",
+                      kernel_tile=tile)
+        single.set_goal(goals[v])
+        a_v = single.next(states[v])
+        np.testing.assert_allclose(a_fleet[v], a_v, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(fleet.useq[v]),
+                                   np.asarray(single.useq),
+                                   rtol=1e-5, atol=1e-7)
+
+    # the fused on-device fleet loop runs and stays finite (interpret-mode
+    # PRNG is stubbed, so convergence is only meaningful on hardware)
+    from mppi_tf_tpu.envs.mjx_env import JaxPointMassEnv
+
+    env = JaxPointMassEnv(n_dof=2, dt=0.01)
+    run = fleet.build_on_device_loop(env.step_fn, steps=4, substeps=2)
+    s, a = run(np.zeros((n, 4)))
+    assert np.all(np.isfinite(np.asarray(s)))
+    assert np.asarray(a).shape == (4, n, 2)
+
+
 def test_fleet_on_device_loop():
     """The whole fleet experiment — N closed loops with distinct goals —
     compiles into ONE scan program; params resolve from the fleet at call
