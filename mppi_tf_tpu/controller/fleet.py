@@ -73,7 +73,15 @@ class FleetMPPI:
         if mesh is not None and kernel != "xla":
             # the fused fleet step scans vehicles SEQUENTIALLY through the
             # kernel — that cannot split over a fleet-sharded mesh, where
-            # the vmapped XLA solve parallelises for free
+            # the vmapped XLA solve parallelises for free. 'auto' falls
+            # back quietly; an EXPLICIT 'pallas' is rejected loudly (MPPI's
+            # own contract for an unusable explicit kernel, mppi.py)
+            if kernel == "pallas":
+                raise ValueError(
+                    "kernel='pallas' does not compose with mesh=: the "
+                    "fused fleet step scans vehicles sequentially and "
+                    "cannot split over a fleet-sharded mesh — use "
+                    "kernel='xla' (or 'auto') with mesh, or drop mesh")
             kernel = "xla"
         # the template carries the pure solve + all validated config; its
         # own mutable state (useq/key) is unused. kernel='auto'/'pallas'
@@ -127,41 +135,11 @@ class FleetMPPI:
         self._steps = 0
         self._timing = {"total": 0.0, "calls": 0}
 
-        solve = self._tpl._solve
-        fused = self._tpl._fused
         self._n_tiles = 0
-        if fused is not None:
-            self._n_tiles = (self._tpl._k + fused.tile - 1) // fused.tile
-            n_tiles = self._n_tiles
-            fstep = self._tpl._fused_step
-
-            def fleet_step(seed, keys, states, useq, mparams, cparams):
-                # scan the vehicles through the fused kernel: the TPU grid
-                # is sequential, so a scan costs the same as one batched
-                # grid while reusing the single-vehicle kernel unchanged;
-                # per-vehicle seed blocks keep the noise streams disjoint
-                def one(_, xs):
-                    v, x, u, cpv = xs
-                    action, shifted, _info = fstep(seed + v * n_tiles, x,
-                                                   u, mparams, cpv)
-                    return None, (action, shifted,
-                                  {"cost_min": _info["cost_min"],
-                                   "cost_mean": _info["cost_mean"],
-                                   "cost_max": _info["cost_max"]})
-
-                _, (actions, new_useq, info) = jax.lax.scan(
-                    one, None,
-                    (jnp.arange(n, dtype=jnp.int32), states, useq, cparams))
-                return actions, new_useq, keys, info
-        else:
-            def fleet_step(seed, keys, states, useq, mparams, cparams):
-                def one(key, x, u, cp):
-                    key, sub = jax.random.split(key)  # MPPI.next's order
-                    action, shifted, info = solve(sub, x, u, mparams, cp)
-                    return action, shifted, key, info
-
-                return jax.vmap(one, in_axes=(0, 0, 0, 0))(
-                    keys, states, useq, cparams)
+        if self._tpl._fused is not None:
+            self._n_tiles = ((self._tpl._k + self._tpl._fused.tile - 1)
+                             // self._tpl._fused.tile)
+        fleet_step = self._make_solve_all()
 
         if mesh is None:
             self._step_jit = jax.jit(fleet_step, donate_argnums=(1, 3))
@@ -185,6 +163,45 @@ class FleetMPPI:
                 out_shardings=(batched, batched, batched, batched))
         self._mesh = mesh
 
+    def _make_solve_all(self):
+        """The whole-fleet solve, shared by the per-step jit and the
+        on-device loop: (seed, keys, states, useq, mparams, cparams) ->
+        (actions, new_useq, new_keys, info), with info carrying the FULL
+        per-vehicle solve info ([n]-leading) on both kernel paths."""
+        n = self._n
+        solve = self._tpl._solve
+        fused = self._tpl._fused
+        if fused is not None:
+            n_tiles = self._n_tiles
+            fstep = self._tpl._fused_step
+
+            def solve_all(seed, keys, states, useq, mparams, cparams):
+                # scan the vehicles through the fused kernel: the TPU grid
+                # is sequential, so a scan costs the same as one batched
+                # grid while reusing the single-vehicle kernel unchanged;
+                # per-vehicle seed blocks keep the noise streams disjoint
+                def one(_, xs):
+                    v, x, u, cpv = xs
+                    action, shifted, info = fstep(seed + v * n_tiles, x,
+                                                  u, mparams, cpv)
+                    return None, (action, shifted, info)
+
+                _, (actions, new_useq, info) = jax.lax.scan(
+                    one, None,
+                    (jnp.arange(n, dtype=jnp.int32), states, useq, cparams))
+                return actions, new_useq, keys, info
+        else:
+            def solve_all(seed, keys, states, useq, mparams, cparams):
+                def one(key, x, u, cp):
+                    key, sub = jax.random.split(key)  # MPPI.next's order
+                    action, shifted, info = solve(sub, x, u, mparams, cp)
+                    return action, shifted, key, info
+
+                return jax.vmap(one, in_axes=(0, 0, 0, 0))(
+                    keys, states, useq, cparams)
+
+        return solve_all
+
     # ------------------------------------------------------------------
     # user-facing surface (the fleet analogue of MPPI.next/set_goal)
     # ------------------------------------------------------------------
@@ -196,10 +213,13 @@ class FleetMPPI:
         states = jnp.asarray(
             np.asarray(states, np.float64).reshape(self._n, self._sdim),
             self._dtype)
-        # fused path: disjoint per-(step, vehicle) kernel seed blocks; the
-        # XLA path ignores the seed (keys drive its noise)
-        seed = jnp.int32(self._tpl._base_seed
-                         + self._steps * self._n * self._n_tiles)
+        # fused path: disjoint per-(step, vehicle) kernel seed blocks,
+        # wrapped at 2^31 (jnp.int32 of a larger Python int RAISES, which
+        # would kill a long-running serving loop); the XLA path ignores
+        # the seed (keys drive its noise)
+        seed = jnp.int32(
+            (self._tpl._base_seed + self._steps * self._n * self._n_tiles)
+            % (1 << 31))
         start = time.perf_counter()
         actions, self._useq, self._keys, info = self._step_jit(
             seed, self._keys, states, self._useq, self._mparams,
@@ -272,34 +292,16 @@ class FleetMPPI:
         needs no retrace). When the fleet was built with ``mesh=``, the
         batched carries are placed with the fleet-axis sharding so the scan
         runs data-parallel across devices."""
-        solve = self._tpl._solve
-        fused = self._tpl._fused
         n, tau, adim = self._n, self._tau, self._adim
-        if fused is not None:
-            n_tiles = self._n_tiles
-            base_seed = self._tpl._base_seed
-            fstep = self._tpl._fused_step
+        solve_all = self._make_solve_all()
+        base_seed = self._tpl._base_seed
+        stride = self._n * self._n_tiles  # 0 on the XLA path (seed unused)
 
         def control_period(carry, i):
             keys, states, useq, mp, cp = carry
-
-            if fused is not None:
-                def one_f(_, xs):
-                    v, x, u, cpv = xs
-                    seed = base_seed + (i * n + v) * n_tiles
-                    action, shifted, _info = fstep(seed, x, u, mp, cpv)
-                    return None, (action, shifted)
-
-                _, (actions, useq) = jax.lax.scan(
-                    one_f, None,
-                    (jnp.arange(n, dtype=jnp.int32), states, useq, cp))
-            else:
-                def one(key, x, u, cpv):
-                    key, sub = jax.random.split(key)
-                    action, shifted, _info = solve(sub, x, u, mp, cpv)
-                    return key, action, shifted
-
-                keys, actions, useq = jax.vmap(one)(keys, states, useq, cp)
+            seed = jnp.int32(base_seed + i * stride)  # i32 wraps in-trace
+            actions, useq, keys, _info = solve_all(seed, keys, states,
+                                                   useq, mp, cp)
 
             def sim_body(_, s):
                 return jax.vmap(plant_step)(s, actions)

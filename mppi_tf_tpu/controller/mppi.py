@@ -278,8 +278,11 @@ class MPPI:
     def _next_fused(self, state):
         """Fused-kernel control step."""
         n_tiles = (self._k + self._fused.tile - 1) // self._fused.tile
-        # non-overlapping per-solve seed blocks (kernel uses seed+pid per tile)
-        seed = np.int32(self._base_seed + self._steps * n_tiles)
+        # non-overlapping per-solve seed blocks (kernel uses seed+pid per
+        # tile); wrap at 2^31 — np.int32() of a larger Python int RAISES,
+        # which would kill a serving loop after ~2^31/n_tiles replans
+        seed = np.int32((self._base_seed + self._steps * n_tiles)
+                        % (1 << 31))
         action, self._useq, info = self._fused_step_jit(
             seed, state, self._useq, self._mparams, self._cparams)
         return action, info

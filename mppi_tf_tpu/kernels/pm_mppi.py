@@ -818,8 +818,9 @@ class FusedLTIMPPI(FusedPointMassMPPI):
     FMA chains per step (no zero elision) — for the 6-dim point-mass-sized
     case that is 36+18 scalars, well inside SMEM.
 
-    Same cost domain as the point-mass kernel: StaticCost (quadratic) or
-    ElipseCost (4-dim [x, vx, y, vy] state). Reference extension point:
+    Same cost domain as the point-mass kernel: StaticCost / WayPointsCost
+    (quadratic around a — possibly effective — SMEM goal) or ElipseCost
+    (4-dim [x, vx, y, vy] state). Reference extension point:
     scripts/src/controllers/dmd_controller.py (the reserved DMD-MPPI).
     """
 

@@ -108,6 +108,11 @@ def test_fleet_sharded_matches_unsharded():
     with pytest.raises(ValueError, match="divisible"):
         FleetMPPI(model, cost, n_vehicles=6, k=k, tau=tau, lam=0.6,
                   upsilon=1.0, sigma=sigma, mesh=mesh)
+    # an EXPLICIT pallas request cannot be honoured on a fleet mesh and
+    # must fail loudly (kernel='auto' falls back to XLA quietly)
+    with pytest.raises(ValueError, match="pallas"):
+        FleetMPPI(model, cost, n_vehicles=8, k=k, tau=tau, lam=0.6,
+                  upsilon=1.0, sigma=sigma, mesh=mesh, kernel="pallas")
 
 
 def test_fleet_retasking_and_checkpoint(tmp_path):
@@ -168,6 +173,12 @@ def test_fleet_fused_kernel_matches_per_vehicle_fused():
     rng = np.random.default_rng(2)
     states = rng.normal(size=(n, 4))
     a_fleet = fleet.next(states)
+    # info schema is kernel-path independent (review r3: the fused scan
+    # must not strip the array entries the XLA path returns)
+    for key in ("cost_min", "cost_mean", "cost_max", "weighted_noise",
+                "useq"):
+        assert key in fleet._last_info, key
+    assert fleet._last_info["weighted_noise"].shape == (n, tau, 2)
 
     for v in range(n):
         single = MPPI(model, cost, k=k, tau=tau, lam=0.6, upsilon=1.0,
