@@ -55,6 +55,26 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
                 # other option
                 kwargs.setdefault(kw, config_dict[cfg_key])
     dmd_opts = ("refit_every", "min_samples", "buffer_capacity")
+    n_fleet = int(kwargs.pop("fleet", config_dict.get("fleet", 0)) or 0)
+    if n_fleet:
+        # fleet serving: N vehicles, one compiled dispatch. With mesh=,
+        # the mesh shards the FLEET axis (collective-free data
+        # parallelism) instead of the sample axis.
+        if is_dmd:
+            raise ValueError(
+                "fleet does not compose with the adaptive DMD family — "
+                "build FleetMPPI over an identified DMDModel directly")
+        if observer is not None:
+            raise ValueError(
+                "fleet controllers have no observer surface (per-vehicle "
+                "log mode is a single-vehicle debugging tool); drop the "
+                "observer or the fleet key")
+        from .fleet import FleetMPPI
+
+        kwargs.pop("log", None)
+        return FleetMPPI(model, cost, n_vehicles=n_fleet,
+                         goals=config_dict.get("goals"), mesh=mesh,
+                         **kwargs)
     if mesh is not None:
         import jax
         import jax.numpy as jnp

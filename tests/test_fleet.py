@@ -296,6 +296,36 @@ def test_fleet_auv_flagship():
     assert a.shape == (n, 6) and np.all(np.isfinite(a))
 
 
+def test_fleet_factory_dispatch():
+    """get_controller builds a FleetMPPI from the env-config 'fleet' key
+    (with per-vehicle 'goals'); DMD models and observers are rejected
+    loudly."""
+    from mppi_tf_tpu.controller import get_controller
+    from mppi_tf_tpu.models.dmd import DMDModel
+
+    model, cost, sigma = _family()
+    cfg = {"samples": 64, "horizon": 5, "lambda": 0.6, "upsilon": 1.0,
+           "noise": sigma.tolist(), "fleet": 3,
+           "goals": [[1.0, 0.0, -0.5, 0.0],
+                     [-0.8, 0.0, 0.3, 0.0],
+                     [0.2, 0.0, 1.1, 0.0]]}
+    fleet = get_controller(model, cost, cfg)
+    assert isinstance(fleet, FleetMPPI) and fleet.n_vehicles == 3
+    a = fleet.next(np.zeros((3, 4)))
+    assert a.shape == (3, 2) and np.all(np.isfinite(a))
+    np.testing.assert_allclose(np.asarray(fleet._cparams["goal"][1]),
+                               [-0.8, 0.0, 0.3, 0.0])
+
+    with pytest.raises(ValueError, match="DMD"):
+        get_controller(DMDModel(4, 2), cost, cfg)
+
+    class _Obs:
+        pass
+
+    with pytest.raises(ValueError, match="observer"):
+        get_controller(model, cost, cfg, observer=_Obs())
+
+
 def test_fleet_validates_construction():
     model, cost, sigma = _family()
     with pytest.raises(ValueError, match="n_vehicles"):
