@@ -518,7 +518,8 @@ def run_adaptive_dmd_loop_workload(K, TAU, STEPS, tile):
     }
 
 
-def run_fleet_workload(N, K, TAU, CHAIN, kernel="xla", tile=None):
+def run_fleet_workload(N, K, TAU, CHAIN, kernel="xla", tile=None,
+                       workload="point_mass"):
     """Fleet serving row (controller/fleet.py — no reference counterpart):
     N vehicles with DISTINCT goals replanned in ONE dispatch, chained CHAIN
     control steps inside one fori_loop with each vehicle's plant stepped by
@@ -533,11 +534,16 @@ def run_fleet_workload(N, K, TAU, CHAIN, kernel="xla", tile=None):
     backend = jax.default_backend()
     from mppi_tf_tpu.controller.fleet import FleetMPPI
 
-    model, cost, sigma, lam, state0 = _build_workload("point_mass", jnp)
+    model, cost, sigma, lam, state0 = _build_workload(workload, jnp)
     adim = model.get_action_dim()
     rng = np.random.default_rng(0)
-    goals = np.zeros((N, 6))
-    goals[:, 0::2] = rng.uniform(-1.0, 1.0, (N, 3))
+    if workload == "point_mass":
+        goals = np.zeros((N, 6))
+        goals[:, 0::2] = rng.uniform(-1.0, 1.0, (N, 3))
+    else:  # auv: fleet of rexrovs at distinct depth setpoints
+        goal0 = np.asarray(cost.init_params()["goal"], np.float64)
+        goals = np.tile(goal0, (N, 1))
+        goals[:, 2] = rng.uniform(-2.0, 0.0, N)
     fleet = FleetMPPI(model, cost, n_vehicles=N, k=K, tau=TAU, lam=lam,
                       upsilon=1.0, sigma=sigma, goals=goals, kernel=kernel,
                       kernel_tile=tile)
@@ -572,9 +578,10 @@ def run_fleet_workload(N, K, TAU, CHAIN, kernel="xla", tile=None):
         times.append((time.perf_counter() - t0) / CHAIN)
     per_fleet = float(np.median(times))
     p50_ms = per_fleet * 1e3
+    wname = {"point_mass": "point_mass3d", "auv": "auv_rexrov2"}[workload]
     return {
         "metric": (f"fleet_replan_latency_ms@N={N},K={K},H={TAU},"
-                   f"point_mass3d,{backend},{used_kernel}"),
+                   f"{wname},{backend},{used_kernel}"),
         "value": round(p50_ms, 4),
         "unit": "ms",
         "vs_baseline": round(10.0 / p50_ms, 3),
@@ -584,7 +591,7 @@ def run_fleet_workload(N, K, TAU, CHAIN, kernel="xla", tile=None):
             "backend": backend,
             "kernel": used_kernel,
             "chain": CHAIN,
-            "workload": "point_mass_fleet",
+            "workload": f"{workload}_fleet",
             "n_vehicles": N,
             "K": K,
             "H": TAU,

@@ -1,0 +1,132 @@
+"""Control serving (mppi_tf_tpu/serve.py): the reference's ROS-node role —
+an external vehicle stack driving the controller over a socket — as a
+JSON-lines TCP protocol. Tests run a real server thread and a real client.
+"""
+
+import numpy as np
+import pytest
+
+from mppi_tf_tpu.controller import FleetMPPI, MPPI
+from mppi_tf_tpu.costs import get_cost
+from mppi_tf_tpu.models import get_model
+from mppi_tf_tpu.serve import ControlClient, ControlServer
+
+
+def _family():
+    sigma = np.diag([0.4, 0.4])
+    model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                      state_dim=4, action_dim=2)
+    cost = get_cost({"type": "static", "diag": True,
+                     "goal": [1.0, 0.0, -0.5, 0.0],
+                     "Q": [8.0, 1.5, 8.0, 1.5]},
+                    lam=0.6, gamma=0.2, upsilon=1.0, sigma=sigma)
+    return model, cost, sigma
+
+
+@pytest.fixture()
+def served():
+    model, cost, sigma = _family()
+    ctrl = MPPI(model, cost, k=256, tau=15, lam=0.6, upsilon=1.0,
+                sigma=sigma, seed=2)
+    server = ControlServer(ctrl)
+    host, port = server.serve_background()
+    client = ControlClient(host, port)
+    yield model, ctrl, client
+    client.close()
+    server.close()
+
+
+def test_served_closed_loop_converges(served):
+    """The full deployment shape: the 'vehicle stack' (this test) holds the
+    plant, the controller lives behind the socket; the served closed loop
+    reaches the goal, then a set_goal over the wire re-targets it."""
+    model, ctrl, client = served
+    info = client.info()
+    assert info["controller"] == "MPPI" and info["k"] == 256
+
+    mp = model.init_params()
+    x = np.zeros(4)
+    for _ in range(60):
+        u = client.next(x)
+        assert u.shape == (2,)
+        x = np.asarray(model.predict(mp, x, u)).reshape(-1)
+    assert np.linalg.norm(x[0::2] - np.array([1.0, -0.5])) < 0.25, x
+
+    client.set_goal([-0.5, 0.0, 0.8, 0.0])
+    for _ in range(60):
+        x = np.asarray(model.predict(mp, x, client.next(x))).reshape(-1)
+    assert np.linalg.norm(x[0::2] - np.array([-0.5, 0.8])) < 0.25, x
+
+
+def test_server_survives_bad_requests(served):
+    """Protocol errors come back as {'error': ...} and the SAME connection
+    keeps serving — a malformed tick from the vehicle stack must not drop
+    control."""
+    _model, _ctrl, client = served
+    assert client.request(op="ping") == {"ok": True}
+    resp = client.request(op="warp")
+    assert "unknown op" in resp["error"]
+    resp = client.request(op="next", state=[[1, 2], [3]])  # ragged
+    assert "error" in resp
+    resp = client.request(op="next")  # missing field
+    assert "error" in resp
+    # still alive, still correct
+    u = client.next(np.zeros(4))
+    assert u.shape == (2,)
+    # save() without an observer is a no-op on plain MPPI but must not err
+    resp = client.request(op="save", x=[0, 0, 0, 0], u=[0, 0],
+                          x_next=[0, 0, 0, 0])
+    assert resp == {"ok": True}
+
+
+def test_served_adaptive_dmd_identifies_over_the_wire():
+    """save() ticks stream transitions into the served DMD controller; the
+    online identification runs server-side (the MBRL deployment loop)."""
+    from mppi_tf_tpu.controller.dmd import DMDMPPI
+    from mppi_tf_tpu.models.dmd import DMDModel
+
+    model, cost, sigma = _family()
+    dmd = DMDModel(4, 2, reg=1e-10)
+    ctrl = DMDMPPI(dmd, cost, k=64, tau=8, lam=0.6, upsilon=1.0,
+                   sigma=sigma, seed=2, refit_every=4, min_samples=6)
+    server = ControlServer(ctrl)
+    host, port = server.serve_background()
+    client = ControlClient(host, port)
+    try:
+        mp = model.init_params()
+        rng = np.random.default_rng(0)
+        x = np.zeros(4)
+        for _ in range(8):
+            u = rng.uniform(-1, 1, 2)
+            xn = np.asarray(model.predict(mp, x, u)).reshape(-1)
+            client.save(x, u, xn)
+            x = xn
+        assert ctrl.n_fits >= 1
+        np.testing.assert_allclose(np.asarray(ctrl.model_params["A"]),
+                                   np.asarray(model._A), atol=1e-4)
+    finally:
+        client.close()
+        server.close()
+
+
+def test_served_fleet():
+    """A FleetMPPI behind the same endpoint: batched states in, batched
+    actions out, whole-fleet re-tasking via set_goal [n, dim]."""
+    model, cost, sigma = _family()
+    goals = np.array([[1.0, 0.0, -0.5, 0.0], [-0.8, 0.0, 0.3, 0.0]])
+    fleet = FleetMPPI(model, cost, n_vehicles=2, k=64, tau=8, lam=0.6,
+                      upsilon=1.0, sigma=sigma, goals=goals, seed=2)
+    server = ControlServer(fleet)
+    host, port = server.serve_background()
+    client = ControlClient(host, port)
+    try:
+        assert client.info()["n_vehicles"] == 2
+        a = client.next(np.zeros((2, 4)))
+        assert a.shape == (2, 2)
+        client.set_goal(np.array([[0.2, 0.0, 0.2, 0.0],
+                                  [0.4, 0.0, 0.4, 0.0]]))
+        np.testing.assert_allclose(np.asarray(fleet._cparams["goal"][1]),
+                                   [0.4, 0.0, 0.4, 0.0])
+    finally:
+        client.close()
+        server.close()
