@@ -154,11 +154,20 @@ def test_fleet_retasking_and_checkpoint(tmp_path):
         fleet.set_goals(np.zeros((n + 1, 4)))
 
 
-def test_fleet_fused_kernel_matches_per_vehicle_fused():
+@pytest.mark.parametrize("options", [
+    {},
+    {"normalize_cost": True},
+    {"antithetic": True},
+    {"normalize_cost": True, "clip_actions": True, "filter_seq": True,
+     "filter_window": 5},
+])
+def test_fleet_fused_kernel_matches_per_vehicle_fused(options):
     """kernel='pallas' scans the vehicles through the fused kernel
     (interpret mode here): each vehicle's action must equal a standalone
-    fused MPPI seeded with the fleet's per-vehicle seed block, and distinct
-    goals must flow through the per-vehicle SMEM packs."""
+    fused MPPI seeded with the fleet's per-vehicle seed block, distinct
+    goals must flow through the per-vehicle SMEM packs, and the whole
+    single-vehicle option matrix (normalize/antithetic/clip/filter) holds
+    per vehicle."""
     model, cost, sigma = _family()
     n, k, tau, tile = 3, 64, 5, 16
     goals = np.array([[1.0, 0.0, -0.5, 0.0],
@@ -166,7 +175,7 @@ def test_fleet_fused_kernel_matches_per_vehicle_fused():
                       [0.2, 0.0, 1.1, 0.0]])
     fleet = FleetMPPI(model, cost, n_vehicles=n, k=k, tau=tau, lam=0.6,
                       upsilon=1.0, sigma=sigma, goals=goals, seed=11,
-                      kernel="pallas", kernel_tile=tile)
+                      kernel="pallas", kernel_tile=tile, **options)
     assert fleet._tpl._fused is not None
     n_tiles = fleet._n_tiles
 
@@ -183,13 +192,15 @@ def test_fleet_fused_kernel_matches_per_vehicle_fused():
     for v in range(n):
         single = MPPI(model, cost, k=k, tau=tau, lam=0.6, upsilon=1.0,
                       sigma=sigma, seed=11 + v * n_tiles, kernel="pallas",
-                      kernel_tile=tile)
+                      kernel_tile=tile, **options)
         single.set_goal(goals[v])
         a_v = single.next(states[v])
         np.testing.assert_allclose(a_fleet[v], a_v, rtol=1e-5, atol=1e-7)
         np.testing.assert_allclose(np.asarray(fleet.useq[v]),
                                    np.asarray(single.useq),
                                    rtol=1e-5, atol=1e-7)
+    if options:
+        return  # the on-device smoke below only needs to run once
 
     # the fused on-device fleet loop runs and stays finite (interpret-mode
     # PRNG is stubbed, so convergence is only meaningful on hardware)
