@@ -11,8 +11,9 @@ row the framework claims, driver-verifiable in one run:
     NN (3x32 MLP)     XLA    K=65536  H=25 (bf16 MXU path)
     DMD (dynamic A,B) pallas K=100k H=50 (SMEM-resident runtime matrices)
     sharded smoke: point-mass pallas over ALL visible devices
-    fleet serving: 32 vehicles x K=8192, distinct goals, ONE dispatch per
-    whole-fleet replan (controller/fleet.py)
+    fleet serving: 32 point-mass vehicles x K=8192 (XLA batch + fused
+    vehicle-scan on TPU) and 16 full-Fossen AUVs, distinct goals, ONE
+    dispatch per whole-fleet replan (controller/fleet.py)
     on-device closed loop: 500 control steps (solve + plant) as ONE program
     on-device ADAPTIVE DMD loop: DMDc refits inside the scan (wrong-mass prior)
     in-kernel noise check (TPU only): moments/correlations/antithetic exactness
@@ -734,20 +735,22 @@ def main():
     k_fl = min(8192, cap_k) if cap_k else 8192
     tau_fl = min(25, cap_tau) if cap_tau else 25
     chain_fl = min(300, cap_chain) if cap_chain else 300
-    for fl_kernel in ("xla", default_kernel):
+    fleet_rows = [(n_fl, "xla", "point_mass")]
+    if default_kernel != "xla":  # TPU: the fused fleet rows too
+        fleet_rows.append((n_fl, default_kernel, "point_mass"))
+    fleet_rows.append((16, default_kernel, "auv"))
+    for n_row, fl_kernel, fl_workload in fleet_rows:
         try:
-            r = run_fleet_workload(n_fl, k_fl, tau_fl, chain_fl,
+            r = run_fleet_workload(n_row, k_fl, tau_fl, chain_fl,
                                    kernel=fl_kernel,
                                    tile=tile if fl_kernel == "pallas"
-                                   else None)
+                                   else None, workload=fl_workload)
         except Exception as e:
-            r = {"metric": f"FAILED@fleet,N={n_fl},K={k_fl},H={tau_fl},"
-                           f"kernel={fl_kernel}",
+            r = {"metric": f"FAILED@fleet,N={n_row},K={k_fl},H={tau_fl},"
+                           f"kernel={fl_kernel},{fl_workload}",
                  "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(r), flush=True)
         suite.append(r)
-        if fl_kernel == default_kernel:
-            break  # off-TPU both kernels resolve to the XLA row
     # on-device closed loop: whole experiment as one program (mjx_env)
     k_od = min(100_000, cap_k) if cap_k else 100_000
     tau_od = min(50, cap_tau) if cap_tau else 50

@@ -30,6 +30,17 @@ def parse_config(path: str) -> Dict[str, Any]:
         return yaml.safe_load(f)
 
 
+def load_config(name_or_path: Optional[str]) -> Optional[Dict[str, Any]]:
+    """Load a config from a YAML path OR a bundled-default name (e.g.
+    ``envs/point_mass``) — the resolution every CLI entry point shares
+    (cli.py, serve.py)."""
+    if name_or_path is None:
+        return None
+    if os.path.exists(name_or_path):
+        return parse_config(name_or_path)
+    return default_config(name_or_path)
+
+
 def parse_dir(logdir: str) -> Tuple[dict, Optional[dict], Optional[dict]]:
     """Load the (config, task, model) snapshots from an experiment logdir.
 

@@ -57,13 +57,9 @@ def parse_args(argv=None):
 
 
 def _load(name_or_path: str):
-    from .cfg import default_config, parse_config
+    from .cfg import load_config
 
-    if name_or_path is None:
-        return None
-    if os.path.exists(name_or_path):
-        return parse_config(name_or_path)
-    return default_config(name_or_path)
+    return load_config(name_or_path)
 
 
 def main(argv=None):

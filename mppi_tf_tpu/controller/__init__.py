@@ -72,8 +72,10 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
         from .fleet import FleetMPPI
 
         kwargs.pop("log", None)
-        return FleetMPPI(model, cost, n_vehicles=n_fleet,
-                         goals=config_dict.get("goals"), mesh=mesh,
+        # explicit goals= override wins over the config key, like every
+        # other option
+        kwargs.setdefault("goals", config_dict.get("goals"))
+        return FleetMPPI(model, cost, n_vehicles=n_fleet, mesh=mesh,
                          **kwargs)
     if mesh is not None:
         import jax

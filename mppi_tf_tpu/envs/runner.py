@@ -92,6 +92,30 @@ class ClosedLoopRunner:
             self.controller._cparams = cost.pop(cp)
 
 
+def build_model_and_cost(env_cfg, task_cfg, model_cfg, dtype=None):
+    """Model + cost from the three YAML-family dicts (SURVEY.md §1 config
+    layer) — the construction every config-driven entry point shares
+    (run_experiment here, serve.py). Returns (model, cost, sigma)."""
+    import jax.numpy as jnp
+
+    from ..costs import get_cost
+    from ..models import get_model
+
+    if dtype is None:
+        dtype = jnp.float32
+    sdim = env_cfg.get("state-dim", 2)
+    adim = env_cfg.get("action-dim", 1)
+    dt = env_cfg.get("dt", 0.1)
+    sigma = np.asarray(env_cfg["noise"], np.float64)
+    model = get_model(model_cfg, dt=dt, state_dim=sdim, action_dim=adim,
+                      dtype=dtype)
+    cost = get_cost(task_cfg, lam=env_cfg.get("lambda", 1.0),
+                    gamma=env_cfg.get("gamma", 1.0),
+                    upsilon=env_cfg.get("upsilon", 1.0),
+                    sigma=sigma, dtype=dtype)
+    return model, cost, sigma
+
+
 def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
                    log: bool = False, log_path: Optional[str] = None,
                    render: bool = False, seed: int = 0,
@@ -109,27 +133,13 @@ def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
     (per-step host logging and training need the host loop); the observer
     still snapshots configs for replay.
     """
-    import jax.numpy as jnp
-
     from ..controller import get_controller
-    from ..costs import get_cost
-    from ..models import get_model
     from . import get_env
 
-    if dtype is None:
-        dtype = jnp.float32
-    sdim = env_cfg.get("state-dim", 2)
-    adim = env_cfg.get("action-dim", 1)
     dt = env_cfg.get("dt", 0.1)
-    sigma = np.asarray(env_cfg["noise"], np.float64)
-
     env = get_env(env_cfg, render=render, model_cfg=model_cfg)
-    model = get_model(model_cfg, dt=dt, state_dim=sdim, action_dim=adim,
-                      dtype=dtype)
-    cost = get_cost(task_cfg, lam=env_cfg.get("lambda", 1.0),
-                    gamma=env_cfg.get("gamma", 1.0),
-                    upsilon=env_cfg.get("upsilon", 1.0),
-                    sigma=sigma, dtype=dtype)
+    model, cost, _sigma = build_model_and_cost(env_cfg, task_cfg, model_cfg,
+                                               dtype=dtype)
 
     observer = None
     if log:

@@ -75,6 +75,7 @@ class ControlServer(socketserver.ThreadingTCPServer):
         self._ctrl = controller
         self._lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
+        self._started = False
 
     # -- protocol ---------------------------------------------------------
     def _dispatch(self, req: dict) -> dict:
@@ -104,8 +105,15 @@ class ControlServer(socketserver.ThreadingTCPServer):
         if op == "set_goal":
             goal = np.asarray(req["goal"], np.float64)
             with self._lock:
-                if hasattr(self._ctrl, "set_goals") and goal.ndim == 2:
-                    self._ctrl.set_goals(goal)
+                if hasattr(self._ctrl, "set_goals"):  # fleet controller
+                    if "vehicle" in req:  # re-task ONE vehicle
+                        self._ctrl.set_vehicle_goal(int(req["vehicle"]),
+                                                    goal)
+                    elif goal.ndim == 1:  # same goal for the whole fleet
+                        self._ctrl.set_goals(
+                            np.tile(goal, (self._ctrl.n_vehicles, 1)))
+                    else:
+                        self._ctrl.set_goals(goal)
                 else:
                     self._ctrl.set_goal(goal)
             return {"ok": True}
@@ -123,15 +131,24 @@ class ControlServer(socketserver.ThreadingTCPServer):
                          "save, info, ping"}
 
     # -- lifecycle --------------------------------------------------------
+    def serve_forever(self, *args, **kwargs):
+        self._started = True
+        return super().serve_forever(*args, **kwargs)
+
     def serve_background(self):
         """Start accepting in a daemon thread; returns (host, port)."""
         self._thread = threading.Thread(target=self.serve_forever,
                                         daemon=True)
+        self._started = True  # before start(): close() must never observe
+        # a started thread without the flag (shutdown would deadlock)
         self._thread.start()
         return self.server_address
 
     def close(self):
-        self.shutdown()
+        # shutdown() blocks on an Event only serve_forever() ever sets —
+        # calling it before the accept loop started would deadlock forever
+        if self._started:
+            self.shutdown()
         self.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
@@ -188,17 +205,10 @@ def main(argv=None):
     """``python -m mppi_tf_tpu.serve``: build the configured controller and
     serve it (the reference ROS node's role, config-driven)."""
     import argparse
-    import os
 
-    from .cfg import default_config, parse_config
+    from .cfg import load_config
     from .controller import get_controller
-    from .costs import get_cost
-    from .models import get_model
-
-    def _load(name_or_path):  # bundled default name OR a YAML path
-        if os.path.exists(name_or_path):
-            return parse_config(name_or_path)
-        return default_config(name_or_path)
+    from .envs.runner import build_model_and_cost
 
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--config", required=True, help="env config (YAML/name)")
@@ -213,17 +223,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    env_cfg = _load(args.config)
-    task_cfg = _load(args.task)
-    model_cfg = _load(args.model)
-    sdim = env_cfg.get("state-dim", 2)
-    adim = env_cfg.get("action-dim", 1)
-    model = get_model(model_cfg, dt=env_cfg.get("dt", 0.1), state_dim=sdim,
-                      action_dim=adim)
-    cost = get_cost(task_cfg, lam=env_cfg.get("lambda", 1.0),
-                    gamma=env_cfg.get("gamma", 1.0),
-                    upsilon=env_cfg.get("upsilon", 1.0),
-                    sigma=np.asarray(env_cfg["noise"], np.float64))
+    env_cfg = load_config(args.config)
+    task_cfg = load_config(args.task)
+    model_cfg = load_config(args.model)
+    model, cost, _sigma = build_model_and_cost(env_cfg, task_cfg, model_cfg)
     ctrl = get_controller(model, cost, env_cfg)
     server = ControlServer(ctrl, host=args.host, port=args.port)
     host, port = server.server_address

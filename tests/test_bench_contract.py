@@ -79,15 +79,16 @@ def test_bench_suite_mode():
         suite = json.load(f)["suite"]
     assert final["extra"]["suite_rows"] == len(suite)
     assert final["extra"]["suite_errors"] == 0
-    # 12 rows on CPU (the in-kernel noise check is TPU-only)
-    assert len(suite) == 12, [r["metric"] for r in suite]
+    # 13 rows on CPU (the in-kernel noise check and the extra fused
+    # fleet row are TPU-only)
+    assert len(suite) == 13, [r["metric"] for r in suite]
     # every row was also printed as its own parseable line above the
     # headline, so the suite is recoverable from stdout alone
     printed = [json.loads(ln) for ln in lines[:-1]]
     assert [r["metric"] for r in printed] == [r["metric"] for r in suite]
     workloads = {r["extra"]["workload"] for r in suite if "extra" in r}
     assert workloads == {"point_mass", "auv", "nn", "dmd", "dmd_adaptive",
-                         "point_mass_fleet",
+                         "point_mass_fleet", "auv_fleet",
                          "point_mass_multiprocess"}, workloads
     assert any(r.get("extra", {}).get("n_processes") == 2 for r in suite)
     assert any(r.get("extra", {}).get("n_vehicles", 0) > 1 for r in suite)
