@@ -109,6 +109,20 @@ def test_served_adaptive_dmd_identifies_over_the_wire():
         server.close()
 
 
+def test_close_before_serving_returns_promptly():
+    """Regression (review r3): close() on a server whose accept loop never
+    started used to deadlock in shutdown() (the Event it waits on is only
+    ever set by serve_forever)."""
+    import time
+
+    model, cost, sigma = _family()
+    ctrl = MPPI(model, cost, k=8, tau=3, lam=0.6, upsilon=1.0, sigma=sigma)
+    server = ControlServer(ctrl)
+    t0 = time.perf_counter()
+    server.close()
+    assert time.perf_counter() - t0 < 1.0
+
+
 def test_served_fleet():
     """A FleetMPPI behind the same endpoint: batched states in, batched
     actions out, whole-fleet re-tasking via set_goal [n, dim]."""
@@ -127,6 +141,18 @@ def test_served_fleet():
                                   [0.4, 0.0, 0.4, 0.0]]))
         np.testing.assert_allclose(np.asarray(fleet._cparams["goal"][1]),
                                    [0.4, 0.0, 0.4, 0.0])
+        # 1-D goal broadcasts to the whole fleet
+        client.set_goal([0.7, 0.0, -0.7, 0.0])
+        np.testing.assert_allclose(np.asarray(fleet._cparams["goal"]),
+                                   np.tile([0.7, 0.0, -0.7, 0.0], (2, 1)))
+        # a 'vehicle' field re-tasks one vehicle only
+        resp = client.request(op="set_goal", vehicle=1,
+                              goal=[0.1, 0.0, 0.1, 0.0])
+        assert resp == {"ok": True}
+        np.testing.assert_allclose(np.asarray(fleet._cparams["goal"][0]),
+                                   [0.7, 0.0, -0.7, 0.0])
+        np.testing.assert_allclose(np.asarray(fleet._cparams["goal"][1]),
+                                   [0.1, 0.0, 0.1, 0.0])
     finally:
         client.close()
         server.close()
