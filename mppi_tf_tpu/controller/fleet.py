@@ -251,6 +251,55 @@ class FleetMPPI:
         self._cparams = jax.tree.map(
             lambda full, row: full.at[int(i)].set(row), self._cparams, cp_i)
 
+    def set_vehicle_waypoints(self, i: int, waypoints) -> None:
+        """Replace vehicle ``i``'s waypoint queue (WayPointsCost fleets):
+        per-vehicle missions over the same compiled step. No retrace."""
+        from ..costs.waypoints import WayPointsCost
+
+        if not isinstance(self._cost, WayPointsCost):
+            raise TypeError(
+                f"set_vehicle_waypoints needs a WayPointsCost, the fleet "
+                f"runs {type(self._cost).__name__}")
+        if not 0 <= int(i) < self._n:
+            raise IndexError(f"vehicle {i} out of range [0, {self._n})")
+        wps = [np.asarray(w, np.float64).reshape(-1) for w in waypoints]
+        if not wps:
+            raise ValueError("waypoints must be non-empty")
+        cp_v = jax.tree.map(lambda x: x[int(i)], self._cparams)
+        cp_v = self._cost.set_goal(cp_v, wps[0])  # reset queue to wps[0]
+        cp_v = self._cost.add_waypoints(cp_v, wps[1:])
+        self._cparams = jax.tree.map(
+            lambda full, row: full.at[int(i)].set(row), self._cparams,
+            cp_v)
+
+    def advance_waypoints(self, states, radius: float) -> int:
+        """Per-vehicle waypoint-queue advancement (the fleet analogue of
+        ClosedLoopRunner's wiring, envs/runner.py): for every vehicle whose
+        state is within ``radius`` of ITS leading waypoint, pop that
+        vehicle's queue. Requires a WayPointsCost; returns how many queues
+        advanced. Pure cparams row updates — never retraces."""
+        from ..costs.waypoints import WayPointsCost
+
+        if not isinstance(self._cost, WayPointsCost):
+            raise TypeError(
+                f"advance_waypoints needs a WayPointsCost, the fleet runs "
+                f"{type(self._cost).__name__}")
+        states = np.asarray(states, np.float64).reshape(self._n, self._sdim)
+        popped = 0
+        for v in range(self._n):
+            cp_v = jax.tree.map(lambda x: x[v], self._cparams)
+            if int(cp_v["count"]) < 2:
+                continue  # last waypoint behaves as the single goal
+            d = np.asarray(self._cost.dist(
+                cp_v, jnp.asarray(states[v], self._dtype)))
+            if np.linalg.norm(d) < float(radius):
+                cp_v = self._cost.pop(cp_v)
+                self._cparams = jax.tree.map(
+                    lambda full, row: full.at[v].set(row), self._cparams,
+                    cp_v)
+                popped += 1
+        return popped
+
     # checkpoint/resume (same .npz scheme as MPPI.save_state) -------------
     def save_state(self, path: str) -> None:
         np.savez(

@@ -337,6 +337,63 @@ def test_fleet_factory_dispatch():
         get_controller(model, cost, cfg, observer=_Obs())
 
 
+def test_fleet_waypoint_missions():
+    """Fleet + WayPointsCost: each vehicle flies ITS OWN waypoint queue
+    through the shared compiled step; advance_waypoints pops queues
+    independently as vehicles reach their leading waypoints."""
+    from mppi_tf_tpu.models import get_model
+
+    sigma = np.diag([0.4, 0.4])
+    model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                      state_dim=4, action_dim=2)
+    cost = get_cost({"type": "waypoints", "diag": True, "alpha": 0.2,
+                     "waypoints": [[0.0, 0.0, 0.0, 0.0]],
+                     "Q": [8.0, 1.5, 8.0, 1.5]},
+                    lam=0.6, gamma=0.2, upsilon=1.0, sigma=sigma)
+    n = 2
+    fleet = FleetMPPI(model, cost, n_vehicles=n, k=256, tau=15, lam=0.6,
+                      upsilon=1.0, sigma=sigma, seed=2)
+    missions = [
+        [[0.8, 0.0, 0.0, 0.0], [0.8, 0.0, 0.8, 0.0]],    # L path, vehicle 0
+        [[-0.8, 0.0, 0.0, 0.0], [-0.8, 0.0, -0.8, 0.0]],  # mirrored
+    ]
+    for v, m in enumerate(missions):
+        fleet.set_vehicle_waypoints(v, m)
+    assert int(fleet._cparams["count"][0]) == 2
+
+    mp = model.init_params()
+    states = np.zeros((n, 4))
+    step = jax.jit(jax.vmap(lambda x, u: model.predict(mp, x, u)))
+    popped_at = [None] * n
+    for t in range(100):
+        actions = fleet.next(states)
+        states = np.asarray(step(jnp.asarray(states, model.dtype),
+                                 jnp.asarray(actions, model.dtype)))
+        if fleet.advance_waypoints(states, radius=0.35):
+            for v in range(n):
+                if popped_at[v] is None and int(
+                        fleet._cparams["count"][v]) == 1:
+                    popped_at[v] = t
+    # both queues advanced, and each vehicle finished at ITS final waypoint
+    assert all(p is not None for p in popped_at), popped_at
+    finals = np.array([m[-1] for m in missions])
+    err = np.linalg.norm(states[:, 0::2] - finals[:, 0::2], axis=1)
+    assert np.all(err < 0.3), (err, states)
+
+    with pytest.raises(IndexError):
+        fleet.set_vehicle_waypoints(9, missions[0])
+    with pytest.raises(ValueError, match="non-empty"):
+        fleet.set_vehicle_waypoints(0, [])
+    # guards on non-waypoint fleets
+    model2, cost2, sigma2 = _family()
+    plain = FleetMPPI(model2, cost2, n_vehicles=2, k=16, tau=3, lam=0.6,
+                      upsilon=1.0, sigma=sigma2)
+    with pytest.raises(TypeError, match="WayPointsCost"):
+        plain.advance_waypoints(np.zeros((2, 4)), 0.1)
+    with pytest.raises(TypeError, match="WayPointsCost"):
+        plain.set_vehicle_waypoints(0, missions[0])
+
+
 def test_fleet_validates_construction():
     model, cost, sigma = _family()
     with pytest.raises(ValueError, match="n_vehicles"):
