@@ -134,6 +134,7 @@ class FleetMPPI:
                 lambda g: cost.set_goal(cp0, g))(goals)
         self._steps = 0
         self._timing = {"total": 0.0, "calls": 0}
+        self._last_info = None  # per-vehicle solve info after each next()
 
         self._n_tiles = 0
         if self._tpl._fused is not None:
