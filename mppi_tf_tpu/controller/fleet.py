@@ -329,7 +329,8 @@ class FleetMPPI:
 
     # on-device fleet experiment ------------------------------------------
     def build_on_device_loop(self, plant_step, steps: int,
-                             substeps: int = 10):
+                             substeps: int = 10,
+                             waypoint_radius: Optional[float] = None):
         """All N vehicles' closed loops — solve, per-vehicle ZOH action,
         ``substeps`` plant steps — compiled into ONE ``lax.scan`` program
         (the fleet analogue of envs/mjx_env.build_on_device_loop).
@@ -341,11 +342,28 @@ class FleetMPPI:
         fleet's CURRENT values at each call (goal re-tasking between runs
         needs no retrace). When the fleet was built with ``mesh=``, the
         batched carries are placed with the fleet-axis sharding so the scan
-        runs data-parallel across devices."""
+        runs data-parallel across devices.
+
+        With a WayPointsCost fleet and ``waypoint_radius`` set, each
+        vehicle's queue ALSO advances inside the scan (per-vehicle pops,
+        envs/mjx_env.waypoint_pop_fn) — N multi-leg missions as one device
+        program; the fleet's ``_cparams`` sync to the final in-scan queues
+        after each call."""
         n, tau, adim = self._n, self._tau, self._adim
         solve_all = self._make_solve_all()
         base_seed = self._tpl._base_seed
         stride = self._n * self._n_tiles  # 0 on the XLA path (seed unused)
+
+        pop = None
+        if waypoint_radius is not None:
+            from ..costs.waypoints import WayPointsCost
+            from ..envs.mjx_env import waypoint_pop_fn
+
+            if not isinstance(self._cost, WayPointsCost):
+                raise TypeError(
+                    "waypoint_radius needs a WayPointsCost fleet, got "
+                    f"{type(self._cost).__name__}")
+            pop = jax.vmap(waypoint_pop_fn(self._cost, waypoint_radius))
 
         def control_period(carry, i):
             keys, states, useq, mp, cp = carry
@@ -357,14 +375,16 @@ class FleetMPPI:
                 return jax.vmap(plant_step)(s, actions)
 
             states = jax.lax.fori_loop(0, substeps, sim_body, states)
+            if pop is not None:  # per-vehicle in-scan queue advancement
+                cp = pop(cp, states)
             return (keys, states, useq, mp, cp), (states, actions)
 
         @jax.jit
         def _run(keys, states0, useq0, mp, cp):
-            _, (states, actions) = jax.lax.scan(
+            (_, _, _, _, cp_f), (states, actions) = jax.lax.scan(
                 control_period, (keys, states0, useq0, mp, cp),
                 jnp.arange(steps, dtype=jnp.int32))
-            return states, actions
+            return states, actions, cp_f
 
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -387,7 +407,12 @@ class FleetMPPI:
                     (states0, keys, useq0, cp),
                     (batched, batched, batched,
                      jax.tree.map(lambda _: batched, cp)))
-            return _run(keys, states0, useq0, mp, cp)
+            states, actions, cp_f = _run(keys, states0, useq0, mp, cp)
+            if pop is not None:
+                # missions continue across runs: the in-scan queue state
+                # becomes the fleet's current cost params
+                self._cparams = cp_f
+            return states, actions
 
         return run
 

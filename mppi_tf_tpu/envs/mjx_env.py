@@ -184,8 +184,30 @@ def _dmd_window(ctrl, W: int):
     return win
 
 
+def waypoint_pop_fn(cost, radius: float):
+    """Jittable per-period waypoint advancement: pop the queue when the
+    state is within ``radius`` of the leading waypoint (and more than one
+    waypoint remains) — the on-device analogue of ClosedLoopRunner's host
+    wiring (runner.py). (cp, state [sdim]) -> cp."""
+    import jax.numpy as jnp
+
+    r2 = float(radius) ** 2
+
+    def maybe_pop(cp, state):
+        d = cost.dist(cp, state)
+        hit = jnp.logical_and(jnp.sum(d * d) < r2, cp["count"] >= 2)
+        rolled = jnp.roll(cp["waypoints"], -1, axis=0)
+        return {
+            "waypoints": jnp.where(hit, rolled, cp["waypoints"]),
+            "count": jnp.where(hit, cp["count"] - 1, cp["count"]),
+        }
+
+    return maybe_pop
+
+
 def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
-                         refit_window: int | None = None):
+                         refit_window: int | None = None,
+                         waypoint_radius: float | None = None):
     """Compile ``steps`` control periods into ONE on-device program: a
     jitted ``lax.scan`` over [MPPI solve -> zero-order-hold action ->
     ``substeps`` plant steps]. Returns ``run(x0, key, useq0=None,
@@ -218,6 +240,14 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
     ``(states, actions, fitted_model_params)``; the window is seeded at
     each call with the controller's current host-side replay content (e.g.
     exploration transitions, collect.py), overridable via ``window=``.
+
+    **On-device missions:** with a WayPointsCost and ``waypoint_radius``
+    set, the queue advancement ALSO runs inside the scan (waypoint_pop_fn:
+    pop when within radius of the leading waypoint) — a full multi-leg
+    mission with zero host round trips. After each ``run`` call the
+    controller's ``_cparams`` are synced to the final in-scan queue state,
+    so host-side inspection (``count``) and subsequent runs continue the
+    mission.
 
     This is the loop the reference CANNOT express: its plant is host-side
     mujoco_py (simulation.py:39-55), so it pays a device round trip per
@@ -265,6 +295,16 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
         min_samples = ctrl._min_samples
         ma = model.get_action_dim()
 
+    pop = None
+    if waypoint_radius is not None:
+        from ..costs.waypoints import WayPointsCost
+
+        if not isinstance(ctrl._cost, WayPointsCost):
+            raise TypeError(
+                "waypoint_radius needs a WayPointsCost controller, got "
+                f"{type(ctrl._cost).__name__}")
+        pop = waypoint_pop_fn(ctrl._cost, waypoint_radius)
+
     def control_period(carry, i):
         state, useq, key, mp, cp, buf = carry
         action, useq, key = solve(i, key, state, useq, mp, cp)
@@ -274,6 +314,9 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
             return plant_step(s, action)
 
         state = jax.lax.fori_loop(0, substeps, sim_body, state)
+        if pop is not None:  # in-scan waypoint advancement (post-plant,
+            # matching the host runner's ordering)
+            cp = pop(cp, state)
         if adaptive:
             obs, act, nxt, cnt = buf
             j = jnp.mod(cnt, W)
@@ -296,12 +339,10 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
 
     @jax.jit
     def _run(x0, key, useq0, mp, cp, buf):
-        (_, _, _, mp_f, _, _), (states, actions) = jax.lax.scan(
+        (_, _, _, mp_f, cp_f, _), (states, actions) = jax.lax.scan(
             control_period, (x0, useq0, key, mp, cp, buf),
             jnp.arange(steps))
-        if adaptive:
-            return states, actions, mp_f
-        return states, actions
+        return states, actions, mp_f, cp_f
 
     def run(x0, key, useq0=None, mparams=None, cparams=None, window=None):
         # thin non-jitted wrapper: defaults are read from the controller at
@@ -316,7 +357,14 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
             buf = _dmd_window(ctrl, W) if window is None else window
         else:
             buf = ()
-        return _run(x0, key, useq0, mp, cp, buf)
+        states, actions, mp_f, cp_f = _run(x0, key, useq0, mp, cp, buf)
+        if pop is not None:
+            # continue the mission across runs: the in-scan queue state
+            # becomes the controller's current cost params
+            ctrl._cparams = cp_f
+        if adaptive:
+            return states, actions, mp_f
+        return states, actions
 
     return run
 

@@ -317,6 +317,48 @@ class TestOnDevicePlant:
         assert len(ctrl._ondevice_loops) == 1
         assert not np.allclose(a_before, a_after, atol=1e-6)
 
+    def test_on_device_waypoint_mission(self):
+        """Single-vehicle on-device mission: WayPointsCost queue pops run
+        INSIDE the compiled scan (waypoint_radius=), the plant flies both
+        legs with zero host round trips, and the final queue state syncs
+        back to the controller."""
+        from mppi_tf_tpu.controller.mppi import MPPI
+        from mppi_tf_tpu.costs import get_cost
+        from mppi_tf_tpu.envs.mjx_env import (JaxPointMassEnv,
+                                              build_on_device_loop)
+        from mppi_tf_tpu.models import get_model
+
+        sigma = np.diag([0.4, 0.4])
+        model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                          state_dim=4, action_dim=2)
+        cost = get_cost({"type": "waypoints", "diag": True, "alpha": 0.2,
+                         "waypoints": [[0.8, 0.0, 0.0, 0.0],
+                                       [0.8, 0.0, 0.8, 0.0]],
+                         "Q": [8.0, 1.5, 8.0, 1.5]},
+                        lam=0.6, gamma=0.2, upsilon=1.0, sigma=sigma)
+        ctrl = MPPI(model, cost, k=256, tau=15, lam=0.6, upsilon=1.0,
+                    sigma=sigma, seed=2)
+        env = JaxPointMassEnv(n_dof=2, dt=0.01)
+        run = build_on_device_loop(ctrl, env.step_fn, steps=100,
+                                   substeps=10, waypoint_radius=0.35)
+        import jax
+
+        states, _ = run(np.zeros(4), jax.random.PRNGKey(0))
+        states = np.asarray(states)
+        assert int(ctrl._cparams["count"]) == 1  # queue advanced in-scan
+        err = np.linalg.norm(states[-1, 0::2] - np.array([0.8, 0.8]))
+        assert err < 0.3, (err, states[-1])
+
+        with pytest.raises(TypeError, match="WayPointsCost"):
+            build_on_device_loop(
+                MPPI(model, get_cost(
+                    {"type": "static", "diag": True,
+                     "goal": [1.0, 0.0, -0.5, 0.0],
+                     "Q": [8.0, 1.5, 8.0, 1.5]},
+                    lam=0.6, gamma=0.2, upsilon=1.0, sigma=sigma),
+                    k=16, tau=3, lam=0.6, upsilon=1.0, sigma=sigma),
+                env.step_fn, steps=2, waypoint_radius=0.1)
+
     def test_run_experiment_on_device(self):
         """Config-driven on-device experiment (cli --on-device): the whole
         run compiles into one program, converges, and the guards for

@@ -394,6 +394,50 @@ def test_fleet_waypoint_missions():
         plain.set_vehicle_waypoints(0, missions[0])
 
 
+def test_fleet_on_device_waypoint_missions():
+    """Per-vehicle waypoint pops run INSIDE the compiled fleet scan
+    (waypoint_radius=): N multi-leg missions with zero host round trips;
+    final queue states sync back to the fleet."""
+    from mppi_tf_tpu.envs.mjx_env import JaxPointMassEnv
+    from mppi_tf_tpu.models import get_model
+
+    sigma = np.diag([0.4, 0.4])
+    model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                      state_dim=4, action_dim=2)
+    cost = get_cost({"type": "waypoints", "diag": True, "alpha": 0.2,
+                     "waypoints": [[0.0, 0.0, 0.0, 0.0]],
+                     "Q": [8.0, 1.5, 8.0, 1.5]},
+                    lam=0.6, gamma=0.2, upsilon=1.0, sigma=sigma)
+    n = 2
+    fleet = FleetMPPI(model, cost, n_vehicles=n, k=256, tau=15, lam=0.6,
+                      upsilon=1.0, sigma=sigma, seed=2)
+    missions = [
+        [[0.8, 0.0, 0.0, 0.0], [0.8, 0.0, 0.8, 0.0]],
+        [[-0.8, 0.0, 0.0, 0.0], [-0.8, 0.0, -0.8, 0.0]],
+    ]
+    for v, m in enumerate(missions):
+        fleet.set_vehicle_waypoints(v, m)
+
+    env = JaxPointMassEnv(n_dof=2, dt=0.01)
+    run = fleet.build_on_device_loop(env.step_fn, steps=100, substeps=10,
+                                     waypoint_radius=0.35)
+    states, _ = run(np.zeros((n, 4)))
+    states = np.asarray(states)
+    # both queues advanced in-scan and synced back to the fleet
+    assert list(np.asarray(fleet._cparams["count"])) == [1, 1]
+    finals = np.array([m[-1] for m in missions])
+    err = np.linalg.norm(states[-1, :, 0::2] - finals[:, 0::2], axis=1)
+    assert np.all(err < 0.3), (err, states[-1])
+
+    # guard: non-waypoint fleets reject waypoint_radius
+    model2, cost2, sigma2 = _family()
+    plain = FleetMPPI(model2, cost2, n_vehicles=2, k=16, tau=3, lam=0.6,
+                      upsilon=1.0, sigma=sigma2)
+    with pytest.raises(TypeError, match="WayPointsCost"):
+        plain.build_on_device_loop(env.step_fn, steps=2,
+                                   waypoint_radius=0.1)
+
+
 def test_fleet_validates_construction():
     model, cost, sigma = _family()
     with pytest.raises(ValueError, match="n_vehicles"):
