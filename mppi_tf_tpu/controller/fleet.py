@@ -266,6 +266,17 @@ class FleetMPPI:
         wps = [np.asarray(w, np.float64).reshape(-1) for w in waypoints]
         if not wps:
             raise ValueError("waypoints must be non-empty")
+        if len(wps) > self._cost.max_waypoints:
+            # add_waypoint clamps at capacity, which would SILENTLY drop
+            # the middle legs of an over-long mission
+            raise ValueError(
+                f"mission has {len(wps)} waypoints but the cost's queue "
+                f"capacity is {self._cost.max_waypoints} (raise "
+                "max_waypoints on the WayPointsCost)")
+        for w in wps:  # the constructor's dim check (waypoints.py)
+            if w.shape[0] != self._cost.dim:
+                raise ValueError(
+                    f"waypoint dim {w.shape[0]} != Q dim {self._cost.dim}")
         cp_v = jax.tree.map(lambda x: x[int(i)], self._cparams)
         cp_v = self._cost.set_goal(cp_v, wps[0])  # reset queue to wps[0]
         cp_v = self._cost.add_waypoints(cp_v, wps[1:])
@@ -278,28 +289,29 @@ class FleetMPPI:
         ClosedLoopRunner's wiring, envs/runner.py): for every vehicle whose
         state is within ``radius`` of ITS leading waypoint, pop that
         vehicle's queue. Requires a WayPointsCost; returns how many queues
-        advanced. Pure cparams row updates — never retraces."""
+        advanced. ONE vmapped dispatch + one host sync for the whole fleet
+        — never retraces (the jitted pop is cached per radius)."""
         from ..costs.waypoints import WayPointsCost
 
         if not isinstance(self._cost, WayPointsCost):
             raise TypeError(
                 f"advance_waypoints needs a WayPointsCost, the fleet runs "
                 f"{type(self._cost).__name__}")
-        states = np.asarray(states, np.float64).reshape(self._n, self._sdim)
-        popped = 0
-        for v in range(self._n):
-            cp_v = jax.tree.map(lambda x: x[v], self._cparams)
-            if int(cp_v["count"]) < 2:
-                continue  # last waypoint behaves as the single goal
-            d = np.asarray(self._cost.dist(
-                cp_v, jnp.asarray(states[v], self._dtype)))
-            if np.linalg.norm(d) < float(radius):
-                cp_v = self._cost.pop(cp_v)
-                self._cparams = jax.tree.map(
-                    lambda full, row: full.at[v].set(row), self._cparams,
-                    cp_v)
-                popped += 1
-        return popped
+        cache = getattr(self, "_advance_cache", None)
+        if cache is None:
+            cache = self._advance_cache = {}
+        radius = float(radius)
+        if radius not in cache:
+            from ..envs.mjx_env import waypoint_pop_fn
+
+            cache[radius] = jax.jit(
+                jax.vmap(waypoint_pop_fn(self._cost, radius)))
+        states = jnp.asarray(
+            np.asarray(states, np.float64).reshape(self._n, self._sdim),
+            self._dtype)
+        old = np.asarray(self._cparams["count"])
+        self._cparams = cache[radius](self._cparams, states)
+        return int((old - np.asarray(self._cparams["count"])).sum())
 
     # checkpoint/resume (same .npz scheme as MPPI.save_state) -------------
     def save_state(self, path: str) -> None:
@@ -337,10 +349,12 @@ class FleetMPPI:
 
         ``plant_step`` is the single-vehicle pure (x, u) -> x_next at the
         physics dt; it is vmapped over the fleet. Returns ``run(states0,
-        keys=None, useq0=None, mparams=None, cparams=None) -> (states [T,
-        n, sdim], actions [T, n, adim])``; model/cost params default to the
-        fleet's CURRENT values at each call (goal re-tasking between runs
-        needs no retrace). When the fleet was built with ``mesh=``, the
+        keys=None, useq0=None, mparams=None, cparams=None, step0=None) ->
+        (states [T, n, sdim], actions [T, n, adim])``; model/cost params
+        default to the fleet's CURRENT values at each call (goal re-tasking
+        between runs needs no retrace), and repeated runs draw fresh noise
+        (keys advance through the scan; fused kernel seeds advance via a
+        per-fleet step counter, overridable with ``step0``). When the fleet was built with ``mesh=``, the
         batched carries are placed with the fleet-axis sharding so the scan
         runs data-parallel across devices.
 
@@ -380,11 +394,11 @@ class FleetMPPI:
             return (keys, states, useq, mp, cp), (states, actions)
 
         @jax.jit
-        def _run(keys, states0, useq0, mp, cp):
-            (_, _, _, _, cp_f), (states, actions) = jax.lax.scan(
+        def _run(keys, states0, useq0, mp, cp, step0):
+            (keys_f, _, _, _, cp_f), (states, actions) = jax.lax.scan(
                 control_period, (keys, states0, useq0, mp, cp),
-                jnp.arange(steps, dtype=jnp.int32))
-            return states, actions, cp_f
+                step0 + jnp.arange(steps, dtype=jnp.int32))
+            return states, actions, keys_f, cp_f
 
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -393,24 +407,39 @@ class FleetMPPI:
         else:
             batched = None
 
-        def run(states0, keys=None, useq0=None, mparams=None, cparams=None):
+        def run(states0, keys=None, useq0=None, mparams=None, cparams=None,
+                step0=None):
             states0 = jnp.asarray(
                 np.asarray(states0, np.float64).reshape(n, self._sdim),
                 self._dtype)
-            keys = self._keys if keys is None else keys
+            own_keys = keys is None
+            keys = self._keys if own_keys else keys
             if useq0 is None:
                 useq0 = jnp.zeros((n, tau, adim), self._dtype)
             mp = self._mparams if mparams is None else mparams
-            cp = self._cparams if cparams is None else cparams
+            own_cp = cparams is None
+            cp = self._cparams if own_cp else cparams
+            if step0 is None:
+                # fresh noise on every run: the fused path derives kernel
+                # seeds from the global step index, the XLA path advances
+                # keys through the scan — both continue instead of
+                # replaying run #1's stream
+                step0 = getattr(self, "_ondevice_step0", 0)
+                self._ondevice_step0 = (step0 + steps) % (1 << 30)
             if batched is not None:
                 states0, keys, useq0, cp = jax.device_put(
                     (states0, keys, useq0, cp),
                     (batched, batched, batched,
                      jax.tree.map(lambda _: batched, cp)))
-            states, actions, cp_f = _run(keys, states0, useq0, mp, cp)
-            if pop is not None:
+            states, actions, keys_f, cp_f = _run(keys, states0, useq0, mp,
+                                                 cp, jnp.int32(step0))
+            if own_keys:
+                self._keys = keys_f  # the fleet's streams advance
+            if pop is not None and own_cp:
                 # missions continue across runs: the in-scan queue state
-                # becomes the fleet's current cost params
+                # becomes the fleet's current cost params. An explicit
+                # cparams override is a what-if run and must not clobber
+                # the real mission state.
                 self._cparams = cp_f
             return states, actions
 

@@ -191,16 +191,15 @@ def waypoint_pop_fn(cost, radius: float):
     wiring (runner.py). (cp, state [sdim]) -> cp."""
     import jax.numpy as jnp
 
+    import jax
+
     r2 = float(radius) ** 2
 
     def maybe_pop(cp, state):
         d = cost.dist(cp, state)
         hit = jnp.logical_and(jnp.sum(d * d) < r2, cp["count"] >= 2)
-        rolled = jnp.roll(cp["waypoints"], -1, axis=0)
-        return {
-            "waypoints": jnp.where(hit, rolled, cp["waypoints"]),
-            "count": jnp.where(hit, cp["count"] - 1, cp["count"]),
-        }
+        popped = cost.pop(cp)  # ONE queue-semantics implementation
+        return jax.tree.map(lambda a, b: jnp.where(hit, a, b), popped, cp)
 
     return maybe_pop
 
@@ -338,13 +337,14 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
         return (state, useq, key, mp, cp, buf), (state, action)
 
     @jax.jit
-    def _run(x0, key, useq0, mp, cp, buf):
+    def _run(x0, key, useq0, mp, cp, buf, step0):
         (_, _, _, mp_f, cp_f, _), (states, actions) = jax.lax.scan(
             control_period, (x0, useq0, key, mp, cp, buf),
-            jnp.arange(steps))
+            step0 + jnp.arange(steps))
         return states, actions, mp_f, cp_f
 
-    def run(x0, key, useq0=None, mparams=None, cparams=None, window=None):
+    def run(x0, key, useq0=None, mparams=None, cparams=None, window=None,
+            step0=None):
         # thin non-jitted wrapper: defaults are read from the controller at
         # CALL time (not baked at trace time), so learner updates, set_goal
         # and new replay transitions are picked up without a retrace
@@ -357,10 +357,19 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
             buf = _dmd_window(ctrl, W) if window is None else window
         else:
             buf = ()
-        states, actions, mp_f, cp_f = _run(x0, key, useq0, mp, cp, buf)
-        if pop is not None:
+        if step0 is None:
+            # seed-based (fused) paths derive per-period kernel seeds from
+            # the step index: advance a per-controller counter so repeated
+            # runs draw FRESH noise instead of replaying the first run's
+            step0 = getattr(ctrl, "_ondevice_step0", 0)
+            ctrl._ondevice_step0 = (step0 + steps) % (1 << 30)
+        states, actions, mp_f, cp_f = _run(x0, key, useq0, mp, cp, buf,
+                                           jnp.int32(step0))
+        if pop is not None and cparams is None:
             # continue the mission across runs: the in-scan queue state
-            # becomes the controller's current cost params
+            # becomes the controller's current cost params. An EXPLICIT
+            # cparams override is a what-if run and must not clobber the
+            # controller's real mission state.
             ctrl._cparams = cp_f
         if adaptive:
             return states, actions, mp_f
@@ -370,7 +379,8 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
 
 
 def on_device_closed_loop(ctrl, plant_step, x0, steps: int,
-                          substeps: int = 10):
+                          substeps: int = 10,
+                          waypoint_radius: float | None = None):
     """One-shot convenience over :func:`build_on_device_loop` (the compiled
     ``run`` is cached on ``ctrl`` so repeated calls do not retrace). Starts
     from the controller's CURRENT nominal sequence (so a configured
@@ -391,11 +401,17 @@ def on_device_closed_loop(ctrl, plant_step, x0, steps: int,
     # the cached closure, so the ids stay valid)
     fn = getattr(plant_step, "__func__", plant_step)
     owner = getattr(plant_step, "__self__", None)
-    key = (id(fn), id(owner), steps, substeps)
+    key = (id(fn), id(owner), steps, substeps, waypoint_radius)
     if key not in cache:
-        cache[key] = build_on_device_loop(ctrl, plant_step, steps, substeps)
+        cache[key] = build_on_device_loop(
+            ctrl, plant_step, steps, substeps,
+            waypoint_radius=waypoint_radius)
     x0 = np.asarray(x0, np.float64).reshape(-1)
     rng = getattr(ctrl, "_key", None)
     if rng is None:  # seed-based controllers (fused sharded) ignore the key
         rng = jax.random.PRNGKey(0)
+    else:
+        # advance the controller's stream so repeated on-device runs draw
+        # fresh noise (the host-driven loop splits per next() call)
+        ctrl._key, rng = jax.random.split(rng)
     return cache[key](x0, rng, jnp.asarray(ctrl.useq, ctrl._dtype))

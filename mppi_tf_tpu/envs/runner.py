@@ -170,9 +170,17 @@ def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
 
         substeps = max(1, int(round(dt / env.dt)))
         x0 = np.reshape(env.getState(), (-1,))
+        # config-driven waypoint missions advance on-device exactly like
+        # the host runner wires them (waypoint_radius from the task's
+        # 'radius' key; 0/absent disables advancement on both paths)
+        from ..costs.waypoints import WayPointsCost
+
+        wp_radius = (task_cfg.get("radius", 0.0)
+                     if isinstance(cost, WayPointsCost) else 0.0) or None
         start = time.perf_counter()
         out = on_device_closed_loop(
-            controller, env.step_fn, x0, steps, substeps=substeps)
+            controller, env.step_fn, x0, steps, substeps=substeps,
+            waypoint_radius=wp_radius)
         jax.block_until_ready(out[0])
         elapsed = time.perf_counter() - start
         fitted_params = None
