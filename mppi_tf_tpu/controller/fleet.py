@@ -254,35 +254,30 @@ class FleetMPPI:
 
     def set_vehicle_waypoints(self, i: int, waypoints) -> None:
         """Replace vehicle ``i``'s waypoint queue (WayPointsCost fleets):
-        per-vehicle missions over the same compiled step. No retrace."""
+        per-vehicle missions over the same compiled step. No retrace.
+        Validation (capacity, dims — add_waypoint clamps at capacity,
+        which would SILENTLY drop the middle legs of an over-long
+        mission) lives in controller/missions.py, shared with the
+        single-vehicle mission surface."""
+        from .missions import mission_params
+
+        if not 0 <= int(i) < self._n:
+            raise IndexError(f"vehicle {i} out of range [0, {self._n})")
+        cp_v = jax.tree.map(lambda x: x[int(i)], self._cparams)
+        cp_v = mission_params(self._cost, cp_v, waypoints)
+        self._cparams = jax.tree.map(
+            lambda full, row: full.at[int(i)].set(row), self._cparams,
+            cp_v)
+
+    def waypoints_remaining(self) -> np.ndarray:
+        """Per-vehicle active queue lengths, [n] int array."""
         from ..costs.waypoints import WayPointsCost
 
         if not isinstance(self._cost, WayPointsCost):
             raise TypeError(
-                f"set_vehicle_waypoints needs a WayPointsCost, the fleet "
-                f"runs {type(self._cost).__name__}")
-        if not 0 <= int(i) < self._n:
-            raise IndexError(f"vehicle {i} out of range [0, {self._n})")
-        wps = [np.asarray(w, np.float64).reshape(-1) for w in waypoints]
-        if not wps:
-            raise ValueError("waypoints must be non-empty")
-        if len(wps) > self._cost.max_waypoints:
-            # add_waypoint clamps at capacity, which would SILENTLY drop
-            # the middle legs of an over-long mission
-            raise ValueError(
-                f"mission has {len(wps)} waypoints but the cost's queue "
-                f"capacity is {self._cost.max_waypoints} (raise "
-                "max_waypoints on the WayPointsCost)")
-        for w in wps:  # the constructor's dim check (waypoints.py)
-            if w.shape[0] != self._cost.dim:
-                raise ValueError(
-                    f"waypoint dim {w.shape[0]} != Q dim {self._cost.dim}")
-        cp_v = jax.tree.map(lambda x: x[int(i)], self._cparams)
-        cp_v = self._cost.set_goal(cp_v, wps[0])  # reset queue to wps[0]
-        cp_v = self._cost.add_waypoints(cp_v, wps[1:])
-        self._cparams = jax.tree.map(
-            lambda full, row: full.at[int(i)].set(row), self._cparams,
-            cp_v)
+                f"waypoint missions need a WayPointsCost, the fleet runs "
+                f"{type(self._cost).__name__}")
+        return np.asarray(self._cparams["count"])
 
     def advance_waypoints(self, states, radius: float) -> int:
         """Per-vehicle waypoint-queue advancement (the fleet analogue of

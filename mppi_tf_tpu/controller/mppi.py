@@ -33,6 +33,7 @@ import numpy as np
 from ..ops import noise as noise_ops
 from ..ops import update as upd
 from ..ops.rollout import rollout_costs
+from .missions import MissionMixin
 
 
 def make_prng_key(seed: int, impl: str = "auto"):
@@ -63,7 +64,7 @@ def savgol_matrix(tau: int, window: int, polyorder: int) -> np.ndarray:
     return savgol_filter(eye, window, polyorder, deriv=0, delta=1.0, axis=0)
 
 
-class MPPI:
+class MPPI(MissionMixin):
     """Information-theoretic MPPI controller.
 
     Args mirror the reference constructor (controller_base.py:19-38):

@@ -56,6 +56,7 @@ def get_cost(task_dict, lam, gamma, upsilon, sigma, dtype=None):
             lam, gamma, upsilon, sigma,
             Q=task_dict["Q"], waypoints=task_dict.get("waypoints"),
             alpha=task_dict.get("alpha", 0.2),
+            max_waypoints=task_dict.get("max_waypoints", 32),
             diag=task_dict.get("diag", False), dtype=dtype,
         )
     raise ValueError(f"unknown cost type: {ctype!r}")

@@ -75,21 +75,16 @@ class ClosedLoopRunner:
         """Pop the leading waypoint once the plant state is inside
         ``waypoint_radius`` of it (Euclidean over the cost's dist vector;
         pass-through waypoints therefore want a radius that tolerates the
-        crossing velocity)."""
+        crossing velocity). Delegates to the controller's mission surface
+        (controller/missions.py) — the same jitted pop the on-device scan
+        compiles, so host- and device-driven missions share semantics."""
         from ..costs.waypoints import WayPointsCost
 
         cost = getattr(self.controller, "_cost", None)
         if not isinstance(cost, WayPointsCost):
             return
-        import jax.numpy as jnp
-
-        cp = self.controller._cparams
-        if int(cp["count"]) < 2:
-            return  # last waypoint behaves as the single goal
-        d = np.asarray(cost.dist(
-            cp, jnp.asarray(np.reshape(x, (-1,)), cost._dtype)))
-        if np.linalg.norm(d) < self.waypoint_radius:
-            self.controller._cparams = cost.pop(cp)
+        self.controller.advance_waypoints(np.reshape(x, (-1,)),
+                                          self.waypoint_radius)
 
 
 def build_model_and_cost(env_cfg, task_cfg, model_cfg, dtype=None):

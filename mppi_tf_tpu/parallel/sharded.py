@@ -37,6 +37,7 @@ except ImportError:  # pragma: no cover - older jax
         return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
                               out_specs=out_specs)
 
+from ..controller.missions import MissionMixin
 from ..ops import noise as noise_ops
 from ..ops import update as upd
 from ..ops.rollout import rollout_costs
@@ -146,9 +147,10 @@ def build_sharded_solve(
     return solve, solve_with_noise
 
 
-class ShardedControllerMixin:
+class ShardedControllerMixin(MissionMixin):
     """trace/profile/dump_hlo for the sharded controllers — parity with the
-    single-device surface (controller/mppi.py MPPI.trace/profile/dump_hlo).
+    single-device surface (controller/mppi.py MPPI.trace/profile/dump_hlo),
+    plus the waypoint-mission surface (controller/missions.py).
 
     Concrete classes provide ``next``, ``_solve`` (jitted), ``_model``,
     ``_example_solve_args()`` and ``_reset_after_trace()``.

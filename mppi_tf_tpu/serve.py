@@ -19,11 +19,20 @@ kill the server):
                                                  identification over the wire)
     {"op": "info"}                            -> {"k": ..., "tau": ...,
                                                  "model": ..., "kernel": ...}
+    {"op": "set_waypoints",
+     "waypoints": [[...], ...]}               -> {"ok": true}   (multi-leg
+                                                 mission upload; WayPoints-
+                                                 Cost controllers only)
+    {"op": "advance_waypoints",
+     "state": [...], "radius": r}             -> {"advanced": n,
+                                                 "remaining": ...}
     {"op": "ping"}                            -> {"ok": true}
     anything else                             -> {"error": "..."}
 
 A FleetMPPI serves the same way: "state" is [n, sDim], "action" comes back
-[n, aDim], "set_goal" takes [n, goal_dim] (re-tasks the whole fleet).
+[n, aDim], "set_goal" takes [n, goal_dim] (re-tasks the whole fleet), and
+"set_waypoints" takes a "vehicle" index (per-vehicle mission upload;
+"advance_waypoints" pops every vehicle's queue from [n, sDim] states).
 
 The server is single-threaded over the controller by design: a controller
 is stateful (nominal sequence, PRNG stream), so requests serialize through
@@ -117,6 +126,27 @@ class ControlServer(socketserver.ThreadingTCPServer):
                 else:
                     self._ctrl.set_goal(goal)
             return {"ok": True}
+        if op == "set_waypoints":
+            wps = req["waypoints"]
+            with self._lock:
+                if hasattr(self._ctrl, "set_vehicle_waypoints"):  # fleet
+                    if "vehicle" not in req:
+                        return {"error": "fleet set_waypoints needs a "
+                                         "'vehicle' index (per-vehicle "
+                                         "missions)"}
+                    self._ctrl.set_vehicle_waypoints(int(req["vehicle"]),
+                                                     wps)
+                else:
+                    self._ctrl.set_waypoints(wps)
+            return {"ok": True}
+        if op == "advance_waypoints":
+            state = np.asarray(req["state"], np.float64)
+            radius = float(req["radius"])
+            with self._lock:
+                adv = self._ctrl.advance_waypoints(state, radius)
+                rem = self._ctrl.waypoints_remaining()
+            return {"advanced": int(adv),
+                    "remaining": np.asarray(rem).tolist()}
         if op == "save":
             if not hasattr(self._ctrl, "save"):
                 return {"error": f"{type(self._ctrl).__name__} has no "
@@ -128,7 +158,8 @@ class ControlServer(socketserver.ThreadingTCPServer):
                                 np.asarray(req["x_next"], np.float64))
             return {"ok": True}
         return {"error": f"unknown op {op!r}; valid: next, set_goal, "
-                         "save, info, ping"}
+                         "set_waypoints, advance_waypoints, save, info, "
+                         "ping"}
 
     # -- lifecycle --------------------------------------------------------
     def serve_forever(self, *args, **kwargs):
@@ -190,6 +221,25 @@ class ControlClient:
             x_next=np.asarray(x_next, np.float64).tolist())
         if "error" in resp:
             raise RuntimeError(resp["error"])
+
+    def set_waypoints(self, waypoints, vehicle: Optional[int] = None):
+        req = {"op": "set_waypoints",
+               "waypoints": [np.asarray(w, np.float64).tolist()
+                             for w in waypoints]}
+        if vehicle is not None:
+            req["vehicle"] = int(vehicle)
+        resp = self.request(**req)
+        if "error" in resp:
+            raise RuntimeError(resp["error"])
+
+    def advance_waypoints(self, state, radius: float) -> dict:
+        resp = self.request(
+            op="advance_waypoints",
+            state=np.asarray(state, np.float64).tolist(),
+            radius=float(radius))
+        if "error" in resp:
+            raise RuntimeError(resp["error"])
+        return resp
 
     def info(self) -> dict:
         return self.request(op="info")

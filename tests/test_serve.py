@@ -156,3 +156,83 @@ def test_served_fleet():
     finally:
         client.close()
         server.close()
+
+
+def test_served_mission_single_controller():
+    """Mission ops over the wire: upload a 2-leg mission, fly it through
+    next() + advance_waypoints — the queue pops server-side and the plant
+    finishes on the final leg."""
+    from mppi_tf_tpu.costs.waypoints import WayPointsCost
+
+    wp1 = [0.8, 0.0, 0.0, 0.0]
+    wp2 = [0.8, 0.0, -0.7, 0.0]
+    sigma = np.diag([0.4, 0.4])
+    from mppi_tf_tpu.models import get_model as _gm
+
+    model = _gm({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                state_dim=4, action_dim=2)
+    cost = WayPointsCost(0.4, 0.1, 1.0, sigma, Q=np.array(
+        [6.0, 0.6, 6.0, 0.6]), diag=True, waypoints=[wp1])
+    ctrl = MPPI(model, cost, k=300, tau=12, lam=0.4, upsilon=1.0,
+                sigma=sigma, seed=5)
+    server = ControlServer(ctrl)
+    host, port = server.serve_background()
+    client = ControlClient(host, port)
+    try:
+        client.set_waypoints([wp1, wp2])
+        assert ctrl.waypoints_remaining() == 2
+        mp = model.init_params()
+        x = np.zeros(4)
+        popped = 0
+        for _ in range(160):
+            x = np.asarray(model.predict(mp, x, client.next(x))).reshape(-1)
+            resp = client.advance_waypoints(x, radius=0.25)
+            popped += resp["advanced"]
+            if resp["remaining"] == 1 and \
+                    np.linalg.norm(x - np.asarray(wp2)) < 0.2:
+                break
+        assert popped == 1
+        assert np.linalg.norm(x - np.asarray(wp2)) < 0.2
+        # a non-mission op catalogue error is a response, not a crash
+        resp = client.request(op="set_waypoints")  # missing field
+        assert "error" in resp
+    finally:
+        client.close()
+        server.close()
+
+
+def test_served_fleet_mission_ops():
+    """Per-vehicle mission upload + whole-fleet queue advancement over the
+    wire (FleetMPPI behind the endpoint)."""
+    from mppi_tf_tpu.costs.waypoints import WayPointsCost
+    from mppi_tf_tpu.models import get_model as _gm
+
+    wp_a = [[0.6, 0.0, 0.0, 0.0], [0.6, 0.0, 0.6, 0.0]]
+    wp_b = [[-0.5, 0.0, 0.0, 0.0]]
+    sigma = np.diag([0.4, 0.4])
+    model = _gm({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                state_dim=4, action_dim=2)
+    cost = WayPointsCost(0.4, 0.1, 1.0, sigma, Q=np.array(
+        [6.0, 0.6, 6.0, 0.6]), diag=True,
+        waypoints=[[0.0, 0.0, 0.0, 0.0]])
+    fleet = FleetMPPI(model, cost, n_vehicles=2, k=64, tau=8, lam=0.4,
+                      upsilon=1.0, sigma=sigma, seed=2)
+    server = ControlServer(fleet)
+    host, port = server.serve_background()
+    client = ControlClient(host, port)
+    try:
+        client.set_waypoints(wp_a, vehicle=0)
+        client.set_waypoints(wp_b, vehicle=1)
+        np.testing.assert_array_equal(fleet.waypoints_remaining(), [2, 1])
+        # a fleet upload WITHOUT a vehicle index is a protocol error
+        resp = client.request(op="set_waypoints", waypoints=wp_a)
+        assert "vehicle" in resp["error"]
+        # vehicle 0 sits on its leading waypoint -> its queue pops; the
+        # single-leg vehicle never pops below 1
+        states = np.asarray([wp_a[0], wp_b[0]])
+        resp = client.advance_waypoints(states, radius=0.25)
+        assert resp["advanced"] == 1
+        assert resp["remaining"] == [1, 1]
+    finally:
+        client.close()
+        server.close()
