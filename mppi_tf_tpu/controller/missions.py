@@ -55,6 +55,9 @@ def validate_mission(cost, waypoints: Sequence) -> list:
         if w.shape[0] != cost.dim:
             raise ValueError(
                 f"waypoint dim {w.shape[0]} != Q dim {cost.dim}")
+    validate = getattr(cost, "validate_waypoint", None)
+    if validate is not None:  # e.g. unit-quaternion check (WayPointsQuat)
+        wps = [validate(w) for w in wps]
     return wps
 
 
@@ -91,24 +94,26 @@ class MissionMixin:
     def advance_waypoints(self, state, radius: float) -> bool:
         """Pop the leading waypoint when ``state`` is within ``radius`` of
         it (and more than one leg remains). Returns whether the queue
-        advanced. Cached jitted pop — never retraces per call."""
+        advanced. ONE cached jitted pop with the squared radius as a
+        traced argument — a long-running serve endpoint receiving varying
+        client-computed radii reuses the same executable (advisor r3:
+        a per-radius cache key grew without bound)."""
         from ..costs.waypoints import WayPointsCost
-        from ..envs.mjx_env import waypoint_pop_fn
+        from ..envs.mjx_env import waypoint_pop_arg_fn
 
         if not isinstance(self._cost, WayPointsCost):
             raise TypeError(
                 f"waypoint missions need a WayPointsCost, the controller "
                 f"runs {type(self._cost).__name__}")
-        cache = getattr(self, "_mission_pop_cache", None)
-        if cache is None:
-            cache = self._mission_pop_cache = {}
-        radius = float(radius)
-        if radius not in cache:
-            cache[radius] = jax.jit(waypoint_pop_fn(self._cost, radius))
+        pop = getattr(self, "_mission_pop_jit", None)
+        if pop is None:
+            pop = self._mission_pop_jit = jax.jit(
+                waypoint_pop_arg_fn(self._cost))
         import jax.numpy as jnp
 
         x = jnp.asarray(
             np.asarray(state, np.float64).reshape(-1), self._dtype)
+        r2 = jnp.asarray(float(radius) ** 2, self._dtype)
         old = int(np.asarray(self._cparams["count"]))
-        self._cparams = cache[radius](self._cparams, x)
+        self._cparams = pop(self._cparams, x, r2)
         return int(np.asarray(self._cparams["count"])) < old

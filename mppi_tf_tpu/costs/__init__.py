@@ -49,10 +49,12 @@ def get_cost(task_dict, lam, gamma, upsilon, sigma, dtype=None):
             speed=task_dict["speed"], m_state=task_dict["m_state"],
             m_vel=task_dict["m_vel"], dtype=dtype,
         )
-    if ctype == "waypoints":
-        from .waypoints import WayPointsCost
+    if ctype in ("waypoints", "waypoints_quat"):
+        from .waypoints import WayPointsCost, WayPointsQuatCost
 
-        return WayPointsCost(
+        cls = WayPointsQuatCost if ctype == "waypoints_quat" \
+            else WayPointsCost
+        return cls(
             lam, gamma, upsilon, sigma,
             Q=task_dict["Q"], waypoints=task_dict.get("waypoints"),
             alpha=task_dict.get("alpha", 0.2),

@@ -36,6 +36,17 @@ class WayPointsCost(CostBase):
             Qm = np.diag(Qm)
         self.Q = jnp.asarray(Qm, dtype=dtype)
         self.dim = self.Q.shape[0]
+        if self.dim == 13:
+            # A 13-dim flat quadratic treats the raw quaternion components
+            # as Euclidean coordinates — wrong metric, and double-cover
+            # ambiguous (q and -q are the same attitude but maximally
+            # distant). The AUV state family must use the quaternion-aware
+            # metric (reference: static_cost.py:145-159).
+            raise TypeError(
+                "a 13-dim state needs WayPointsQuatCost (task type "
+                "'waypoints_quat', 10x10 Q over [pos err, 2*acos(q.g_q), "
+                "vel err]); the flat 13-dim quadratic is not a valid "
+                "attitude metric")
         self.alpha = float(alpha)
         self.max_waypoints = int(max_waypoints)
         self._init_wps = []
@@ -101,3 +112,86 @@ class WayPointsCost(CostBase):
 
     def dist(self, cp, state: jax.Array) -> jax.Array:
         return jnp.reshape(state, (-1,)) - cp["waypoints"][0]
+
+
+class WayPointsQuatCost(WayPointsCost):
+    """Waypoint queue over the 13-dim quaternion AUV state.
+
+    Each waypoint is scored with the reference's quaternion state metric
+    (scripts/src/costs/static_cost.py:145-159, mirrored by
+    :class:`~mppi_tf_tpu.costs.static.StaticQuatCost`): a 10-dim error
+    vector [pos err (3), 2*acos(<q, w_q>) (1), vel err (6)] against a
+    10x10 Q — NOT a flat 13-dim quadratic, which treats raw quaternion
+    components as Euclidean coordinates (wrong metric; double-cover
+    ambiguous). Queue semantics (fixed-capacity functional queue, blend
+    of the two leading waypoints, pop/add) are inherited unchanged, so
+    missions / the on-device pop / fleet queues / serve all work the same
+    way as the flat cost.
+
+    Also fused-eligible: kernels/auv_mppi.py runs the blend as TWO SMEM
+    goals with runtime blend weights, so queue pops never recompile.
+    """
+
+    STATE_DIM = 13
+
+    def __init__(self, lam, gamma, upsilon, sigma, Q, waypoints=None,
+                 alpha: float = 0.2, max_waypoints: int = 32, diag=False,
+                 dtype=jnp.float32):
+        CostBase.__init__(self, lam, gamma, upsilon, sigma, dtype=dtype)
+        Qm = np.asarray(Q, dtype=np.float64)
+        if diag:
+            Qm = np.diag(Qm)
+        if Qm.shape != (10, 10):
+            raise AssertionError(f"Q must be [10, 10], got {Qm.shape}")
+        self.Q = jnp.asarray(Qm, dtype=dtype)
+        self.dim = self.STATE_DIM  # waypoint rows are full 13-dim states
+        self.alpha = float(alpha)
+        self.max_waypoints = int(max_waypoints)
+        self._init_wps = []
+        if waypoints is not None:
+            self._init_wps = [np.asarray(w, np.float64).reshape(-1)
+                              for w in waypoints]
+            for w in self._init_wps:
+                if w.shape[0] != self.dim:
+                    raise AssertionError(
+                        f"waypoint dim {w.shape[0]} != state dim {self.dim}")
+            self._init_wps = [self.validate_waypoint(w)
+                              for w in self._init_wps]
+
+    def validate_waypoint(self, w: np.ndarray) -> np.ndarray:
+        """Reject a waypoint whose attitude block is not a unit quaternion
+        (a degenerate q makes 2*acos(<q, w_q>) meaningless); mild drift
+        (|1 - |q|| <= 1e-3, e.g. f32 round-trips) is renormalised."""
+        q = np.asarray(w[3:7], np.float64)
+        n = float(np.linalg.norm(q))
+        if abs(n - 1.0) > 1e-3:
+            raise ValueError(
+                f"waypoint attitude |q| = {n:.4f} is not a unit "
+                "quaternion (components 3:7 of the 13-dim waypoint)")
+        out = np.array(w, np.float64)
+        out[3:7] = q / n
+        return out
+
+    def _err10(self, state: jax.Array, wp: jax.Array) -> jax.Array:
+        """[n, 13] states, [13] waypoint -> [n, 10] error vector
+        (StaticQuatCost.dist metric, reference static_cost.py:145-159)."""
+        pos = state[:, :3] - wp[None, :3]
+        dot = jnp.clip(state[:, 3:7] @ wp[3:7], -1.0, 1.0)
+        theta = 2.0 * jnp.arccos(dot)
+        vel = state[:, 7:13] - wp[None, 7:13]
+        return jnp.concatenate([pos, theta[:, None], vel], axis=-1)
+
+    def _dist_waypoint(self, state: jax.Array, wp: jax.Array) -> jax.Array:
+        d = self._err10(state, wp)
+        return jnp.sum((d @ self.Q.T) * d, axis=-1)
+
+    def dist(self, cp, state: jax.Array) -> jax.Array:
+        """10-dim quaternion-aware error to the leading waypoint; accepts
+        one state [13] (-> [10]) or a batch [n, 13] (-> [n, 10]). The
+        mission pop radius (envs/mjx_env.waypoint_pop_fn: sum(d*d) < r^2)
+        therefore measures attitude as an angle, not as raw quaternion
+        component distance."""
+        x = jnp.asarray(state)
+        single = x.ndim == 1
+        d = self._err10(x.reshape(-1, self.STATE_DIM), cp["waypoints"][0])
+        return d[0] if single else d

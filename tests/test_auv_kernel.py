@@ -118,6 +118,58 @@ def test_fused_auv_normalized_matches_xla_path():
     assert np.isfinite(float(stats["nabla"]))
 
 
+def test_fused_auv_waypoints_quat_matches_xla_path():
+    """Fused AUV kernel with the quaternion waypoint mission cost == the
+    XLA path — both with a 2-leg queue (runtime blend weights) and after a
+    pop (single-goal regime), WITHOUT recompiling (the goals + blend ride
+    the SMEM dyn array)."""
+    from mppi_tf_tpu.costs import get_cost as _get_cost
+
+    k, tau, tile = 80, 3, 32
+    sigma = np.diag([40.0, 40.0, 40.0, 5.0, 5.0, 5.0])
+    model = get_model(_auv_cfg(), dt=0.1, action_dim=6)
+    w0 = np.zeros(13)
+    w0[2], w0[6] = -5.0, 1.0
+    w1 = np.zeros(13)
+    w1[0], w1[2] = 3.0, -4.0
+    w1[3], w1[6] = np.sin(0.3), np.cos(0.3)  # yawed attitude leg
+    cost = _get_cost(
+        {"type": "waypoints_quat", "diag": True,
+         "Q": [100.0, 100.0, 100.0, 10.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+         "waypoints": [w0.tolist(), w1.tolist()], "alpha": 0.3},
+        lam=0.5, gamma=0.2, upsilon=1.2, sigma=sigma)
+    ctrl = MPPI(model, cost, k=k, tau=tau, lam=0.5, upsilon=1.2, sigma=sigma)
+    mp, cp = ctrl.model_params, ctrl._cparams
+    fused = FusedAUVMPPI(model, cost, k=k, tau=tau, lam=0.5, upsilon=1.2,
+                         sigma=sigma, tile=tile, interpret=True)
+
+    rng = np.random.RandomState(11)
+    z_std = rng.randn(tau, 6, k).astype(np.float32)
+    z = chunk_noise_auv(z_std, tile)
+    eps = np.einsum("ij,tjk->kti", 1.2 * sigma, z_std)
+    x0 = np.zeros(13)
+    x0[6], x0[2] = 1.0, -1.0
+    useq = (5.0 * rng.randn(tau, 6)).astype(np.float32)
+
+    for cparams in (cp, cost.pop(cp)):  # 2-leg blend, then single-goal
+        _, _, info = ctrl._solve_with_noise_jit(
+            jnp.asarray(eps, ctrl._dtype), jnp.asarray(x0, ctrl._dtype),
+            jnp.asarray(useq, ctrl._dtype), mp, cparams)
+        wn_ref = np.asarray(info["weighted_noise"])
+        costs_ref = np.asarray(ctrl._rollout(
+            jnp.asarray(x0, ctrl._dtype), jnp.asarray(useq, ctrl._dtype),
+            jnp.asarray(eps, ctrl._dtype), ctrl._model.precompute(mp),
+            cparams))
+        wn, stats = fused.solve(0, x0, useq, mp, cparams,
+                                z=jnp.asarray(z), use_prng=False)
+        np.testing.assert_allclose(np.asarray(wn), wn_ref, rtol=1e-2,
+                                   atol=1e-3 * np.abs(wn_ref).max())
+        np.testing.assert_allclose(float(stats["cost_min"]),
+                                   costs_ref.min(), rtol=2e-4)
+        np.testing.assert_allclose(float(stats["cost_mean"]),
+                                   costs_ref.mean(), rtol=2e-4)
+
+
 def test_fused_auv_rejects_unsupported():
     sigma = np.diag([0.25, 0.3, 0.2])
     pm = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,

@@ -449,3 +449,46 @@ def test_fleet_validates_construction():
     with pytest.raises(ValueError, match="init_seq"):
         FleetMPPI(model, cost, n_vehicles=2, k=8, tau=3, lam=0.6,
                   upsilon=1.0, sigma=sigma, init_seq=np.zeros((5, 2, 7)))
+
+
+def test_fleet_quat_waypoint_missions():
+    """Fleet of 13-dim AUVs + WayPointsQuatCost: per-vehicle quaternion
+    missions through the shared compiled step, with the attitude-aware pop
+    metric (a vehicle AT the waypoint position but rotated 180 deg must
+    not pop)."""
+    from tests.test_auv_kernel import _auv_cfg
+
+    from mppi_tf_tpu.models import get_model
+
+    sigma = np.diag([2000.0] * 3 + [200.0] * 3)
+    model = get_model(_auv_cfg(), dt=0.1, action_dim=6)
+    wp = np.zeros(13)
+    wp[2], wp[6] = -1.0, 1.0
+    cost = get_cost({"type": "waypoints_quat", "diag": True, "alpha": 0.2,
+                     "waypoints": [wp.tolist()],
+                     "Q": [60.0, 60.0, 60.0, 10.0,
+                           1.0, 1.0, 1.0, 1.0, 1.0, 1.0]},
+                    lam=0.5, gamma=0.2, upsilon=1.0, sigma=sigma)
+    fleet = FleetMPPI(model, cost, n_vehicles=2, k=64, tau=4, lam=0.5,
+                      upsilon=1.0, sigma=sigma, seed=2)
+    wp_b = wp.copy()
+    wp_b[0] = 2.0
+    deeper = wp.copy()
+    deeper[2] = -2.0
+    fleet.set_vehicle_waypoints(0, [wp, deeper])
+    fleet.set_vehicle_waypoints(1, [wp_b, deeper])
+    np.testing.assert_array_equal(fleet.waypoints_remaining(), [2, 2])
+
+    states = np.zeros((2, 13))
+    states[:, 6] = 1.0
+    actions = fleet.next(states)
+    assert actions.shape == (2, 6)
+    assert np.all(np.isfinite(actions))
+
+    # vehicle 0 sits aligned ON its waypoint -> pops; vehicle 1 sits at
+    # ITS waypoint's position but yawed 180 deg -> theta = pi blocks it
+    states[0] = wp
+    states[1] = wp_b
+    states[1, 3:7] = [0.0, 0.0, 1.0, 0.0]
+    assert fleet.advance_waypoints(states, radius=0.5)
+    np.testing.assert_array_equal(fleet.waypoints_remaining(), [1, 2])

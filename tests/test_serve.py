@@ -236,3 +236,77 @@ def test_served_fleet_mission_ops():
     finally:
         client.close()
         server.close()
+
+
+def test_served_quat_mission_ops():
+    """Quaternion waypoint missions over the wire: upload validates the
+    attitude block (a non-unit quaternion is an error RESPONSE, not a
+    crash), and advance_waypoints pops with the quaternion-aware metric."""
+    from tests.test_auv_kernel import _auv_cfg
+
+    from mppi_tf_tpu.costs import get_cost as _gc
+    from mppi_tf_tpu.models import get_model as _gm
+
+    sigma = np.diag([2000.0] * 3 + [200.0] * 3)
+    model = _gm(_auv_cfg(), dt=0.1, action_dim=6)
+    wp1 = np.zeros(13)
+    wp1[2], wp1[6] = -1.0, 1.0
+    wp2 = np.zeros(13)
+    wp2[2], wp2[6] = -2.0, 1.0
+    cost = _gc({"type": "waypoints_quat", "diag": True,
+                "waypoints": [wp1.tolist()],
+                "Q": [60.0, 60.0, 60.0, 10.0,
+                      1.0, 1.0, 1.0, 1.0, 1.0, 1.0]},
+               lam=0.5, gamma=0.2, upsilon=1.0, sigma=sigma)
+    ctrl = MPPI(model, cost, k=64, tau=4, lam=0.5, upsilon=1.0,
+                sigma=sigma, seed=5)
+    server = ControlServer(ctrl)
+    host, port = server.serve_background()
+    client = ControlClient(host, port)
+    try:
+        # a zero-quaternion waypoint is rejected loudly, queue untouched
+        bad = np.zeros(13)
+        resp = client.request(op="set_waypoints",
+                              waypoints=[bad.tolist()])
+        assert "error" in resp and "unit" in resp["error"]
+        client.set_waypoints([wp1.tolist(), wp2.tolist()])
+        assert ctrl.waypoints_remaining() == 2
+        x = np.zeros(13)
+        x[6] = 1.0
+        u = client.next(x)
+        assert np.asarray(u).shape == (6,)
+        resp = client.advance_waypoints(wp1.tolist(), radius=0.5)
+        assert resp["advanced"] == 1 and resp["remaining"] == 1
+    finally:
+        client.close()
+        server.close()
+
+
+def test_served_vehicle_index_on_single_controller_rejected():
+    """Advisor r3: a 'vehicle' index sent to a non-fleet server silently
+    replaced the single controller's whole mission — now it is an error
+    response and the queue is untouched."""
+    from mppi_tf_tpu.costs.waypoints import WayPointsCost
+    from mppi_tf_tpu.models import get_model as _gm
+
+    wp1 = [0.8, 0.0, 0.0, 0.0]
+    wp2 = [0.8, 0.0, -0.7, 0.0]
+    sigma = np.diag([0.4, 0.4])
+    model = _gm({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                state_dim=4, action_dim=2)
+    cost = WayPointsCost(0.4, 0.1, 1.0, sigma, Q=np.array(
+        [6.0, 0.6, 6.0, 0.6]), diag=True, waypoints=[wp1])
+    ctrl = MPPI(model, cost, k=32, tau=4, lam=0.4, upsilon=1.0,
+                sigma=sigma, seed=5)
+    server = ControlServer(ctrl)
+    host, port = server.serve_background()
+    client = ControlClient(host, port)
+    try:
+        client.set_waypoints([wp1, wp2])
+        resp = client.request(op="set_waypoints", waypoints=[wp1],
+                              vehicle=0)
+        assert "error" in resp and "not a fleet" in resp["error"]
+        assert ctrl.waypoints_remaining() == 2  # mission untouched
+    finally:
+        client.close()
+        server.close()

@@ -267,6 +267,44 @@ def test_sharded_fused_auv_runs():
     assert np.all(np.isfinite(a))
 
 
+def test_sharded_fused_auv_waypoints_runs_and_pops():
+    """ShardedFusedMPPI over the quaternion waypoint mission cost: the
+    mission surface (set_waypoints / advance_waypoints) rides the sharded
+    fused solve without retracing, and pops use the attitude-aware
+    metric."""
+    from tests.test_auv_kernel import _auv_cfg
+
+    mesh = make_mesh(8, ("k",))
+    sigma = np.diag([40.0, 40.0, 40.0, 5.0, 5.0, 5.0])
+    model = get_model(_auv_cfg(), dt=0.1, action_dim=6)
+    wp1 = np.zeros(13)
+    wp1[2], wp1[6] = -1.0, 1.0
+    wp2 = np.zeros(13)
+    wp2[2], wp2[6] = -2.0, 1.0
+    cost = get_cost({"type": "waypoints_quat", "diag": True,
+                     "waypoints": [wp1.tolist()],
+                     "Q": [100.0, 100.0, 100.0, 10.0,
+                           1.0, 1.0, 1.0, 1.0, 1.0, 1.0]},
+                    lam=0.5, gamma=0.2, upsilon=1.0, sigma=sigma)
+    ctrl = ShardedFusedMPPI(model, cost, mesh, k=8 * 32, tau=2, lam=0.5,
+                            upsilon=1.0, sigma=sigma, tile=32,
+                            interpret=True)
+    ctrl.set_waypoints([wp1, wp2])
+    assert ctrl.waypoints_remaining() == 2
+    x0 = np.zeros(13)
+    x0[6] = 1.0
+    a = ctrl.next(x0)
+    assert a.shape == (6,) and np.all(np.isfinite(a))
+    # attitude-aware pop: at wp1 but yawed 180 deg -> no pop; aligned -> pop
+    flipped = wp1.copy()
+    flipped[3:7] = [0.0, 0.0, 1.0, 0.0]
+    assert ctrl.advance_waypoints(flipped, radius=0.5) is False
+    assert ctrl.advance_waypoints(wp1, radius=0.5) is True
+    assert ctrl.waypoints_remaining() == 1
+    a2 = ctrl.next(x0)
+    assert np.all(np.isfinite(a2))
+
+
 def test_sharded_fused_dmd_matches_single_device():
     """The dynamic-(A, B) LTI kernel composes with the cross-shard merge:
     ShardedFusedDMDMPPI's solve_with_noise over the 8-device mesh == the
