@@ -8,6 +8,7 @@ row the framework claims, driver-verifiable in one run:
     point-mass pallas K=1M   H=50   (linear-K scaling)
     AUV (Fossen rk2)  pallas K=262144 H=25
     AUV (Fossen rk2)  pallas K=65536  H=50
+    AUV waypoint mission (quat blend) pallas K=262144 H=25
     NN (3x32 MLP)     XLA    K=65536  H=25 (bf16 MXU path)
     DMD (dynamic A,B) pallas K=100k H=50 (SMEM-resident runtime matrices)
     sharded smoke: point-mass pallas over ALL visible devices
@@ -17,11 +18,17 @@ row the framework claims, driver-verifiable in one run:
     on-device closed loop: 500 control steps (solve + plant) as ONE program
     on-device ADAPTIVE DMD loop: DMDc refits inside the scan (wrong-mass prior)
     in-kernel noise check (TPU only): moments/correlations/antithetic exactness
+    f32 saturation probe (TPU only): ~1e34 costs through both fused paths
+    serving-surface latency: client-observed TCP round trip vs solve_ms,
+    single client + 8 concurrent (serve.py, the deployment surface)
     2-process gloo cluster: the sharded solve timed with REAL cross-process
-    collectives (the BASELINE.md "N>=2 hosts" reporting row; CPU workers)
+    collectives, collective-time share (global vs local mesh) and the
+    head/tail overlap variant (the BASELINE.md "N>=2 hosts" row; CPU workers)
 
 One JSON line is printed per workload as it completes; the full suite is
-written to ``BENCH_SUITE.json`` next to this file (override the path with
+written to ``BENCH_SUITE.json`` in the artifact dir (``BENCH_DIR``, which
+the repo-root ``bench.py`` shim points at the checkout; the installed
+``mppi-bench`` entry point defaults to the cwd — override the path with
 ``BENCH_SUITE_PATH`` — the pytest contract test points it at a tmpdir so a
 test run can never clobber a driver-recorded TPU suite, VERDICT r3 weak #1;
 a real-TPU suite run ALSO writes ``BENCH_SUITE_TPU.json``, which CPU runs
@@ -61,7 +68,7 @@ import time
 
 import numpy as np
 
-_VALID_WORKLOADS = ("point_mass", "auv", "nn", "dmd")
+_VALID_WORKLOADS = ("point_mass", "auv", "auv_waypoints", "nn", "dmd")
 
 
 def _build_workload(workload, jnp):
@@ -95,23 +102,46 @@ def _build_workload(workload, jnp):
         # learned-dynamics workload: NNAUVModel 3x32 MLP, static_quat cost
         # (the MBRL sampling hot path; no fused kernel by design — XLA MXU
         # path, bf16 matmuls with f32 accumulation)
-        import __graft_entry__ as g
+        from mppi_tf_tpu import flagship as g
 
         sigma = np.diag([1500.0] * 6)
         model = get_model({"type": "auv_nn"}, dt=0.1, action_dim=6,
                           compute_dtype=jnp.bfloat16)
-        cost = get_cost(g._auv_task(), lam=0.5, gamma=0.2, upsilon=1.0,
+        cost = get_cost(g.auv_task(), lam=0.5, gamma=0.2, upsilon=1.0,
                         sigma=sigma)
         lam = 0.5
         state0 = np.zeros(13)
         state0[6] = 1.0
     elif workload == "auv":
-        import __graft_entry__ as g
+        from mppi_tf_tpu import flagship as g
 
         sigma = np.diag([1500.0] * 6)
-        model = get_model(g._auv_params(), dt=0.1, action_dim=6)
-        cost = get_cost(g._auv_task(), lam=0.5, gamma=0.2, upsilon=1.0,
+        model = get_model(g.auv_params(), dt=0.1, action_dim=6)
+        cost = get_cost(g.auv_task(), lam=0.5, gamma=0.2, upsilon=1.0,
                         sigma=sigma)
+        lam = 0.5
+        state0 = np.zeros(13)
+        state0[6] = 1.0
+    elif workload == "auv_waypoints":
+        # flagship AUV flying a quaternion waypoint mission: the fused
+        # kernel evaluates the exact two-goal attitude-aware blend per
+        # step (kernels/auv_mppi.py cost_kind "waypoints_quat") — measures
+        # the mission-surface price vs the single-goal `auv` row
+        from mppi_tf_tpu import flagship as g
+
+        sigma = np.diag([1500.0] * 6)
+        model = get_model(g.auv_params(), dt=0.1, action_dim=6)
+        wp1 = np.zeros(13)
+        wp1[2], wp1[6] = -5.0, 1.0
+        wp2 = np.zeros(13)
+        wp2[0], wp2[2] = 4.0, -8.0
+        wp2[3], wp2[6] = np.sin(0.4), np.cos(0.4)
+        cost = get_cost(
+            {"type": "waypoints_quat", "diag": True, "alpha": 0.2,
+             "waypoints": [wp1.tolist(), wp2.tolist()],
+             "Q": [100.0, 100.0, 100.0, 10.0,
+                   1.0, 1.0, 1.0, 1.0, 1.0, 1.0]},
+            lam=0.5, gamma=0.2, upsilon=1.0, sigma=sigma)
         lam = 0.5
         state0 = np.zeros(13)
         state0[6] = 1.0
@@ -268,7 +298,8 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
         dispatch_p50 = float(np.median(lat))
 
     wname = {"point_mass": "point_mass3d", "nn": "auv_nn_mlp",
-             "auv": "auv_rexrov2", "dmd": "dmd_lti6"}[workload]
+             "auv": "auv_rexrov2", "auv_waypoints": "auv_waypoints_quat",
+             "dmd": "dmd_lti6"}[workload]
     p50_ms = per_solve * 1e3
     used_pallas = (ctrl._fused is not None if ctrl is not None
                    else kernel == "pallas")
@@ -460,6 +491,64 @@ def run_noise_check(K, TAU, tile):
     }
 
 
+def run_saturation_check(K, TAU, tile):
+    """f32 softmax-saturation probe ON HARDWARE (VERDICT r3 weak #6,
+    mirrors tests/test_saturation.py on the real in-kernel PRNG): drive a
+    goal 1e16 away (per-step cost ~1e34, near the f32 ceiling) through the
+    fused solve — plain and normalized — with K chosen to leave invalid
+    padding lanes in the last tile, and assert finite weighted noise,
+    nabla >= 1, and finite cost stats. Exactly the regime where a finite
+    padding sentinel (the pre-round-4 -1e30) NaN'd the normalizer."""
+    import jax
+    import jax.numpy as jnp
+
+    import numpy as _np
+
+    from mppi_tf_tpu.controller.mppi import MPPI
+    from mppi_tf_tpu.costs import get_cost
+    from mppi_tf_tpu.kernels.pm_mppi import default_tile
+    from mppi_tf_tpu.models import get_model
+
+    backend = jax.default_backend()
+    tile = tile or default_tile(K)
+    K = K + tile // 2  # force a partially-invalid last tile
+    far = 1.0e16
+    sigma = np.diag([0.25, 0.25, 0.25])
+    model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                      state_dim=6, action_dim=3)
+    cost = get_cost({"type": "static", "diag": True,
+                     "goal": [far, 0.0, -far, 0.0, far, 0.0],
+                     "Q": [100.0, 1.0, 100.0, 1.0, 100.0, 1.0]},
+                    lam=0.8, gamma=0.2, upsilon=1.0, sigma=sigma)
+    checks = {}
+    for normalize in (False, True):
+        ctrl = MPPI(model, cost, k=K, tau=TAU, lam=0.8, upsilon=1.0,
+                    sigma=sigma, kernel="pallas", kernel_tile=tile,
+                    normalize_cost=normalize)  # off-TPU: interpret mode
+        fused = ctrl._fused
+        wn, info = fused.solve(7, np.zeros(6), np.zeros((TAU, 3)),
+                               ctrl.model_params, ctrl._cparams,
+                               use_prng=True, normalize=normalize)
+        tag = "normalized" if normalize else "plain"
+        checks[f"{tag}_wnoise_finite"] = bool(
+            _np.all(_np.isfinite(_np.asarray(wn))))
+        nab = float(info["nabla"])
+        checks[f"{tag}_nabla"] = bool(_np.isfinite(nab) and nab >= 1.0)
+        cmin = float(info["cost_min"])
+        checks[f"{tag}_saturated_regime"] = bool(
+            _np.isfinite(cmin) and cmin > 1e30)
+    ok = all(checks.values())
+    return {
+        "metric": f"f32_saturation_check@K={K},H={TAU},{backend}",
+        "value": 1.0 if ok else 0.0,
+        "unit": "pass",
+        "vs_baseline": 1.0 if ok else 0.0,
+        "extra": {"failed": sorted(k for k, v in checks.items() if not v),
+                  "backend": backend, "K": K, "H": TAU,
+                  "workload": "point_mass"},
+    }
+
+
 def run_adaptive_dmd_loop_workload(K, TAU, STEPS, tile):
     """On-device MBRL: DMD identification INSIDE the scan (mjx_env
     build_on_device_loop) — solve + plant + periodic DMDc refit as ONE
@@ -607,6 +696,101 @@ def run_fleet_workload(N, K, TAU, CHAIN, kernel="xla", tile=None,
     }
 
 
+def run_serve_latency_workload(K, TAU, n_requests=200, n_clients=8,
+                               tile=None):
+    """Deployment-surface latency (VERDICT r3 weak #5): the client-observed
+    TCP round trip of serve.py's ``next`` op vs the bare in-process solve —
+    the latency the serving surface actually delivers. Reports the
+    single-client p50/p99 split into solve_ms (server-side, inside the
+    lock) and wire overhead (JSON encode + TCP + dispatch), then ``n_clients``
+    concurrent clients against the SAME server (the lock serializes solves
+    — the p99 shows the queueing cost)."""
+    import threading
+    import jax
+
+    from mppi_tf_tpu.controller.mppi import MPPI
+    from mppi_tf_tpu.serve import ControlClient, ControlServer
+
+    backend = jax.default_backend()
+    kernel = "pallas" if backend == "tpu" else "xla"
+    import jax.numpy as jnp
+
+    model, cost, sigma, lam, state0 = _build_workload("point_mass", jnp)
+    ctrl = MPPI(model, cost, k=K, tau=TAU, lam=lam, upsilon=1.0,
+                sigma=sigma, kernel=kernel, kernel_tile=tile)
+    server = ControlServer(ctrl)
+    host, port = server.serve_background()
+    client = ControlClient(host, port)
+    try:
+        for _ in range(5):  # compile + warm the socket path
+            client.request(op="next", state=state0.tolist())
+        lat, solv = [], []
+        for _ in range(n_requests):
+            t0 = time.perf_counter()
+            r = client.request(op="next", state=state0.tolist())
+            lat.append((time.perf_counter() - t0) * 1e3)
+            solv.append(float(r["solve_ms"]))
+        p50 = float(np.percentile(lat, 50))
+        p99 = float(np.percentile(lat, 99))
+        solve_p50 = float(np.percentile(solv, 50))
+
+        # concurrent clients: own sockets, shared (lock-serialized) server
+        per_client = max(n_requests // n_clients, 10)
+        conc = [[] for _ in range(n_clients)]
+
+        def hammer(i):
+            c = ControlClient(host, port)
+            try:
+                c.request(op="next", state=state0.tolist())  # warm socket
+                for _ in range(per_client):
+                    t0 = time.perf_counter()
+                    c.request(op="next", state=state0.tolist())
+                    conc[i].append((time.perf_counter() - t0) * 1e3)
+            finally:
+                c.close()
+
+        threads = [threading.Thread(target=hammer, args=(i,))
+                   for i in range(n_clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        flat = [x for c in conc for x in c]
+        conc_p50 = float(np.percentile(flat, 50))
+        conc_p99 = float(np.percentile(flat, 99))
+        conc_rps = len(flat) / wall
+    finally:
+        client.close()
+        server.close()
+    return {
+        "metric": (f"serve_roundtrip_ms@K={K},H={TAU},point_mass3d,"
+                   f"{backend},{kernel}"),
+        "value": round(p50, 4),
+        "unit": "ms",
+        "vs_baseline": round(10.0 / p50, 3),
+        "extra": {
+            "p99_ms": round(p99, 4),
+            "solve_ms_p50": round(solve_p50, 4),
+            "wire_overhead_ms_p50": round(p50 - solve_p50, 4),
+            "concurrent_clients": n_clients,
+            "concurrent_p50_ms": round(conc_p50, 4),
+            "concurrent_p99_ms": round(conc_p99, 4),
+            "concurrent_requests_per_s": round(conc_rps, 1),
+            "requests": n_requests,
+            "backend": backend,
+            "kernel": kernel,
+            "workload": "point_mass_serve",
+            "K": K, "H": TAU,
+            "note": ("client-observed TCP round trip vs the server-side "
+                     "solve inside the lock; wire overhead = JSON + TCP + "
+                     "dispatch — the deployment surface's real replan "
+                     "latency"),
+        },
+    }
+
+
 def run_multiprocess_workload(K, TAU, CHAIN, nproc=2, devices_per_proc=4):
     """The BASELINE.md "N>=2 hosts" reporting row, executed: a REAL
     ``nproc``-process jax.distributed cluster on localhost (gloo
@@ -622,6 +806,13 @@ def run_multiprocess_workload(K, TAU, CHAIN, nproc=2, devices_per_proc=4):
     # replicated SPMD: every worker measures the same program; take the max
     # (the cluster is only as fast as its slowest participant)
     p50_ms = max(r["p50_solve_ms"] for r in results)
+    overlap_ms = max(r["p50_overlap_ms"] for r in results)
+    # local-mesh control: identical per-device work, collectives
+    # intra-process only — (global - local) is the cross-process
+    # collective cost per solve (VERDICT r3 weak #2/#3: the DCN story
+    # measured where a real transport exists)
+    local_ms = max(r["p50_local_ms"] for r in results)
+    coll_ms = max(p50_ms - local_ms, 0.0)
     n_dev = nproc * devices_per_proc
     return {
         "metric": (f"p50_replan_latency_ms@K={K},H={TAU},point_mass3d,"
@@ -640,17 +831,32 @@ def run_multiprocess_workload(K, TAU, CHAIN, nproc=2, devices_per_proc=4):
             "sharded": True,
             "n_devices": n_dev,
             "n_processes": nproc,
+            "overlap_p50_ms": round(overlap_ms, 4),
+            "local_mesh_p50_ms": round(local_ms, 4),
+            "collective_ms_per_solve": round(coll_ms, 4),
+            "collective_share": round(coll_ms / p50_ms, 4) if p50_ms else 0,
+            "overlap_speedup": round(p50_ms / overlap_ms, 3)
+            if overlap_ms else 0,
             "note": ("CPU gloo cluster — this testbed has one TPU chip; "
                      "the 10 ms budget (vs_baseline) applies to the TPU "
                      "rows, this row proves+times the multi-process "
-                     "collective path"),
+                     "collective path; collective_ms = global-mesh minus "
+                     "local-mesh at identical per-device work; "
+                     "overlap_p50_ms = the head/tail two-phase merge"),
         },
     }
 
 
+def _bench_dir():
+    """Artifact directory: BENCH_DIR (the repo-root bench.py shim points
+    it at the checkout so driver artifacts land there), else the cwd —
+    the installed `mppi-bench` entry point has no repo to write into."""
+    return os.environ.get("BENCH_DIR") or os.getcwd()
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/root/repo/.jax_cache")
+                          os.path.join(_bench_dir(), ".jax_cache"))
     import jax
 
     # honour an explicit CPU request: the axon sitecustomize rewrites
@@ -707,6 +913,7 @@ def main():
         ("point_mass", default_kernel, 1_000_000, 50, 300, False, False),
         ("auv", default_kernel, 262_144, 25, 300, False, False),
         ("auv", default_kernel, 65_536, 50, 300, False, False),
+        ("auv_waypoints", default_kernel, 262_144, 25, 300, False, False),
         ("nn", "xla", 65_536, 25, 300, False, False),
         ("dmd", default_kernel, 100_000, 50, 300, False, False),
         ("point_mass", default_kernel, 100_000, 50, 300, True, False),
@@ -786,6 +993,26 @@ def main():
                  "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(r), flush=True)
         suite.append(r)
+        # f32 saturation probe on the real in-kernel PRNG (VERDICT r3 #6)
+        try:
+            r = run_saturation_check(k_od, tau_od, tile)
+        except Exception as e:
+            r = {"metric": f"FAILED@f32_saturation_check,K={k_od}",
+                 "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(r), flush=True)
+        suite.append(r)
+    # serving-surface latency: client-observed TCP round trip vs solve_ms
+    k_sv = min(8192, cap_k) if cap_k else 8192
+    tau_sv = min(25, cap_tau) if cap_tau else 25
+    n_req = min(200, 10 * (cap_chain or 200))
+    try:
+        r = run_serve_latency_workload(k_sv, tau_sv, n_requests=n_req,
+                                       tile=tile)
+    except Exception as e:
+        r = {"metric": f"FAILED@serve_roundtrip,K={k_sv},H={tau_sv}",
+             "error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(r), flush=True)
+    suite.append(r)
     # N=2-process cluster (gloo, CPU workers): the BASELINE.md "N>=2 hosts"
     # reporting row, executed with real cross-process collectives
     k_mp = min(8192, cap_k) if cap_k else 8192
@@ -798,7 +1025,7 @@ def main():
              "error": f"{type(e).__name__}: {e}"}
     print(json.dumps(r), flush=True)
     suite.append(r)
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_dir = _bench_dir()
     suite_path = (os.environ.get("BENCH_SUITE_PATH")
                   or os.path.join(repo_dir, "BENCH_SUITE.json"))
     try:

@@ -19,8 +19,10 @@ import sys
 import tempfile
 
 _PARALLEL_DIR = os.path.dirname(os.path.abspath(__file__))
-WORKER = os.path.join(_PARALLEL_DIR, "_mp_worker.py")
-# the directory CONTAINING the mppi_tf_tpu package (workers import it)
+# Workers run the INSTALLED package (`python -m mppi_tf_tpu.parallel.
+# _mp_worker`); prepending the parent of the package this process actually
+# imported keeps checkout runs (no pip install) working and is a no-op for
+# a site-packages install, which is already importable.
 _PKG_PARENT = os.path.dirname(os.path.dirname(_PARALLEL_DIR))
 
 
@@ -60,12 +62,13 @@ def run_cluster(nproc: int = 2, devices_per_proc: int = 4,
     for i in range(nproc):
         if os.path.exists(outs[i]):
             os.remove(outs[i])
-        cmd = [sys.executable, WORKER, "--coord", f"127.0.0.1:{port}",
+        cmd = [sys.executable, "-m", "mppi_tf_tpu.parallel._mp_worker",
+               "--coord", f"127.0.0.1:{port}",
                "--nproc", str(nproc), "--pid", str(i), "--out", outs[i]]
         if bench:
             cmd += ["--bench", bench]
         procs.append(subprocess.Popen(
-            cmd, env=env, cwd=_PKG_PARENT, stdout=subprocess.PIPE,
+            cmd, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True))
     results, logs = [], []
     try:

@@ -8,6 +8,14 @@
 """
 
 import os
+import sys
+
+# Cross-test helpers import as `from tests.test_auv_kernel import ...`:
+# make the repo root importable regardless of the invoking cwd (an
+# installed package run from anywhere must still resolve the test pkg).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 # Force CPU: the session environment pins JAX to the TPU tunnel ("axon"),
 # which is slow for unit tests and lacks f64 support. The axon sitecustomize

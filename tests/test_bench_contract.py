@@ -92,17 +92,28 @@ def test_bench_suite_mode(tmp_path):
         "pytest must not rewrite the repo-root BENCH_SUITE.json"
     assert final["extra"]["suite_rows"] == len(suite)
     assert final["extra"]["suite_errors"] == 0
-    # 13 rows on CPU (the in-kernel noise check and the extra fused
-    # fleet row are TPU-only)
-    assert len(suite) == 13, [r["metric"] for r in suite]
+    # 15 rows on CPU (the in-kernel noise + saturation checks and the
+    # extra fused fleet row are TPU-only)
+    assert len(suite) == 15, [r["metric"] for r in suite]
     # every row was also printed as its own parseable line above the
     # headline, so the suite is recoverable from stdout alone
     printed = [json.loads(ln) for ln in lines[:-1]]
     assert [r["metric"] for r in printed] == [r["metric"] for r in suite]
     workloads = {r["extra"]["workload"] for r in suite if "extra" in r}
-    assert workloads == {"point_mass", "auv", "nn", "dmd", "dmd_adaptive",
-                         "point_mass_fleet", "auv_fleet",
+    assert workloads == {"point_mass", "auv", "auv_waypoints", "nn", "dmd",
+                         "dmd_adaptive", "point_mass_fleet", "auv_fleet",
+                         "point_mass_serve",
                          "point_mass_multiprocess"}, workloads
+    serve_row = next(r for r in suite
+                     if r["extra"]["workload"] == "point_mass_serve")
+    for key in ("solve_ms_p50", "wire_overhead_ms_p50",
+                "concurrent_p99_ms"):
+        assert key in serve_row["extra"], serve_row["extra"]
+    mp_row = next(r for r in suite
+                  if r["extra"]["workload"] == "point_mass_multiprocess")
+    for key in ("collective_ms_per_solve", "overlap_p50_ms",
+                "local_mesh_p50_ms"):
+        assert key in mp_row["extra"], mp_row["extra"]
     assert any(r.get("extra", {}).get("n_processes") == 2 for r in suite)
     assert any(r.get("extra", {}).get("n_vehicles", 0) > 1 for r in suite)
     assert any(r.get("extra", {}).get("sharded") for r in suite)
