@@ -47,7 +47,7 @@ def parse_args(argv=None):
                         "'filter: true' in the env config)")
     p.add_argument("--on-device", action="store_true",
                    help="compile the whole experiment (solve + plant) into "
-                        "one device program (needs a jax:/mjx:/analytic-AUV "
+                        "one device program (needs a jax:/analytic-AUV "
                         "plant; excludes -t)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--f64", action="store_true",

@@ -292,20 +292,21 @@ class FleetMPPI:
             raise TypeError(
                 f"advance_waypoints needs a WayPointsCost, the fleet runs "
                 f"{type(self._cost).__name__}")
-        cache = getattr(self, "_advance_cache", None)
-        if cache is None:
-            cache = self._advance_cache = {}
-        radius = float(radius)
-        if radius not in cache:
-            from ..envs.mjx_env import waypoint_pop_fn
+        pop = getattr(self, "_advance_jit", None)
+        if pop is None:
+            from ..envs.mjx_env import waypoint_pop_arg_fn
 
-            cache[radius] = jax.jit(
-                jax.vmap(waypoint_pop_fn(self._cost, radius)))
+            # radius traced (broadcast over the fleet axis): one executable
+            # for every radius value (advisor r3: per-radius cache keys)
+            pop = self._advance_jit = jax.jit(
+                jax.vmap(waypoint_pop_arg_fn(self._cost),
+                         in_axes=(0, 0, None)))
         states = jnp.asarray(
             np.asarray(states, np.float64).reshape(self._n, self._sdim),
             self._dtype)
+        r2 = jnp.asarray(float(radius) ** 2, self._dtype)
         old = np.asarray(self._cparams["count"])
-        self._cparams = cache[radius](self._cparams, states)
+        self._cparams = pop(self._cparams, states, r2)
         return int((old - np.asarray(self._cparams["count"])).sum())
 
     # checkpoint/resume (same .npz scheme as MPPI.save_state) -------------

@@ -1,10 +1,10 @@
 from .analytic import AUVEnv, PointMassEnv
-from .mjx_env import (HAS_MJX, JaxPointMassEnv, MjxPointMassEnv,
-                      build_on_device_loop, on_device_closed_loop)
+from .mjx_env import (JaxPointMassEnv, build_on_device_loop,
+                      on_device_closed_loop)
 from .runner import ClosedLoopRunner, run_experiment
 
 __all__ = ["AUVEnv", "PointMassEnv", "ClosedLoopRunner", "run_experiment",
-           "get_env", "JaxPointMassEnv", "MjxPointMassEnv", "HAS_MJX",
+           "get_env", "JaxPointMassEnv",
            "on_device_closed_loop", "build_on_device_loop"]
 
 
@@ -29,7 +29,11 @@ def get_env(env_cfg, render: bool = False, model_cfg=None):
 
         return MujocoEnv(name, sdim, adim, render=render)
     if str(name).startswith("mjx:"):
-        return MjxPointMassEnv(n_dof=adim, render=render)
+        raise ValueError(
+            "the 'mjx:' plant was removed (the mujoco-mjx package is not "
+            "shipped in this image and the class could never execute); "
+            "use 'jax:point_mass' — identical semantics for this scene "
+            "(exact LTI == RK4) — or a .xml env for host-side MuJoCo")
     if str(name).startswith("jax:"):
         return JaxPointMassEnv(n_dof=adim, render=render)
     if str(name) == "analytic:auv" or sdim == AUVEnv.STATE_DIM:

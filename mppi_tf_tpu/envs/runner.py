@@ -124,7 +124,7 @@ def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
     ``on_device=True`` compiles the WHOLE experiment (solve + plant
     substeps x steps) into one device program via
     mjx_env.build_on_device_loop — requires a plant with a jittable
-    ``step_fn`` (jax:/mjx: envs, analytic AUV) and no ``train_every``
+    ``step_fn`` (jax: envs, analytic AUV) and no ``train_every``
     (per-step host logging and training need the host loop); the observer
     still snapshots configs for replay.
     """
@@ -160,7 +160,7 @@ def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
             raise ValueError(
                 f"{type(env).__name__} has no jittable step_fn; --on-device "
                 "needs a device-resident plant (env 'jax:point_mass', "
-                "'mjx:point_mass', or the analytic AUV plant)")
+                "or the analytic AUV plant)")
         from .mjx_env import on_device_closed_loop
 
         substeps = max(1, int(round(dt / env.dt)))

@@ -136,6 +136,12 @@ class ControlServer(socketserver.ThreadingTCPServer):
                                          "missions)"}
                     self._ctrl.set_vehicle_waypoints(int(req["vehicle"]),
                                                      wps)
+                elif "vehicle" in req:
+                    # a client that believes it is re-tasking vehicle k of
+                    # a fleet must not silently replace a single
+                    # controller's whole mission (advisor r3 finding)
+                    return {"error": "'vehicle' index given but the "
+                                     "served controller is not a fleet"}
                 else:
                     self._ctrl.set_waypoints(wps)
             return {"ok": True}
