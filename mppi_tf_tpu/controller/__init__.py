@@ -140,13 +140,9 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
                 if kernel == "pallas":
                     raise
         kwargs.pop("kernel_tile", None)  # XLA path has no kernel tile
-        if kwargs.pop("overlap_merge", False):
-            raise ValueError(
-                "overlap_merge is a fused-kernel (Pallas) option; the XLA "
-                "sharded path has no tile split to overlap — request "
-                "kernel='pallas' with a supported model/cost pair")
         return xla_cls(
             model, cost, mesh,
+            overlap_merge=kwargs.pop("overlap_merge", False),
             normalize_cost=kwargs.pop("normalize_cost", False),
             antithetic=kwargs.pop("antithetic", False),
             filter_seq=kwargs.pop("filter_seq", False),

@@ -1,9 +1,15 @@
 """Driver-contract guard: bench.py emits one valid JSON line on CPU."""
 
 import json
+
+import pytest
 import os
 import subprocess
 import sys
+
+# oracle/cluster/serve tail: excluded from the fast developer loop
+# (pytest -m 'not slow'); the driver default runs everything
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

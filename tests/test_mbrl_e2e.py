@@ -9,6 +9,7 @@ goal. Small sizes — this is a correctness/integration test, not a benchmark.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from mppi_tf_tpu.collect import collect_transitions
 from mppi_tf_tpu.controller.mppi import MPPI
@@ -18,6 +19,10 @@ from mppi_tf_tpu.learning import Learner
 from mppi_tf_tpu.learning.replay import ReplayBuffer
 from mppi_tf_tpu.models import get_model
 from mppi_tf_tpu.models.nn import NNModel
+
+# oracle/cluster/serve tail: excluded from the fast developer loop
+# (pytest -m 'not slow'); the driver default runs everything
+pytestmark = pytest.mark.slow
 
 
 def test_mbrl_loop_reaches_goal():

@@ -23,6 +23,10 @@ import pytest
 # parity properties of its workers
 from mppi_tf_tpu.parallel.cluster import run_cluster
 
+# oracle/cluster/serve tail: excluded from the fast developer loop
+# (pytest -m 'not slow'); the driver default runs everything
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def cluster_results():

@@ -24,6 +24,10 @@ import types
 import numpy as np
 import pytest
 
+# oracle/cluster/serve tail: excluded from the fast developer loop
+# (pytest -m 'not slow'); the driver default runs everything
+pytestmark = pytest.mark.slow
+
 REF = "/root/reference/scripts"
 
 tf = pytest.importorskip("tensorflow")

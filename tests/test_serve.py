@@ -11,6 +11,10 @@ from mppi_tf_tpu.costs import get_cost
 from mppi_tf_tpu.models import get_model
 from mppi_tf_tpu.serve import ControlClient, ControlServer
 
+# oracle/cluster/serve tail: excluded from the fast developer loop
+# (pytest -m 'not slow'); the driver default runs everything
+pytestmark = pytest.mark.slow
+
 
 def _family():
     sigma = np.diag([0.4, 0.4])

@@ -186,9 +186,11 @@ def test_overlap_merge_rejects_normalize(setup):
 
 def test_factory_forwards_overlap_and_antithetic(setup):
     """get_controller(mesh=..., kernel='pallas') must forward overlap_merge
-    and antithetic to ShardedFusedMPPI, and the XLA sharded path must
-    reject overlap_merge loudly instead of dropping it."""
+    and antithetic to ShardedFusedMPPI; since round 4 the XLA sharded path
+    supports overlap_merge too (the head/tail online-softmax merge,
+    parallel/sharded.py) instead of rejecting it."""
     from mppi_tf_tpu.controller import get_controller
+    from mppi_tf_tpu.parallel import ShardedMPPI
 
     model, cost, sigma, k, tau, tile = setup
     mesh = make_mesh(8, ("k",))
@@ -201,9 +203,11 @@ def test_factory_forwards_overlap_and_antithetic(setup):
     assert ctrl._fused.antithetic
     a = ctrl.next(np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0]))
     assert a.shape == (3,) and np.all(np.isfinite(a))
-    with pytest.raises(ValueError, match="overlap_merge"):
-        get_controller(model, cost, cfg, mesh=mesh, kernel="xla",
-                       overlap_merge=True)
+    xctrl = get_controller(model, cost, cfg, mesh=mesh, kernel="xla",
+                           overlap_merge=True)
+    assert isinstance(xctrl, ShardedMPPI)
+    ax = xctrl.next(np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0]))
+    assert ax.shape == (3,) and np.all(np.isfinite(ax))
 
 
 def test_sharded_controllers_trace_profile_dump_hlo(setup, tmp_path):
