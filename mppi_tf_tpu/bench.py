@@ -1033,11 +1033,15 @@ def main():
             json.dump({"suite": suite, "backend": backend}, f, indent=1)
     except OSError:  # read-only checkout must not kill the headline
         suite_path = None
-    # Real-TPU suites additionally persist to a name no CPU run (and thus
-    # no pytest invocation) ever writes, so the driver's perf record stays
-    # in git history even after test runs rewrite BENCH_SUITE.json
-    # (VERDICT r3 weak #1: pytest clobbered the round-3 TPU record).
-    if backend == "tpu" and suite_path is not None:
+    # FULL real-TPU suites additionally persist to a name no CPU run (and
+    # thus no pytest invocation) ever writes, so the driver's perf record
+    # stays in git history even after test runs rewrite BENCH_SUITE.json
+    # (VERDICT r3 weak #1: pytest clobbered the round-3 TPU record). A
+    # capped or redirected TPU smoke run must not overwrite the durable
+    # record either — only the uncapped default invocation counts.
+    full_run = not (cap_k or cap_tau or cap_chain
+                    or os.environ.get("BENCH_SUITE_PATH"))
+    if backend == "tpu" and suite_path is not None and full_run:
         try:
             with open(os.path.join(repo_dir, "BENCH_SUITE_TPU.json"),
                       "w") as f:

@@ -35,8 +35,21 @@ class WayPointsCost(CostBase):
         if diag:
             Qm = np.diag(Qm)
         self.Q = jnp.asarray(Qm, dtype=dtype)
-        self.dim = self.Q.shape[0]
-        if self.dim == 13:
+        self.dim = self._waypoint_dim(Qm)
+        self.alpha = float(alpha)
+        self.max_waypoints = int(max_waypoints)
+        self._init_wps = []
+        if waypoints is not None:
+            wps = [np.asarray(w, np.float64).reshape(-1) for w in waypoints]
+            for w in wps:
+                if w.shape[0] != self.dim:
+                    raise AssertionError(
+                        f"waypoint dim {w.shape[0]} != expected {self.dim}")
+            self._init_wps = [self.validate_waypoint(w) for w in wps]
+
+    def _waypoint_dim(self, Qm: np.ndarray) -> int:
+        """Waypoint row length implied by Q; subclass hook."""
+        if Qm.shape[0] == 13:
             # A 13-dim flat quadratic treats the raw quaternion components
             # as Euclidean coordinates — wrong metric, and double-cover
             # ambiguous (q and -q are the same attitude but maximally
@@ -44,19 +57,16 @@ class WayPointsCost(CostBase):
             # metric (reference: static_cost.py:145-159).
             raise TypeError(
                 "a 13-dim state needs WayPointsQuatCost (task type "
-                "'waypoints_quat', 10x10 Q over [pos err, 2*acos(q.g_q), "
+                "'waypoints_quat', 10x10 Q over [pos err, 2*acos|q.g_q|, "
                 "vel err]); the flat 13-dim quadratic is not a valid "
                 "attitude metric")
-        self.alpha = float(alpha)
-        self.max_waypoints = int(max_waypoints)
-        self._init_wps = []
-        if waypoints is not None:
-            self._init_wps = [np.asarray(w, np.float64).reshape(-1)
-                              for w in waypoints]
-            for w in self._init_wps:
-                if w.shape[0] != self.dim:
-                    raise AssertionError(
-                        f"waypoint dim {w.shape[0]} != Q dim {self.dim}")
+        return int(Qm.shape[0])
+
+    def validate_waypoint(self, w: np.ndarray) -> np.ndarray:
+        """Per-waypoint validation hook (host-side); base: no constraint.
+        Runs on EVERY queue-mutation surface — __init__, set_goal,
+        add_waypoint, and controller/missions.validate_mission."""
+        return np.asarray(w, np.float64)
 
     def init_params(self):
         wps = np.zeros((self.max_waypoints, self.dim))
@@ -67,9 +77,19 @@ class WayPointsCost(CostBase):
             "count": jnp.asarray(len(self._init_wps), dtype=jnp.int32),
         }
 
+    def _checked(self, waypoint):
+        """Validate host-provided waypoints; pass tracers through (inside
+        a jit — e.g. the on-device scan's pop — host validation cannot
+        inspect values and queue rotations are norm-preserving anyway)."""
+        if isinstance(waypoint, jax.core.Tracer):
+            return waypoint
+        return self.validate_waypoint(
+            np.asarray(waypoint, np.float64).reshape(-1))
+
     # --- queue management (functional; reference: cost_base.py:230-238) ---
     def add_waypoint(self, cp, waypoint):
-        w = jnp.asarray(waypoint, dtype=self._dtype).reshape(-1)
+        w = jnp.asarray(self._checked(waypoint),
+                        dtype=self._dtype).reshape(-1)
         idx = jnp.minimum(cp["count"], self.max_waypoints - 1)
         return {
             "waypoints": cp["waypoints"].at[idx].set(w),
@@ -91,7 +111,7 @@ class WayPointsCost(CostBase):
 
     def set_goal(self, cp, goal):
         """Single-goal override: reset the queue to one waypoint."""
-        w = jnp.asarray(goal, dtype=self._dtype).reshape(-1)
+        w = jnp.asarray(self._checked(goal), dtype=self._dtype).reshape(-1)
         wps = jnp.zeros_like(cp["waypoints"]).at[0].set(w)
         return {"waypoints": wps, "count": jnp.asarray(1, jnp.int32)}
 
@@ -117,16 +137,21 @@ class WayPointsCost(CostBase):
 class WayPointsQuatCost(WayPointsCost):
     """Waypoint queue over the 13-dim quaternion AUV state.
 
-    Each waypoint is scored with the reference's quaternion state metric
-    (scripts/src/costs/static_cost.py:145-159, mirrored by
-    :class:`~mppi_tf_tpu.costs.static.StaticQuatCost`): a 10-dim error
-    vector [pos err (3), 2*acos(<q, w_q>) (1), vel err (6)] against a
-    10x10 Q — NOT a flat 13-dim quadratic, which treats raw quaternion
-    components as Euclidean coordinates (wrong metric; double-cover
-    ambiguous). Queue semantics (fixed-capacity functional queue, blend
-    of the two leading waypoints, pop/add) are inherited unchanged, so
-    missions / the on-device pop / fleet queues / serve all work the same
-    way as the flat cost.
+    Each waypoint is scored with a quaternion-aware 10-dim error vector
+    [pos err (3), theta (1), vel err (6)] against a 10x10 Q — NOT a flat
+    13-dim quadratic, which treats raw quaternion components as Euclidean
+    coordinates. The attitude term is ``theta = 2*acos(|<q, w_q>|)``: the
+    GEODESIC angle on SO(3), identical for q and -q. This deliberately
+    deviates from StaticQuatCost's reference-mirrored ``2*acos(<q, w_q>)``
+    (static_cost.py:145-159), which is double-cover ambiguous — a waypoint
+    authored in the opposite hemisphere (or a plant whose quaternion
+    drifts sign mid-mission) would score theta = 2*pi AT the goal
+    attitude, permanently stalling the mission pop. Queue semantics
+    (fixed-capacity functional queue, blend of the two leading waypoints,
+    pop/add) are inherited unchanged, so missions / the on-device pop /
+    fleet queues / serve all work the same way as the flat cost; every
+    queue-mutation surface (init, set_goal, add_waypoint, missions)
+    validates the waypoint's attitude block as a unit quaternion.
 
     Also fused-eligible: kernels/auv_mppi.py runs the blend as TWO SMEM
     goals with runtime blend weights, so queue pops never recompile.
@@ -134,35 +159,20 @@ class WayPointsQuatCost(WayPointsCost):
 
     STATE_DIM = 13
 
-    def __init__(self, lam, gamma, upsilon, sigma, Q, waypoints=None,
-                 alpha: float = 0.2, max_waypoints: int = 32, diag=False,
-                 dtype=jnp.float32):
-        CostBase.__init__(self, lam, gamma, upsilon, sigma, dtype=dtype)
-        Qm = np.asarray(Q, dtype=np.float64)
-        if diag:
-            Qm = np.diag(Qm)
+    def _waypoint_dim(self, Qm: np.ndarray) -> int:
         if Qm.shape != (10, 10):
             raise AssertionError(f"Q must be [10, 10], got {Qm.shape}")
-        self.Q = jnp.asarray(Qm, dtype=dtype)
-        self.dim = self.STATE_DIM  # waypoint rows are full 13-dim states
-        self.alpha = float(alpha)
-        self.max_waypoints = int(max_waypoints)
-        self._init_wps = []
-        if waypoints is not None:
-            self._init_wps = [np.asarray(w, np.float64).reshape(-1)
-                              for w in waypoints]
-            for w in self._init_wps:
-                if w.shape[0] != self.dim:
-                    raise AssertionError(
-                        f"waypoint dim {w.shape[0]} != state dim {self.dim}")
-            self._init_wps = [self.validate_waypoint(w)
-                              for w in self._init_wps]
+        return self.STATE_DIM  # waypoint rows are full 13-dim states
 
     def validate_waypoint(self, w: np.ndarray) -> np.ndarray:
         """Reject a waypoint whose attitude block is not a unit quaternion
-        (a degenerate q makes 2*acos(<q, w_q>) meaningless); mild drift
+        (a degenerate q makes the acos angle meaningless); mild drift
         (|1 - |q|| <= 1e-3, e.g. f32 round-trips) is renormalised."""
-        q = np.asarray(w[3:7], np.float64)
+        w = np.asarray(w, np.float64).reshape(-1)
+        if w.shape[0] != self.STATE_DIM:
+            raise ValueError(
+                f"waypoint dim {w.shape[0]} != state dim {self.STATE_DIM}")
+        q = w[3:7]
         n = float(np.linalg.norm(q))
         if abs(n - 1.0) > 1e-3:
             raise ValueError(
@@ -173,10 +183,10 @@ class WayPointsQuatCost(WayPointsCost):
         return out
 
     def _err10(self, state: jax.Array, wp: jax.Array) -> jax.Array:
-        """[n, 13] states, [13] waypoint -> [n, 10] error vector
-        (StaticQuatCost.dist metric, reference static_cost.py:145-159)."""
+        """[n, 13] states, [13] waypoint -> [n, 10] error vector."""
         pos = state[:, :3] - wp[None, :3]
-        dot = jnp.clip(state[:, 3:7] @ wp[3:7], -1.0, 1.0)
+        # |dot|: geodesic attitude angle, double-cover safe (see class doc)
+        dot = jnp.clip(jnp.abs(state[:, 3:7] @ wp[3:7]), -1.0, 1.0)
         theta = 2.0 * jnp.arccos(dot)
         vel = state[:, 7:13] - wp[None, 7:13]
         return jnp.concatenate([pos, theta[:, None], vel], axis=-1)

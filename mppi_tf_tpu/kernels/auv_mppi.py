@@ -301,6 +301,11 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool,
         acc_cost = jnp.zeros((_SUB, L), dtype=jnp.float32)
 
         if cost_kind in ("static_quat", "waypoints_quat"):
+            # waypoints use the double-cover-safe |dot| geodesic angle
+            # (costs/waypoints.WayPointsQuatCost._err10); static_quat
+            # mirrors the reference's signed dot (static_cost.py:145-159)
+            abs_dot = cost_kind == "waypoints_quat"
+
             def quat_quad(x, base):
                 """10-dim quaternion state quadratic vs the SMEM goal at
                 scalar offset ``base`` (StaticQuatCost metric,
@@ -309,6 +314,8 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool,
                 dvec = [x[0] - gl[0], x[1] - gl[1], x[2] - gl[2]]
                 qdot = (x[3] * gl[3] + x[4] * gl[4] + x[5] * gl[5]
                         + x[6] * gl[6])
+                if abs_dot:
+                    qdot = jnp.abs(qdot)
                 theta = 2.0 * _acos(jnp.clip(qdot, -1.0, 1.0))
                 dvec.append(theta)
                 for i in range(6):

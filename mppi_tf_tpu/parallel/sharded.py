@@ -91,6 +91,11 @@ def build_sharded_solve(
             "overlap_merge is incompatible with normalize_cost (the "
             "normalizer needs the global cost range before any weight "
             "can be computed)")
+    if overlap_merge and k_local < 2:
+        raise ValueError(
+            f"overlap_merge needs >= 2 samples per shard to split into "
+            f"head and tail; k={k} over {n} devices gives k_local="
+            f"{k_local}")
     k_head = min(max(int(k_local * overlap_frac), 1), k_local - 1) \
         if overlap_merge else k_local
     adim = model.get_action_dim()

@@ -123,6 +123,13 @@ class ControlServer(socketserver.ThreadingTCPServer):
                             np.tile(goal, (self._ctrl.n_vehicles, 1)))
                     else:
                         self._ctrl.set_goals(goal)
+                elif "vehicle" in req:
+                    # same guard as set_waypoints (advisor r3): a client
+                    # that believes it is re-tasking vehicle k of a fleet
+                    # must not silently replace the single controller's
+                    # goal (for a waypoint cost: its whole mission)
+                    return {"error": "'vehicle' index given but the "
+                                     "served controller is not a fleet"}
                 else:
                     self._ctrl.set_goal(goal)
             return {"ok": True}

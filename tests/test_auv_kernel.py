@@ -15,6 +15,10 @@ from mppi_tf_tpu.costs import get_cost
 from mppi_tf_tpu.kernels.auv_mppi import FusedAUVMPPI, chunk_noise_auv
 from mppi_tf_tpu.models import get_model
 
+# interpret-mode kernel parity: minutes-scale, excluded from the fast
+# developer loop (pytest -m 'not slow'); the driver default runs all
+pytestmark = pytest.mark.slow
+
 
 def _auv_cfg():
     return {

@@ -441,6 +441,7 @@ class TestFusedLogCatalogue:
         np.testing.assert_allclose(
             float(jnp.sum(captured["weights"])), 1.0, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_log_info_keys_fused_auv(self):
         """The fused-path log catalogue also works on the AUV kernel (its
         costs-phase output and noise layout match the point-mass family)."""

@@ -225,12 +225,20 @@ class TestWayPointsQuatCost:
                          "alpha": alpha},
                         lam=0.5, gamma=0.2, upsilon=1.2, sigma=sigma)
 
-    def test_blend_composes_static_quat_metric(self):
-        """state_cost == (1-a) * StaticQuat(w0) + a * StaticQuat(w1) —
-        the per-waypoint metric is EXACTLY the reference's quaternion
-        state cost."""
-        from mppi_tf_tpu.costs.static import StaticQuatCost
+    def _err10_np(self, x, w):
+        """Numpy mirror of the quat waypoint metric: [pos, 2*acos|q.w_q|,
+        vel] — |dot| makes it the geodesic angle (double-cover safe, a
+        documented deviation from StaticQuatCost's reference-mirrored
+        signed dot)."""
+        pos = x[:, :3] - w[None, :3]
+        dot = np.clip(np.abs(x[:, 3:7] @ w[3:7]), -1.0, 1.0)
+        theta = 2.0 * np.arccos(dot)
+        vel = x[:, 7:13] - w[None, 7:13]
+        return np.concatenate([pos, theta[:, None], vel], axis=-1)
 
+    def test_blend_composes_quat_metric(self):
+        """state_cost == (1-a) * d_Q(w0) + a * d_Q(w1) with the 10-dim
+        geodesic error per waypoint (numpy mirror)."""
         w0, w1 = self._wp(z=-5.0), self._wp(x=3.0, z=-4.0, yaw=0.6)
         cost = self._cost([w0, w1], alpha=0.3)
         cp = cost.init_params()
@@ -239,33 +247,86 @@ class TestWayPointsQuatCost:
         x[:, 3:7] /= np.linalg.norm(x[:, 3:7], axis=1, keepdims=True)
         got = np.asarray(cost.state_cost(cp, jnp.asarray(x)))
 
-        sigma = np.diag([40.0] * 3 + [5.0] * 3)
-        parts = []
-        for w in (w0, w1):
-            sq = StaticQuatCost(0.5, 0.2, 1.2, sigma, goal=w,
-                                Q=np.diag(self.Q10))
-            parts.append(np.asarray(sq.state_cost(sq.init_params(),
-                                                  jnp.asarray(x))))
-        ref = 0.7 * parts[0] + 0.3 * parts[1]
-        np.testing.assert_allclose(got, ref, rtol=1e-5)
+        Q = np.diag(self.Q10)
+
+        def quad(w):
+            d = self._err10_np(x.astype(np.float64), w)
+            return np.sum((d @ Q.T) * d, axis=-1)
+
+        ref = 0.7 * quad(w0) + 0.3 * quad(w1)
+        np.testing.assert_allclose(got, ref, rtol=1e-4)
         # one-leg regime: pure first-waypoint metric
         cp1 = cost.pop(cp)
         got1 = np.asarray(cost.state_cost(cp1, jnp.asarray(x)))
-        sq1 = StaticQuatCost(0.5, 0.2, 1.2, sigma, goal=w1,
-                             Q=np.diag(self.Q10))
-        ref1 = np.asarray(sq1.state_cost(sq1.init_params(), jnp.asarray(x)))
-        np.testing.assert_allclose(got1, ref1, rtol=1e-5)
+        np.testing.assert_allclose(got1, quad(w1), rtol=1e-4)
+        # where the state's quaternion is in the + hemisphere of the
+        # waypoint, the metric coincides with the reference's
+        # StaticQuatCost composition exactly
+        from mppi_tf_tpu.costs.static import StaticQuatCost
+
+        sigma = np.diag([40.0] * 3 + [5.0] * 3)
+        pos_mask = (x[:, 3:7].astype(np.float64) @ w0[3:7]) >= 0
+        sq = StaticQuatCost(0.5, 0.2, 1.2, sigma, goal=w0, Q=Q)
+        sref = np.asarray(sq.state_cost(sq.init_params(), jnp.asarray(x)))
+        np.testing.assert_allclose(quad(w0)[pos_mask], sref[pos_mask],
+                                   rtol=1e-4)
 
     def test_double_cover_attitude_metric(self):
-        """q and -q are the SAME attitude under the flat 13-dim quadratic
-        they are maximally distant — the quat metric treats theta by the
-        acos of the (clipped) dot, the reference's exact expression."""
+        """q and -q are the SAME attitude: the geodesic |dot| metric gives
+        zero error for BOTH hemispheres — a waypoint authored as -q (or a
+        plant whose quaternion drifts sign mid-mission) must still score
+        zero at the goal attitude and still pop. (The flat 13-dim
+        quadratic — and the signed-dot metric — would score it maximally
+        distant, permanently stalling the mission.)"""
         w0 = self._wp(yaw=0.8)
         cost = self._cost([w0], alpha=0.3)
         cp = cost.init_params()
-        x = w0.copy()[None, :].astype(np.float32)
-        d = np.asarray(cost.dist(cp, jnp.asarray(x)))[0]
-        np.testing.assert_allclose(d, 0.0, atol=1e-6)
+        for sign in (1.0, -1.0):
+            x = w0.copy()[None, :].astype(np.float32)
+            x[0, 3:7] *= sign
+            d = np.asarray(cost.dist(cp, jnp.asarray(x)))[0]
+            np.testing.assert_allclose(d, 0.0, atol=1e-6, err_msg=str(sign))
+
+    def test_negated_waypoint_still_pops(self):
+        """End-to-end double-cover check on the mission surface: a mission
+        whose waypoint attitude is authored as -q pops when the vehicle
+        reaches the +q attitude."""
+        from tests.test_auv_kernel import _auv_cfg
+
+        from mppi_tf_tpu.controller.mppi import MPPI
+        from mppi_tf_tpu.models import get_model
+
+        sigma = np.diag([40.0] * 3 + [5.0] * 3)
+        model = get_model(_auv_cfg(), dt=0.1, action_dim=6)
+        w = self._wp(z=-1.0, yaw=0.8)
+        w_neg = w.copy()
+        w_neg[3:7] *= -1.0
+        deeper = self._wp(z=-2.0, yaw=0.8)
+        cost = self._cost([w], alpha=0.2)
+        ctrl = MPPI(model, cost, k=32, tau=3, lam=0.5, upsilon=1.0,
+                    sigma=sigma, seed=0)
+        ctrl.set_waypoints([w_neg, deeper])
+        at_goal = w.copy()  # +q hemisphere
+        assert ctrl.advance_waypoints(at_goal, radius=0.5) is True
+
+    def test_set_goal_and_add_waypoint_validate(self):
+        """The unit-quaternion check guards EVERY queue-mutation surface,
+        not just set_waypoints (review finding: set_goal/add_waypoint
+        bypassed it)."""
+        cost = self._cost([self._wp(z=-1.0)])
+        cp = cost.init_params()
+        with pytest.raises(ValueError, match="unit"):
+            cost.set_goal(cp, np.zeros(13))
+        with pytest.raises(ValueError, match="unit"):
+            cost.add_waypoint(cp, np.zeros(13))
+        with pytest.raises(ValueError, match="dim"):
+            cost.set_goal(cp, np.zeros(4))
+        # valid mutations still work and renormalise drift
+        w = self._wp(yaw=0.4)
+        w[3:7] *= 1.0 + 5e-4
+        cp2 = cost.set_goal(cp, w)
+        q = np.asarray(cp2["waypoints"][0][3:7])
+        np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-6)
 
     def test_dist_single_and_batched(self):
         w0 = self._wp(z=-2.0)

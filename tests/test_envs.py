@@ -373,6 +373,7 @@ class TestOnDevicePlant:
             run_experiment(host_cfg, task_cfg, model_cfg, steps=5,
                            on_device=True)
 
+    @pytest.mark.slow
     def test_on_device_loop_with_sharded_controllers(self):
         """Pod-scale on-device experiment: the shard_map'ed solves
         (ShardedMPPI and ShardedFusedMPPI) inline into the same one-program

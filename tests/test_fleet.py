@@ -256,6 +256,7 @@ def test_fleet_on_device_loop():
     assert np.asarray(a_sh).shape == (5, 8, 2)
 
 
+@pytest.mark.slow
 def test_fleet_auv_flagship():
     """The fleet surface is model-agnostic: a fleet of full-Fossen AUVs
     with distinct depth setpoints, fused AUV kernel scanned per vehicle

@@ -236,3 +236,31 @@ class TestRadiusTracedPop:
         assert fleet.advance_waypoints(states, radius=0.123) == 0
         assert fleet._advance_jit is pop
         assert not hasattr(fleet, "_advance_cache")
+
+
+class TestOnDeviceAUVQuatMission:
+    def test_auv_quat_mission_pops_inside_the_scan(self):
+        """Flagship compiled-mission path: the full Fossen AUV flies a
+        2-leg quaternion mission with the pops running INSIDE the
+        on-device scan (waypoint_radius=) — zero host round trips, and
+        the final queue state syncs back to the controller."""
+        from tests.test_auv_kernel import _auv_cfg
+
+        from mppi_tf_tpu.envs.analytic import AUVEnv
+        from mppi_tf_tpu.envs.mjx_env import build_on_device_loop
+
+        model, ctrl, wp1, wp2 = \
+            TestAUVQuatMissions()._auv_mission_controller()
+        ctrl.set_waypoints([wp1, wp2])
+        env = AUVEnv(_auv_cfg(), dt=0.02)
+        run = build_on_device_loop(ctrl, env.step_fn, steps=200,
+                                   substeps=5, waypoint_radius=0.5)
+        states, _ = run(np.concatenate([np.zeros(6), [1.0], np.zeros(6)]),
+                        jax.random.PRNGKey(0))
+        states = np.asarray(states)
+        assert int(ctrl._cparams["count"]) == 1  # popped wp1 in-scan
+        np.testing.assert_allclose(
+            np.asarray(ctrl._cparams["waypoints"][0]), wp2, atol=1e-5)
+        assert abs(states[-1, 2] - wp2[2]) < 0.25, states[-1, 2]
+        qn = np.linalg.norm(states[:, 3:7], axis=1)
+        np.testing.assert_allclose(qn, 1.0, atol=1e-3)

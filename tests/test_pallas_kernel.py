@@ -20,6 +20,10 @@ from mppi_tf_tpu.kernels.pm_mppi import (FusedPointMassMPPI, chunk_noise,
                                          default_tile)
 from mppi_tf_tpu.models import get_model
 
+# interpret-mode kernel parity: minutes-scale, excluded from the fast
+# developer loop (pytest -m 'not slow'); the driver default runs all
+pytestmark = pytest.mark.slow
+
 
 def test_default_tile():
     """Measured auto-tile (v5e sweep): 512-multiple covering small K,

@@ -314,3 +314,25 @@ def test_served_vehicle_index_on_single_controller_rejected():
     finally:
         client.close()
         server.close()
+
+
+def test_served_set_goal_vehicle_index_on_single_controller_rejected():
+    """Review finding: the advisor-r3 guard existed on set_waypoints but
+    not on the adjacent set_goal op — a 'vehicle' index against a
+    non-fleet server must be an error, not a silent full re-goal."""
+    model, cost, sigma = _family()
+    ctrl = MPPI(model, cost, k=32, tau=4, lam=0.6, upsilon=1.0,
+                sigma=sigma, seed=5)
+    goal_before = np.asarray(ctrl._cparams["goal"]).copy()
+    server = ControlServer(ctrl)
+    host, port = server.serve_background()
+    client = ControlClient(host, port)
+    try:
+        resp = client.request(op="set_goal", goal=[9.0, 0.0, 9.0, 0.0],
+                              vehicle=2)
+        assert "error" in resp and "not a fleet" in resp["error"]
+        np.testing.assert_array_equal(
+            np.asarray(ctrl._cparams["goal"]), goal_before)
+    finally:
+        client.close()
+        server.close()

@@ -314,3 +314,27 @@ def test_xla_overlap_merge_matches_single_phase():
     with pytest.raises(ValueError, match="overlap_merge"):
         ShardedMPPI(model, cost, mesh, normalize_cost=True,
                     overlap_merge=True, **kw)
+
+
+def test_xla_overlap_merge_rejects_tiny_shards():
+    """k_local < 2 cannot split into head and tail (review finding: the
+    head-size formula collapsed to an empty chunk and a trace-time
+    crash); the constructor must refuse loudly."""
+    import jax.numpy as jnp
+
+    from mppi_tf_tpu.costs import get_cost
+    from mppi_tf_tpu.models import get_model
+    from mppi_tf_tpu.parallel import ShardedMPPI, make_mesh
+
+    sigma = np.diag([0.3, 0.25])
+    model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                      state_dim=4, action_dim=2, dtype=jnp.float64)
+    cost = get_cost({"type": "static", "diag": True,
+                     "goal": [1.0, 0.0, -0.5, 0.0],
+                     "Q": [5.0, 1.0, 5.0, 1.0]},
+                    lam=0.7, gamma=0.2, upsilon=1.1, sigma=sigma,
+                    dtype=jnp.float64)
+    mesh = make_mesh(8, ("k",))
+    with pytest.raises(ValueError, match="head and tail"):
+        ShardedMPPI(model, cost, mesh, k=8, tau=3, lam=0.7, upsilon=1.1,
+                    sigma=sigma, overlap_merge=True)

@@ -19,6 +19,10 @@ from mppi_tf_tpu.parallel import make_mesh
 from mppi_tf_tpu.parallel.fused import (ShardedFusedMPPI,
                                         build_sharded_fused_solve)
 
+# interpret-mode kernel parity: minutes-scale, excluded from the fast
+# developer loop (pytest -m 'not slow'); the driver default runs all
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():
