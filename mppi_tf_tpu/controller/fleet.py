@@ -39,6 +39,24 @@ import numpy as np
 from .mppi import MPPI, make_prng_key
 
 
+def _validated_goals(cost, goals, n: int, dtype):
+    """Shape-check per-vehicle goals and run the cost's host-side
+    waypoint validation BEFORE vmapping: under vmap the cost's own
+    ``set_goal`` sees tracers and must skip validation, so without this
+    hook a fleet re-goal (incl. serve.py's fleet set_goal op) could
+    silently store e.g. a non-unit quaternion that every single-vehicle
+    surface rejects (review finding)."""
+    goals = np.asarray(goals, np.float64)
+    if goals.shape[0] != n:
+        raise ValueError(
+            f"goals must carry one row per vehicle: got "
+            f"{goals.shape[0]} for n={n}")
+    validate = getattr(cost, "validate_waypoint", None)
+    if validate is not None:
+        goals = np.stack([validate(g) for g in goals])
+    return jnp.asarray(goals, dtype)
+
+
 class FleetMPPI:
     """Batched MPPI over ``n_vehicles`` sharing one model/cost family.
 
@@ -125,11 +143,7 @@ class FleetMPPI:
                 lambda x: jnp.broadcast_to(
                     jnp.asarray(x)[None], (n,) + jnp.shape(x)), cp0)
         else:
-            goals = jnp.asarray(np.asarray(goals, np.float64), self._dtype)
-            if goals.shape[0] != n:
-                raise ValueError(
-                    f"goals must carry one row per vehicle: got "
-                    f"{goals.shape[0]} for n={n}")
+            goals = _validated_goals(cost, goals, n, self._dtype)
             self._cparams = jax.vmap(
                 lambda g: cost.set_goal(cp0, g))(goals)
         self._steps = 0
@@ -234,11 +248,7 @@ class FleetMPPI:
 
     def set_goals(self, goals) -> None:
         """Re-task every vehicle: goals [n, goal_dim]. No retrace."""
-        goals = jnp.asarray(np.asarray(goals, np.float64), self._dtype)
-        if goals.shape[0] != self._n:
-            raise ValueError(
-                f"goals must carry one row per vehicle: got "
-                f"{goals.shape[0]} for n={self._n}")
+        goals = _validated_goals(self._cost, goals, self._n, self._dtype)
         cp0 = self._cost.init_params()
         self._cparams = jax.vmap(lambda g: self._cost.set_goal(cp0, g))(
             goals)
@@ -285,7 +295,8 @@ class FleetMPPI:
         state is within ``radius`` of ITS leading waypoint, pop that
         vehicle's queue. Requires a WayPointsCost; returns how many queues
         advanced. ONE vmapped dispatch + one host sync for the whole fleet
-        — never retraces (the jitted pop is cached per radius)."""
+        — never retraces (ONE jitted pop; the squared radius is a traced
+        argument, so any radius reuses the same executable)."""
         from ..costs.waypoints import WayPointsCost
 
         if not isinstance(self._cost, WayPointsCost):

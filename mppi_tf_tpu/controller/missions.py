@@ -62,10 +62,11 @@ def validate_mission(cost, waypoints: Sequence) -> list:
 
 
 def mission_params(cost, cp, waypoints: Sequence):
-    """Cost params with the queue replaced by ``waypoints`` (validated)."""
+    """Cost params with the queue replaced by ``waypoints`` (validated
+    ONCE here; ``_set_queue`` uploads the pre-validated rows in one shot
+    instead of re-validating through set_goal + N add_waypoint calls)."""
     wps = validate_mission(cost, waypoints)
-    cp = cost.set_goal(cp, wps[0])  # reset the queue to wps[0]
-    return cost.add_waypoints(cp, wps[1:])
+    return cost._set_queue(cp, wps)
 
 
 class MissionMixin:

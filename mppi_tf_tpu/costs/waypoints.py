@@ -87,6 +87,18 @@ class WayPointsCost(CostBase):
             np.asarray(waypoint, np.float64).reshape(-1))
 
     # --- queue management (functional; reference: cost_base.py:230-238) ---
+    def _set_queue(self, cp, rows):
+        """Replace the whole queue from PRE-VALIDATED float64 rows (the
+        missions layer validates once; re-validating per waypoint through
+        set_goal + N add_waypoint calls doubled the host work — review
+        finding). One upload instead of N functional updates."""
+        rows = np.asarray(rows, np.float64).reshape(-1, self.dim)
+        n = min(rows.shape[0], self.max_waypoints)
+        wps = np.zeros((self.max_waypoints, self.dim))
+        wps[:n] = rows[:n]
+        return {"waypoints": jnp.asarray(wps, self._dtype),
+                "count": jnp.asarray(max(n, 1), jnp.int32)}
+
     def add_waypoint(self, cp, waypoint):
         w = jnp.asarray(self._checked(waypoint),
                         dtype=self._dtype).reshape(-1)

@@ -119,44 +119,41 @@ def build_sharded_solve(
         wnoise = upd.mppi_update(
             costs, eps, lam, normalize=normalize_cost, axis_name=axis
         )
-        new_useq = useq + wnoise
-        if clip_actions:
-            new_useq = jnp.clip(new_useq, model.min_act(), model.max_act())
-        if filter_mat is not None:
-            new_useq = filter_mat @ new_useq
-        action = new_useq[0]
-        shifted = upd.shift(
-            new_useq, jnp.zeros((1, adim), dtype=new_useq.dtype), 1
-        )
         info = {
             "cost_min": jax.lax.pmin(jnp.min(costs), axis),
             "cost_mean": jax.lax.pmean(jnp.mean(costs), axis),
             "cost_max": jax.lax.pmax(jnp.max(costs), axis),
         }
-        return action, shifted, info
+        return _finish(useq, wnoise, info)
 
     def _partial_softmax(costs, eps):
-        """Per-chunk online-softmax partials: (m, l, zsum) such that the
-        global weighted noise is merge(m, l, zsum) across chunks/shards —
-        the parallel/fused.py shard-merge algebra in plain XLA."""
-        z = -costs / lam
-        m = jnp.max(z)
-        w = jnp.exp(z - m)
-        return m, jnp.sum(w), jnp.einsum("k,kta->ta", w, eps)
+        """Per-chunk online-softmax partials: (beta, l, zsum) such that
+        the global weighted noise is merge(...) across chunks/shards —
+        the parallel/fused.py shard-merge algebra in plain XLA, anchored
+        at the chunk's own beta = min(costs). The beta subtraction
+        happens BEFORE the 1/lam scaling (exactly like ops/update.py's
+        exp_arg), so the f32 envelope matches the single-phase path — a
+        raw -costs/lam would overflow lam-times earlier at extreme cost
+        magnitudes (review finding)."""
+        b = jnp.min(costs)
+        w = jnp.exp((b - costs) / lam)  # in (0, 1], exact 1 at the beta
+        return b, jnp.sum(w), jnp.einsum("k,kta->ta", w, eps)
 
-    def _merge_pair(a, b):
-        m_a, l_a, s_a = a
-        m_b, l_b, s_b = b
-        m = jnp.maximum(m_a, m_b)
-        f_a = jnp.exp(m_a - m)
-        f_b = jnp.exp(m_b - m)
-        return m, l_a * f_a + l_b * f_b, s_a * f_a + s_b * f_b
+    def _merge_pair(a, b_):
+        b_a, l_a, s_a = a
+        b_b, l_b, s_b = b_
+        b = jnp.minimum(b_a, b_b)
+        # (b - b_x)/lam <= 0: a chunk whose beta is worse by more than
+        # the f32 exponent range contributes exp(-inf) = 0 — correct
+        f_a = jnp.exp((b - b_a) / lam)
+        f_b = jnp.exp((b - b_b) / lam)
+        return b, l_a * f_a + l_b * f_b, s_a * f_a + s_b * f_b
 
     def _reduce_partial(p):
-        m, l, s = p
-        mg = jax.lax.pmax(m, axis)
-        f = jnp.exp(m - mg)
-        return mg, jax.lax.psum(l * f, axis), jax.lax.psum(s * f, axis)
+        b, l, s = p
+        bg = jax.lax.pmin(b, axis)
+        f = jnp.exp((bg - b) / lam)
+        return bg, jax.lax.psum(l * f, axis), jax.lax.psum(s * f, axis)
 
     def _finish(useq, wnoise, stats):
         new_useq = useq + wnoise

@@ -493,3 +493,37 @@ def test_fleet_quat_waypoint_missions():
     states[1, 3:7] = [0.0, 0.0, 1.0, 0.0]
     assert fleet.advance_waypoints(states, radius=0.5)
     np.testing.assert_array_equal(fleet.waypoints_remaining(), [1, 2])
+
+
+def test_fleet_goal_surfaces_validate_quat_waypoints():
+    """Review finding: set_goals / __init__(goals=) route cost.set_goal
+    through vmap, where tracers skip the unit-quaternion validation — the
+    fleet must validate host-side BEFORE vmapping so a remote fleet
+    re-goal cannot silently store a degenerate attitude."""
+    from tests.test_auv_kernel import _auv_cfg
+
+    from mppi_tf_tpu.models import get_model
+
+    sigma = np.diag([2000.0] * 3 + [200.0] * 3)
+    model = get_model(_auv_cfg(), dt=0.1, action_dim=6)
+    wp = np.zeros(13)
+    wp[2], wp[6] = -1.0, 1.0
+    cost = get_cost({"type": "waypoints_quat", "diag": True,
+                     "waypoints": [wp.tolist()],
+                     "Q": [60.0, 60.0, 60.0, 10.0,
+                           1.0, 1.0, 1.0, 1.0, 1.0, 1.0]},
+                    lam=0.5, gamma=0.2, upsilon=1.0, sigma=sigma)
+    bad = np.zeros((2, 13))  # zero quaternions
+    with pytest.raises(ValueError, match="unit"):
+        FleetMPPI(model, cost, n_vehicles=2, k=16, tau=3, lam=0.5,
+                  upsilon=1.0, sigma=sigma, goals=bad)
+    fleet = FleetMPPI(model, cost, n_vehicles=2, k=16, tau=3, lam=0.5,
+                      upsilon=1.0, sigma=sigma)
+    with pytest.raises(ValueError, match="unit"):
+        fleet.set_goals(bad)
+    # valid goals (mild drift) renormalise and apply
+    good = np.stack([wp, wp])
+    good[:, 3:7] *= 1.0 + 5e-4
+    fleet.set_goals(good)
+    q = np.asarray(fleet._cparams["waypoints"][:, 0, 3:7])
+    np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-6)
