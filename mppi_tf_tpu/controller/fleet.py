@@ -322,6 +322,8 @@ class FleetMPPI:
 
     # checkpoint/resume (same .npz scheme as MPPI.save_state) -------------
     def save_state(self, path: str) -> None:
+        from .state_io import cparams_entries
+
         np.savez(
             path,
             useq=np.asarray(self._useq),
@@ -330,6 +332,8 @@ class FleetMPPI:
             steps=self._steps,
             timing_total=self._timing["total"],
             timing_calls=self._timing["calls"],
+            # per-vehicle goals / mission queues are mutable state too
+            **cparams_entries(self._cparams),
         )
 
     def load_state(self, path: str) -> None:
@@ -345,6 +349,9 @@ class FleetMPPI:
         self._steps = int(d["steps"])
         self._timing = {"total": float(d["timing_total"]),
                         "calls": int(d["timing_calls"])}
+        from .state_io import load_cparams
+
+        self._cparams = load_cparams(d, self._cparams)
 
     # on-device fleet experiment ------------------------------------------
     def build_on_device_loop(self, plant_step, steps: int,

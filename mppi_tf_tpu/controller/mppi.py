@@ -476,6 +476,8 @@ class MPPI(MissionMixin):
         (SURVEY.md §5.4), so a crashed closed-loop run lost its receding
         horizon. ``load_state`` resumes bit-exact on the same backend.
         """
+        from .state_io import cparams_entries
+
         np.savez(
             path,
             useq=np.asarray(self._useq),
@@ -484,6 +486,9 @@ class MPPI(MissionMixin):
             steps=self._steps,
             timing_total=self._timing["total"],
             timing_calls=self._timing["calls"],
+            # cost params are mutable state too: a re-tasked goal or a
+            # partially-flown mission queue must survive the resume
+            **cparams_entries(self._cparams),
         )
 
     def load_state(self, path: str):
@@ -505,6 +510,9 @@ class MPPI(MissionMixin):
         self._steps = int(d["steps"])
         self._timing = {"total": float(d["timing_total"]),
                         "calls": int(d["timing_calls"])}
+        from .state_io import load_cparams
+
+        self._cparams = load_cparams(d, self._cparams)
 
     # accessors ---------------------------------------------------------
     @property

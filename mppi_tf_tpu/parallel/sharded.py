@@ -381,11 +381,14 @@ class ShardedMPPI(ShardedControllerMixin):
     def save_state(self, path: str):
         """Checkpoint the mutable controller state (mirrors MPPI.save_state;
         SURVEY.md §5.4 — the reference has no controller-state checkpoint)."""
+        from ..controller.state_io import cparams_entries
+
         np.savez(path, useq=np.asarray(self._useq),
                  key=np.asarray(jax.random.key_data(self._key)),
                  key_impl=np.str_(self._prng_impl),
                  timing_total=self._timing["total"],
-                 timing_calls=self._timing["calls"])
+                 timing_calls=self._timing["calls"],
+                 **cparams_entries(self._cparams))
 
     def load_state(self, path: str):
         d = np.load(path)
@@ -400,6 +403,9 @@ class ShardedMPPI(ShardedControllerMixin):
         self._prng_impl = impl
         self._timing = {"total": float(d["timing_total"]),
                         "calls": int(d["timing_calls"])}
+        from ..controller.state_io import load_cparams
+
+        self._cparams = load_cparams(d, self._cparams)
 
     @property
     def useq(self):

@@ -264,3 +264,87 @@ class TestOnDeviceAUVQuatMission:
         assert abs(states[-1, 2] - wp2[2]) < 0.25, states[-1, 2]
         qn = np.linalg.norm(states[:, 3:7], axis=1)
         np.testing.assert_allclose(qn, 1.0, atol=1e-3)
+
+
+class TestMissionCheckpointResume:
+    def test_partially_flown_mission_survives_save_load(self, tmp_path):
+        """Round-4 gap: cost params (re-tasked goals, mission queues) are
+        controller state too — a resumed run must NOT revert to leg one.
+        save_state/load_state round-trip the cparams pytree bit-exact."""
+        _, ctrl = _mission_controller()
+        ctrl.set_waypoints([WP1, WP2, WP3])
+        near = np.asarray(WP1) + 0.05
+        assert ctrl.advance_waypoints(near, radius=0.25) is True
+        assert ctrl.waypoints_remaining() == 2
+        p = str(tmp_path / "ctrl.npz")
+        ctrl.save_state(p)
+        _, fresh = _mission_controller()
+        assert fresh.waypoints_remaining() == 1  # its own initial queue
+        fresh.load_state(p)
+        assert fresh.waypoints_remaining() == 2
+        np.testing.assert_array_equal(
+            np.asarray(fresh._cparams["waypoints"]),
+            np.asarray(ctrl._cparams["waypoints"]))
+
+    def test_retasked_goal_survives_save_load(self, tmp_path):
+        from mppi_tf_tpu.costs import get_cost
+
+        sigma = np.diag([0.4, 0.4])
+        model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                          state_dim=4, action_dim=2)
+        cost = get_cost({"type": "static", "diag": True,
+                         "goal": [1.0, 0.0, 0.0, 0.0],
+                         "Q": [6.0, 0.6, 6.0, 0.6]},
+                        lam=0.4, gamma=0.1, upsilon=1.0, sigma=sigma)
+        ctrl = MPPI(model, cost, k=32, tau=4, lam=0.4, upsilon=1.0,
+                    sigma=sigma, seed=1)
+        ctrl.set_goal([0.5, 0.0, -0.5, 0.0])
+        p = str(tmp_path / "goal.npz")
+        ctrl.save_state(p)
+        fresh = MPPI(model, cost, k=32, tau=4, lam=0.4, upsilon=1.0,
+                     sigma=sigma, seed=1)
+        fresh.load_state(p)
+        np.testing.assert_allclose(
+            np.asarray(fresh._cparams["goal"]), [0.5, 0.0, -0.5, 0.0])
+
+    def test_fleet_mission_queues_survive_save_load(self, tmp_path):
+        from mppi_tf_tpu.controller import FleetMPPI
+        from mppi_tf_tpu.costs.waypoints import WayPointsCost
+
+        sigma = np.diag([0.4, 0.4])
+        model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                          state_dim=4, action_dim=2)
+        cost = WayPointsCost(0.4, 0.1, 1.0, sigma,
+                             Q=np.array([6.0, 0.6, 6.0, 0.6]), diag=True,
+                             waypoints=[WP1])
+        fleet = FleetMPPI(model, cost, n_vehicles=2, k=16, tau=3, lam=0.4,
+                          upsilon=1.0, sigma=sigma, seed=1)
+        fleet.set_vehicle_waypoints(0, [WP1, WP2])
+        fleet.set_vehicle_waypoints(1, [WP2, WP3])
+        p = str(tmp_path / "fleet.npz")
+        fleet.save_state(p)
+        fresh = FleetMPPI(model, cost, n_vehicles=2, k=16, tau=3, lam=0.4,
+                          upsilon=1.0, sigma=sigma, seed=1)
+        fresh.load_state(p)
+        np.testing.assert_array_equal(fresh.waypoints_remaining(), [2, 2])
+        np.testing.assert_array_equal(
+            np.asarray(fresh._cparams["waypoints"]),
+            np.asarray(fleet._cparams["waypoints"]))
+
+    def test_wrong_cost_family_checkpoint_rejected(self, tmp_path):
+        from mppi_tf_tpu.costs import get_cost
+
+        _, ctrl = _mission_controller()
+        p = str(tmp_path / "wp.npz")
+        ctrl.save_state(p)
+        sigma = np.diag([0.4, 0.4])
+        model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                          state_dim=4, action_dim=2)
+        static = get_cost({"type": "static", "diag": True,
+                           "goal": [1.0, 0.0, 0.0, 0.0],
+                           "Q": [6.0, 0.6, 6.0, 0.6]},
+                          lam=0.4, gamma=0.1, upsilon=1.0, sigma=sigma)
+        other = MPPI(model, static, k=300, tau=12, lam=0.4, upsilon=1.0,
+                     sigma=sigma, seed=5)
+        with pytest.raises(ValueError, match="cost"):
+            other.load_state(p)
