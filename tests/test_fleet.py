@@ -527,3 +527,61 @@ def test_fleet_goal_surfaces_validate_quat_waypoints():
     fleet.set_goals(good)
     q = np.asarray(fleet._cparams["waypoints"][:, 0, 3:7])
     np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-6)
+
+
+@pytest.mark.slow  # interpret-mode AUV kernel: minutes-scale
+def test_fleet_fused_quat_missions_match_per_vehicle_fused():
+    """kernel='pallas' fleet over WayPointsQuatCost (interpret mode):
+    per-vehicle quaternion mission queues flow through the per-vehicle
+    SMEM packs (two goals + blend weights), and a queue pop re-packs
+    without recompiling — each vehicle must equal a standalone fused MPPI
+    with the same mission, before AND after the pop."""
+    from tests.test_auv_kernel import _auv_cfg
+
+    from mppi_tf_tpu.models import get_model
+
+    sigma = np.diag([40.0] * 3 + [5.0] * 3)
+    model = get_model(_auv_cfg(), dt=0.1, action_dim=6)
+    wp_a1 = np.zeros(13); wp_a1[2], wp_a1[6] = -1.0, 1.0
+    wp_a2 = np.zeros(13); wp_a2[2], wp_a2[6] = -2.0, 1.0
+    wp_b1 = np.zeros(13)
+    wp_b1[0], wp_b1[2] = 2.0, -1.0
+    wp_b1[3], wp_b1[6] = np.sin(0.3), np.cos(0.3)
+    wp_b2 = wp_a2
+    cost = get_cost({"type": "waypoints_quat", "diag": True, "alpha": 0.25,
+                     "waypoints": [wp_a1.tolist()],
+                     "Q": [60.0, 60.0, 60.0, 10.0,
+                           1.0, 1.0, 1.0, 1.0, 1.0, 1.0]},
+                    lam=0.5, gamma=0.2, upsilon=1.0, sigma=sigma)
+    n, k, tau, tile = 2, 32, 2, 16
+    fleet = FleetMPPI(model, cost, n_vehicles=n, k=k, tau=tau, lam=0.5,
+                      upsilon=1.0, sigma=sigma, seed=7, kernel="pallas",
+                      kernel_tile=tile)
+    assert fleet._tpl._fused is not None
+    missions = [[wp_a1, wp_a2], [wp_b1, wp_b2]]
+    for v, m in enumerate(missions):
+        fleet.set_vehicle_waypoints(v, m)
+    n_tiles = fleet._n_tiles
+    states = np.zeros((n, 13))
+    states[:, 6] = 1.0
+    a_fleet = fleet.next(states)
+
+    singles = []
+    for v in range(n):
+        s = MPPI(model, cost, k=k, tau=tau, lam=0.5, upsilon=1.0,
+                 sigma=sigma, seed=7 + v * n_tiles, kernel="pallas",
+                 kernel_tile=tile)
+        s.set_waypoints(missions[v])
+        np.testing.assert_allclose(a_fleet[v], s.next(states[v]),
+                                   rtol=1e-5, atol=1e-7)
+        singles.append(s)
+
+    # vehicle 0 reaches its leading waypoint -> ITS queue pops; the next
+    # fleet step must equal singles with the same post-pop queues
+    states[0] = wp_a1
+    assert fleet.advance_waypoints(states, radius=0.5) == 1
+    assert singles[0].advance_waypoints(states[0], radius=0.5) is True
+    a_fleet2 = fleet.next(states)
+    for v in range(n):
+        np.testing.assert_allclose(a_fleet2[v], singles[v].next(states[v]),
+                                   rtol=1e-5, atol=1e-7)
