@@ -356,10 +356,15 @@ class ShardedFusedMPPI(ShardedControllerMixin):
 
     def save_state(self, path: str):
         """Checkpoint the mutable controller state (mirrors MPPI.save_state;
-        the PRNG position is the deterministic step counter)."""
+        the PRNG position is the deterministic step counter). Cost params
+        (re-tasked goals, mission queues) are state too — see
+        controller/state_io.py."""
+        from ..controller.state_io import cparams_entries
+
         np.savez(path, useq=np.asarray(self._useq), steps=self._steps,
                  timing_total=self._timing["total"],
-                 timing_calls=self._timing["calls"])
+                 timing_calls=self._timing["calls"],
+                 **cparams_entries(self._cparams))
 
     def load_state(self, path: str):
         d = np.load(path)
@@ -371,6 +376,9 @@ class ShardedFusedMPPI(ShardedControllerMixin):
         self._steps = int(d["steps"])
         self._timing = {"total": float(d["timing_total"]),
                         "calls": int(d["timing_calls"])}
+        from ..controller.state_io import load_cparams
+
+        self._cparams = load_cparams(d, self._cparams)
 
     @property
     def useq(self):

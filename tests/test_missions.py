@@ -348,3 +348,28 @@ class TestMissionCheckpointResume:
                      sigma=sigma, seed=5)
         with pytest.raises(ValueError, match="cost"):
             other.load_state(p)
+
+    def test_sharded_fused_mission_survives_save_load(self, tmp_path):
+        from mppi_tf_tpu.parallel import make_mesh
+        from mppi_tf_tpu.parallel.fused import ShardedFusedMPPI
+        from mppi_tf_tpu.costs.waypoints import WayPointsCost
+
+        sigma = np.diag([0.4, 0.4])
+        model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                          state_dim=4, action_dim=2)
+        cost = WayPointsCost(0.4, 0.1, 1.0, sigma,
+                             Q=np.array([6.0, 0.6, 6.0, 0.6]), diag=True,
+                             waypoints=[WP1])
+        mesh = make_mesh(8, ("k",))
+        kw = dict(k=8 * 16, tau=3, lam=0.4, upsilon=1.0, sigma=sigma,
+                  tile=16, interpret=True)
+        ctrl = ShardedFusedMPPI(model, cost, mesh, **kw)
+        ctrl.set_waypoints([WP1, WP2])
+        p = str(tmp_path / "sf.npz")
+        ctrl.save_state(p)
+        fresh = ShardedFusedMPPI(model, cost, mesh, **kw)
+        fresh.load_state(p)
+        assert fresh.waypoints_remaining() == 2
+        np.testing.assert_array_equal(
+            np.asarray(fresh._cparams["waypoints"]),
+            np.asarray(ctrl._cparams["waypoints"]))
