@@ -17,6 +17,7 @@ row the framework claims, driver-verifiable in one run:
     dispatch per whole-fleet replan (controller/fleet.py)
     on-device closed loop: 500 control steps (solve + plant) as ONE program
     on-device ADAPTIVE DMD loop: DMDc refits inside the scan (wrong-mass prior)
+    on-device AUV MISSION loop: Fossen AUV + quat waypoints, pops in-scan
     in-kernel noise check (TPU only): moments/correlations/antithetic exactness
     f32 saturation probe (TPU only): ~1e34 costs through both fused paths
     serving-surface latency: client-observed TCP round trip vs solve_ms,
@@ -373,6 +374,90 @@ def run_on_device_loop_workload(K, TAU, STEPS, tile):
             "backend": backend,
             "kernel": kernel,
             "workload": "point_mass",
+            "K": K,
+            "H": TAU,
+            "steps": STEPS,
+            "on_device_loop": True,
+            "sharded": False,
+            "n_devices": len(jax.devices()),
+        },
+    }
+
+
+def run_auv_mission_loop_workload(K, TAU, STEPS, tile):
+    """Flagship mission, end-to-end ON DEVICE: the full Fossen AUV flies a
+    2-leg quaternion waypoint mission (WayPointsQuatCost, fused kernel on
+    TPU) with the queue pops INSIDE the compiled scan (waypoint_radius=)
+    — solve + ZOH + 5 plant substeps + attitude-aware pop x STEPS as ONE
+    program. Reports ms per control step including the plant, plus
+    whether the mission actually completed (legs popped, final depth)."""
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    from mppi_tf_tpu import flagship
+    from mppi_tf_tpu.controller.mppi import MPPI
+    from mppi_tf_tpu.costs import get_cost
+    from mppi_tf_tpu.envs.analytic import AUVEnv
+    from mppi_tf_tpu.envs.mjx_env import build_on_device_loop
+    from mppi_tf_tpu.models import get_model
+
+    kernel = "pallas" if backend == "tpu" else "xla"
+    sigma = np.diag([2000.0] * 3 + [200.0] * 3)
+    params = flagship.auv_params()
+    model = get_model(params, dt=0.1, action_dim=6)
+    wp1 = np.zeros(13)
+    wp1[2], wp1[6] = -1.0, 1.0
+    wp2 = np.zeros(13)
+    wp2[2], wp2[6] = -2.0, 1.0
+    cost = get_cost({"type": "waypoints_quat", "diag": True, "alpha": 0.2,
+                     "waypoints": [wp1.tolist(), wp2.tolist()],
+                     "Q": [60.0, 60.0, 60.0, 10.0,
+                           1.0, 1.0, 1.0, 1.0, 1.0, 1.0]},
+                    lam=0.5, gamma=0.2, upsilon=1.0, sigma=sigma)
+    # normalize_cost: at rexrov-scale unnormalized costs the softmax
+    # collapses to near-argmax and the closed loop stalls (the same
+    # regime note as tests/test_envs.py's AUV loop); the fused path runs
+    # it as the two-phase kernel
+    ctrl = MPPI(model, cost, k=K, tau=TAU, lam=0.5, upsilon=1.0,
+                sigma=sigma, seed=3, kernel=kernel, kernel_tile=tile,
+                normalize_cost=True)
+    env = AUVEnv(params, dt=0.02)
+    run = build_on_device_loop(ctrl, env.step_fn, steps=STEPS, substeps=5,
+                               waypoint_radius=0.5)
+    x0 = np.zeros(13)
+    x0[6] = 1.0
+    key = jax.random.PRNGKey(0)
+    out = jax.block_until_ready(run(x0, key))
+    times = []
+    for _ in range(3):
+        ctrl.set_waypoints([wp1, wp2])  # re-arm the mission between runs
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(run(x0, key))
+        times.append(time.perf_counter() - t0)
+    states = np.asarray(out[0])
+    per_step = float(np.median(times)) / STEPS
+    p50_ms = per_step * 1e3
+    legs_left = int(np.asarray(ctrl._cparams["count"]))
+    final_depth_err = float(abs(states[-1, 2] - wp2[2]))
+    quat_drift = float(np.abs(
+        np.linalg.norm(states[:, 3:7], axis=1) - 1.0).max())
+    return {
+        "metric": (f"on_device_auv_mission_step_ms@K={K},H={TAU},"
+                   f"steps={STEPS},{backend},{kernel}"),
+        "value": round(p50_ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(10.0 / p50_ms, 3),
+        "extra": {
+            "control_steps_per_s": round(1.0 / per_step, 2),
+            "experiment_ms": round(float(np.median(times)) * 1e3, 2),
+            "legs_remaining": legs_left,
+            "mission_popped": legs_left == 1,
+            "final_depth_err": round(final_depth_err, 4),
+            "quat_norm_drift": quat_drift,
+            "backend": backend,
+            "kernel": kernel,
+            "workload": "auv_mission",
             "K": K,
             "H": TAU,
             "steps": STEPS,
@@ -980,6 +1065,17 @@ def main():
         r = run_adaptive_dmd_loop_workload(k_od, tau_od, steps_ad, tile)
     except Exception as e:
         r = {"metric": f"FAILED@on_device_adaptive_dmd,K={k_od},H={tau_od}",
+             "error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(r), flush=True)
+    suite.append(r)
+    # flagship on-device mission: AUV + quat waypoints, pops in-scan
+    k_ms = min(65_536, cap_k) if cap_k else 65_536
+    tau_ms = min(15, cap_tau) if cap_tau else 15
+    steps_ms = min(200, steps_od)
+    try:
+        r = run_auv_mission_loop_workload(k_ms, tau_ms, steps_ms, tile)
+    except Exception as e:
+        r = {"metric": f"FAILED@on_device_auv_mission,K={k_ms},H={tau_ms}",
              "error": f"{type(e).__name__}: {e}"}
     print(json.dumps(r), flush=True)
     suite.append(r)

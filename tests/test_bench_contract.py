@@ -98,18 +98,28 @@ def test_bench_suite_mode(tmp_path):
         "pytest must not rewrite the repo-root BENCH_SUITE.json"
     assert final["extra"]["suite_rows"] == len(suite)
     assert final["extra"]["suite_errors"] == 0
-    # 15 rows on CPU (the in-kernel noise + saturation checks and the
+    # 16 rows on CPU (the in-kernel noise + saturation checks and the
     # extra fused fleet row are TPU-only)
-    assert len(suite) == 15, [r["metric"] for r in suite]
+    assert len(suite) == 16, [r["metric"] for r in suite]
     # every row was also printed as its own parseable line above the
     # headline, so the suite is recoverable from stdout alone
     printed = [json.loads(ln) for ln in lines[:-1]]
     assert [r["metric"] for r in printed] == [r["metric"] for r in suite]
     workloads = {r["extra"]["workload"] for r in suite if "extra" in r}
     assert workloads == {"point_mass", "auv", "auv_waypoints", "nn", "dmd",
-                         "dmd_adaptive", "point_mass_fleet", "auv_fleet",
+                         "dmd_adaptive", "auv_mission",
+                         "point_mass_fleet", "auv_fleet",
                          "point_mass_serve",
                          "point_mass_multiprocess"}, workloads
+    mission_row = next(r for r in suite
+                       if r["extra"]["workload"] == "auv_mission")
+    # the 2-step CPU cap cannot fly the mission; completion (mission_
+    # popped True, small final_depth_err) is asserted by the uncapped
+    # TPU suite record — here check the row's structure and sanity
+    for key in ("mission_popped", "legs_remaining", "final_depth_err",
+                "quat_norm_drift"):
+        assert key in mission_row["extra"], mission_row["extra"]
+    assert mission_row["extra"]["quat_norm_drift"] < 1e-2, mission_row
     serve_row = next(r for r in suite
                      if r["extra"]["workload"] == "point_mass_serve")
     for key in ("solve_ms_p50", "wire_overhead_ms_p50",
