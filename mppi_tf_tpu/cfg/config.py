@@ -89,9 +89,22 @@ def patch_config(cfg: Dict[str, Any], **overrides) -> Dict[str, Any]:
         if key == "noise" and not hasattr(value, "__len__"):
             import numpy as np
 
-            base = np.asarray(out.get("noise"), dtype=float)
-            out["noise"] = (value * np.eye(base.shape[0])).tolist() \
-                if base.ndim != 2 else (value * base).tolist()
+            # scalar noise scales the existing matrix; with no (or a
+            # scalar) existing noise there is no dimension to infer, so
+            # fail with guidance instead of a TypeError/IndexError from
+            # np.asarray(None)/0-d indexing (review finding)
+            base_raw = out.get("noise")
+            base = (np.asarray(base_raw, dtype=float)
+                    if base_raw is not None else None)
+            if base is None or base.ndim == 0:
+                raise ValueError(
+                    "scalar 'noise' override scales an existing noise "
+                    "matrix; this config has none — pass a full matrix "
+                    "(or a 1-D diagonal) instead")
+            if base.ndim == 1:
+                out["noise"] = np.diag(value * base).tolist()
+            else:
+                out["noise"] = (value * base).tolist()
         elif value is not None:
             out[key] = value
     return out

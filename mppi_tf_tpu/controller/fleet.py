@@ -437,9 +437,12 @@ class FleetMPPI:
                 # fresh noise on every run: the fused path derives kernel
                 # seeds from the global step index, the XLA path advances
                 # keys through the scan — both continue instead of
-                # replaying run #1's stream
-                step0 = getattr(self, "_ondevice_step0", 0)
-                self._ondevice_step0 = (step0 + steps) % (1 << 30)
+                # replaying run #1's stream. The fleet's OWN step counter
+                # (advanced by host-side next()) is the single stream, so
+                # host-driven and on-device periods never replay each
+                # other's seeds (review finding on the mjx_env analogue).
+                step0 = self._steps
+                self._steps = (step0 + steps) % (1 << 30)
             if batched is not None:
                 states0, keys, useq0, cp = jax.device_put(
                     (states0, keys, useq0, cp),

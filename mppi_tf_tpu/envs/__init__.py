@@ -42,5 +42,15 @@ def get_env(env_cfg, render: bool = False, model_cfg=None):
             raise ValueError(
                 "AUV env needs vehicle parameters: pass model_cfg or put a "
                 "'plant' sub-dict in the env config")
+        ptype = plant_cfg.get("type", "auv")
+        if ptype != "auv":
+            # a learned-model config must never silently become the
+            # simulator: an untrained NN plant makes the experiment
+            # circular (plant == the model being learned) with no error
+            raise ValueError(
+                f"the AUV plant needs analytic 'auv' vehicle parameters, "
+                f"got a {ptype!r} model config — give the env config a "
+                f"'plant' sub-dict with the physical vehicle (e.g. the "
+                f"rexrov2 table) when the controller's model is learned")
         return AUVEnv(plant_cfg, render=render)
     return PointMassEnv(n_dof=adim, render=render)

@@ -328,10 +328,15 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
             buf = ()
         if step0 is None:
             # seed-based (fused) paths derive per-period kernel seeds from
-            # the step index: advance a per-controller counter so repeated
-            # runs draw FRESH noise instead of replaying the first run's
-            step0 = getattr(ctrl, "_ondevice_step0", 0)
-            ctrl._ondevice_step0 = (step0 + steps) % (1 << 30)
+            # the step index. Use the controller's OWN step counter (the
+            # one host-side next() advances) so host-driven and on-device
+            # periods share ONE seed stream — a separate on-device counter
+            # replayed the host run's exact noise (review finding) — and
+            # advance it so repeated runs (and later host steps) draw
+            # fresh noise.
+            step0 = getattr(ctrl, "_steps", 0)
+            if hasattr(ctrl, "_steps"):
+                ctrl._steps = (step0 + steps) % (1 << 30)
         states, actions, mp_f, cp_f = _run(x0, key, useq0, mp, cp, buf,
                                            jnp.int32(step0))
         if pop is not None and cparams is None:

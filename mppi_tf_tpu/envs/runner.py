@@ -214,7 +214,11 @@ def run_experiment(env_cfg, task_cfg, model_cfg, steps: int = 100,
     if train_every:
         from ..learning import Learner
 
-        learner = Learner(model, log=log, log_path=log_path)
+        # share the experiment's observer: a second Learner-owned observer
+        # would stamp its own (second-resolution) logdir — training curves
+        # landing apart from the config snapshots, or two buffered handles
+        # interleaving one metrics.jsonl (review finding)
+        learner = Learner(model, observer=observer)
 
     runner = ClosedLoopRunner(env, controller, control_dt=dt,
                               learner=learner, observer=observer,

@@ -159,8 +159,11 @@ class Learner:
         grid_search as the sentinel -1 and never consumed by train(),
         learner_base.py:92, 324-335).
         """
-        lr = learning_rate or self.learning_rate
-        epochs = epoch or self.num_epochs
+        # explicit None checks: epoch=0 must mean "no epochs", not the
+        # default (a falsy-zero `or` fallback silently retrained)
+        lr = learning_rate if learning_rate is not None \
+            else self.learning_rate
+        epochs = epoch if epoch is not None else self.num_epochs
         data = self.rb_trans()
         X, Y = self._prepare(data)
         return self.train(X, Y, epoch=epochs, learning_rate=lr, val=val,
@@ -170,7 +173,8 @@ class Learner:
               val=None):
         """Epoch loop with optional Gaussian augmentation and periodic
         rollout validation. Reference: learner_base.py:324-358."""
-        lr = learning_rate or self.learning_rate
+        lr = learning_rate if learning_rate is not None \
+            else self.learning_rate
         opt, step = self._make_step(lr)
         net = self.model.trainable(self.params)
         opt_state = opt.init(net)
@@ -231,8 +235,9 @@ class Learner:
         (scripts/src/model.py:70-78), so the fold variance reflects init
         sensitivity; ``False`` shares the learner's current init across folds.
         """
-        lr = learning_rate or self.learning_rate
-        epochs = epoch or self.num_epochs
+        lr = learning_rate if learning_rate is not None \
+            else self.learning_rate
+        epochs = epoch if epoch is not None else self.num_epochs
         data = self.rb_trans()
         X, Y = self._prepare(data)
         X, Y = np.asarray(X), np.asarray(Y)
@@ -302,26 +307,37 @@ class Learner:
         learning_rates = learning_rates if learning_rates is not None \
             else np.linspace(1e-4, 1e-1, 5)
         sigmas = sigmas if sigmas is not None else np.linspace(0.01, 0.001, 3)
-        init_params = self.params
         init_sigma = self.sigma
+        # stats() FIRST, then snapshot: the per-combo resets must restore
+        # params that CARRY the dataset normalizers (review finding: a
+        # pre-stats snapshot made every combo train with identity
+        # normalizers, a different pipeline than post-grid training)
         self.stats()
+        base_params = self.params
         results = []
         try:
             for e in epochs:
                 for lr in learning_rates:
                     for s in sigmas:
                         self.sigma = float(s)
-                        self.params = init_params
-                        self.k_fold_validation(k=k, learning_rate=float(lr),
-                                               epoch=int(e))
-                        self.params = init_params
+                        self.params = base_params
+                        _ftr, fte = self.k_fold_validation(
+                            k=k, learning_rate=float(lr), epoch=int(e))
+                        self.params = base_params
                         self.train_all(learning_rate=float(lr), epoch=int(e))
                         err = float(self.validate(action_seqs, trajs))
-                        results.append({"lr": float(lr), "sigma": float(s),
-                                        "epochs": int(e), "val_error": err})
+                        results.append({
+                            "lr": float(lr), "sigma": float(s),
+                            "epochs": int(e), "val_error": err,
+                            # final-epoch mean held-out fold loss — the
+                            # k-fold pass is recorded, not dead compute
+                            "kfold_test_loss": float(
+                                np.mean(np.asarray(fte)[..., -1])),
+                        })
         finally:
-            # a sweep must not leak its last combo into subsequent training
-            self.params = init_params
+            # a sweep must not leak its last combo into subsequent
+            # training; normalizers (data-derived, combo-independent) stay
+            self.params = base_params
             self.sigma = init_sigma
         best = min(results, key=lambda r: r["val_error"])
         return best, results

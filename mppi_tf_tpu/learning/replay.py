@@ -86,12 +86,22 @@ class ReplayBuffer:
                 "next_obs": self._next[order].copy()}
 
     def sample(self, batch: int, rng: Optional[np.random.Generator] = None):
-        """Uniform random minibatch."""
+        """Uniform random minibatch — O(batch) fancy indexing into the
+        ring (copying the whole buffer per minibatch was O(capacity),
+        review finding); fails loudly on an empty buffer."""
         rng = rng or np.random.default_rng()
         n = len(self)
+        if n == 0:
+            raise ValueError(
+                "replay buffer is empty — add transitions before sampling")
         idx = rng.integers(0, n, size=batch)
-        data = self.get_all_transitions()
-        return {k: v[idx] for k, v in data.items()}
+        if self._native is not None:  # CSV-backed store has no ring view
+            data = self.get_all_transitions()
+            return {k: v[idx] for k, v in data.items()}
+        if self._size >= self.capacity:  # ring full: physical = logical+idx
+            idx = (idx + self._idx) % self.capacity
+        return {"obs": self._obs[idx].copy(), "act": self._act[idx].copy(),
+                "next_obs": self._next[idx].copy()}
 
     # --- persistence (learner_base.py:54-64, data_base.cpp:52-71) --------
     def save_transitions(self, path: str) -> None:

@@ -73,6 +73,11 @@ class Observer:
 
     # --- writers -----------------------------------------------------------
     def scalar(self, tag: str, value, step: Optional[int] = None):
+        """Scalars go to BOTH sinks by design: metrics.jsonl is the
+        machine-readable record (replay tooling and the test suite parse
+        it) and TensorBoard is the optional human view. Histograms are
+        TB-first with a summary-stats JSONL fallback — raw per-sample
+        arrays would bloat the JSONL without being replay-usable."""
         if not self.log:
             return
         step = self._step if step is None else step

@@ -207,3 +207,20 @@ class TestCLI:
         ])
         assert rc == 0
         assert built and built[-1]._S is not None  # savgol matrix installed
+
+
+class TestPatchConfigEdgeCases:
+    def test_scalar_noise_without_base_fails_loudly(self):
+        from mppi_tf_tpu.cfg.config import patch_config
+
+        with pytest.raises(ValueError, match="noise"):
+            patch_config({"samples": 10}, noise=0.5)
+        with pytest.raises(ValueError, match="noise"):
+            patch_config({"noise": 0.25}, noise=0.5)  # scalar base
+
+    def test_scalar_noise_scales_1d_diagonal(self):
+        from mppi_tf_tpu.cfg.config import patch_config
+
+        out = patch_config({"noise": [0.2, 0.4]}, noise=2.0)
+        np.testing.assert_allclose(np.asarray(out["noise"]),
+                                   np.diag([0.4, 0.8]))

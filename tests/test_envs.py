@@ -559,3 +559,80 @@ class TestOnDeviceAdaptiveDMD:
                                    np.asarray(truth._A), atol=1e-5)
         err = np.linalg.norm(states[-1, 0::2] - np.array([1.0, -0.5]))
         assert err < 0.25, err
+
+
+class TestSeedStreamUnified:
+    def test_host_and_on_device_share_one_step_counter(self):
+        """Review finding: seed-based (fused) controllers kept a separate
+        on-device step counter starting at 0, so a host-driven run and an
+        on-device run on the same controller replayed IDENTICAL kernel
+        seeds. The on-device loop now consumes and advances the
+        controller's own _steps counter — one seed stream."""
+        from mppi_tf_tpu.controller.mppi import MPPI
+        from mppi_tf_tpu.costs import get_cost
+        from mppi_tf_tpu.envs.mjx_env import (JaxPointMassEnv,
+                                              build_on_device_loop)
+        from mppi_tf_tpu.models import get_model
+
+        import jax
+
+        sigma = np.diag([0.4, 0.4])
+        model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                          state_dim=4, action_dim=2)
+        cost = get_cost({"type": "static", "diag": True,
+                         "goal": [1.0, 0.0, -0.5, 0.0],
+                         "Q": [8.0, 1.5, 8.0, 1.5]},
+                        lam=0.6, gamma=0.2, upsilon=1.0, sigma=sigma)
+        ctrl = MPPI(model, cost, k=64, tau=3, lam=0.6, upsilon=1.0,
+                    sigma=sigma, seed=4, kernel="pallas", kernel_tile=16)
+        assert ctrl._fused is not None
+        env = JaxPointMassEnv(n_dof=2, dt=0.01)
+        # 3 host periods consume steps 0..2
+        x = np.zeros(4)
+        for _ in range(3):
+            ctrl.next(x)
+        assert ctrl._steps == 3
+        # the on-device run continues at step 3 and advances past it
+        run = build_on_device_loop(ctrl, env.step_fn, steps=5, substeps=2)
+        run(np.zeros(4), jax.random.PRNGKey(0))
+        assert ctrl._steps == 8
+        # a later host period continues the SAME stream (no replay of 0..7)
+        ctrl.next(x)
+        assert ctrl._steps == 9
+        # an explicit step0 (what-if run) must not disturb the counter
+        run(np.zeros(4), jax.random.PRNGKey(0), step0=100)
+        assert ctrl._steps == 9
+
+    def test_fleet_on_device_shares_the_fleet_counter(self):
+        from mppi_tf_tpu.controller import FleetMPPI
+        from mppi_tf_tpu.costs import get_cost
+        from mppi_tf_tpu.envs.mjx_env import JaxPointMassEnv
+        from mppi_tf_tpu.models import get_model
+
+        sigma = np.diag([0.4, 0.4])
+        model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
+                          state_dim=4, action_dim=2)
+        cost = get_cost({"type": "static", "diag": True,
+                         "goal": [1.0, 0.0, -0.5, 0.0],
+                         "Q": [8.0, 1.5, 8.0, 1.5]},
+                        lam=0.6, gamma=0.2, upsilon=1.0, sigma=sigma)
+        fleet = FleetMPPI(model, cost, n_vehicles=2, k=16, tau=3, lam=0.6,
+                          upsilon=1.0, sigma=sigma, seed=2)
+        env = JaxPointMassEnv(n_dof=2, dt=0.01)
+        states = np.zeros((2, 4))
+        fleet.next(states)
+        assert fleet._steps == 1
+        run = fleet.build_on_device_loop(env.step_fn, steps=4, substeps=2)
+        run(states)
+        assert fleet._steps == 5
+
+
+def test_auv_env_rejects_learned_model_as_plant():
+    """Review finding: a learned-model config silently became the
+    simulator (circular MBRL experiment); the env factory now demands
+    analytic 'auv' vehicle parameters for the plant."""
+    from mppi_tf_tpu.envs import get_env
+
+    with pytest.raises(ValueError, match="plant"):
+        get_env({"state-dim": 13, "action-dim": 6},
+                model_cfg={"type": "auv_nn"})

@@ -236,12 +236,21 @@ class TestLearner:
         seqs = rng.normal(size=(2, 6, 1))
         trajs = np.asarray(model.run_model(
             p, jnp.asarray(rng.normal(size=(2, 2))), jnp.asarray(seqs)))
-        learner.grid_search(trajs[:, :6], seqs, learning_rates=[1e-3],
-                            sigmas=[0.5, 0.25], epochs=(3,), k=2)
+        best, results = learner.grid_search(
+            trajs[:, :6], seqs, learning_rates=[1e-3],
+            sigmas=[0.5, 0.25], epochs=(3,), k=2)
         assert learner.sigma == sigma0
-        for a, b in zip(jax.tree.leaves(params0),
-                        jax.tree.leaves(learner.params)):
+        # the TRAINABLE part (net weights) must be restored untouched;
+        # the normalizers deliberately keep the stats() values — they are
+        # data-derived, not combo state, and every combo must train WITH
+        # them (round-4 review: a pre-stats restore made the sweep train
+        # on a different pipeline than post-grid production training)
+        for a, b in zip(jax.tree.leaves(learner.model.trainable(params0)),
+                        jax.tree.leaves(
+                            learner.model.trainable(learner.params))):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # the k-fold pass is recorded per combo, not dead compute
+        assert all(np.isfinite(r["kfold_test_loss"]) for r in results)
 
     def test_kfold_fresh_init_gives_distinct_folds(self):
         """Per-fold independent inits (reference copy_model semantics,
@@ -354,3 +363,20 @@ def test_collect_transitions_random_policy():
     assert np.all(np.abs(data["act"]) <= 1.0)
     # transitions must chain: next_obs[i] == obs[i+1]
     np.testing.assert_allclose(data["next_obs"][:-1], data["obs"][1:])
+
+
+class TestReplaySample:
+    def test_sample_indexes_the_ring_and_rejects_empty(self):
+        from mppi_tf_tpu.learning.replay import ReplayBuffer
+
+        rb = ReplayBuffer(4, 2, 1)
+        with pytest.raises(ValueError, match="empty"):
+            rb.sample(2)
+        for i in range(6):  # wrap the ring: oldest two evicted
+            rb.add([i, i], [i], [i + 1, i + 1])
+        batch = rb.sample(64, rng=np.random.default_rng(0))
+        # every sampled row is one of the 4 RETAINED transitions (2..5)
+        assert set(batch["obs"][:, 0].astype(int)) <= {2, 3, 4, 5}
+        assert batch["obs"].shape == (64, 2)
+        np.testing.assert_allclose(batch["next_obs"][:, 0],
+                                   batch["obs"][:, 0] + 1)
