@@ -42,7 +42,9 @@ def _load_lib():
     lib.ds_capacity.argtypes = [ctypes.c_void_p]
     dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
     lib.ds_add.argtypes = [ctypes.c_void_p, dptr, dptr, dptr]
-    lib.ds_get_all.argtypes = [ctypes.c_void_p, dptr, dptr, dptr]
+    lib.ds_get_all.restype = ctypes.c_int64
+    lib.ds_get_all.argtypes = [ctypes.c_void_p, dptr, dptr, dptr,
+                               ctypes.c_int64]
     lib.ds_to_csv.restype = ctypes.c_int
     lib.ds_to_csv.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     _lib = lib
@@ -72,12 +74,17 @@ class NativeDataStore:
         )
 
     def get_all(self) -> Dict[str, np.ndarray]:
+        # the copy is bounded by the buffer size IN the C call (and the
+        # store returns how many rows it wrote): a size-then-copy pair
+        # raced concurrent add() into a heap overflow (review finding)
         n = len(self)
         obs = np.empty((n, self.s_dim))
         act = np.empty((n, self.a_dim))
         nxt = np.empty((n, self.s_dim))
         if n:
-            self._lib.ds_get_all(self._h, obs, act, nxt)
+            wrote = int(self._lib.ds_get_all(self._h, obs, act, nxt, n))
+            if wrote < n:  # concurrent eviction shrank the window
+                obs, act, nxt = obs[:wrote], act[:wrote], nxt[:wrote]
         return {"obs": obs, "act": act, "next_obs": nxt}
 
     def to_csv(self, path: str) -> None:

@@ -51,6 +51,8 @@ def get_model(model_dict, dt=0.1, state_dim=2, action_dim=None, name=None,
             state_dim=state_dim,
             action_dim=action_dim if action_dim else 1,
             dt=dt,
+            act_max=model_dict.get("limMax"),
+            act_min=model_dict.get("limMin"),
             name=name or "nn_model",
             dtype=dtype,
             **kwargs,
@@ -58,13 +60,20 @@ def get_model(model_dict, dt=0.1, state_dim=2, action_dim=None, name=None,
     if mtype == "auv_nn":
         from .nn import NNAUVModel
 
+        # limMax/limMin forward like every other family (review finding:
+        # dropping them clipped learned-AUV controllers to the +-1 default)
         return NNAUVModel(action_dim=action_dim if action_dim else 6, dt=dt,
+                          act_max=model_dict.get("limMax"),
+                          act_min=model_dict.get("limMin"),
                           name=name or "auv_nn_model", dtype=dtype, **kwargs)
     if mtype == "auv_nn_speed":
         from .nn import NNAUVModelSpeed
 
         return NNAUVModelSpeed(action_dim=action_dim if action_dim else 6,
-                               dt=dt, name=name or "auv_nn_speed_model",
+                               dt=dt,
+                               act_max=model_dict.get("limMax"),
+                               act_min=model_dict.get("limMin"),
+                               name=name or "auv_nn_speed_model",
                                dtype=dtype, **kwargs)
     if mtype == "dmd":
         from .dmd import DMDModel

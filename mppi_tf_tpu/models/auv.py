@@ -68,6 +68,16 @@ class AUVModel(ModelBase):
                          act_max=act_max, act_min=act_min, dtype=dtype)
         if inertial_frame_id not in ("world", "world_ned"):
             raise AssertionError("inertial frame must be world or world_ned")
+        if inertial_frame_id == "world_ned":
+            # restoring_forces hardcodes the z-up convention; silently
+            # accepting NED would run every rollout with sign-inverted
+            # gravity/buoyancy (review finding). The reference validates
+            # the same two names (auv_model.py:131-136) but its
+            # restoring-force math is likewise z-up only.
+            raise NotImplementedError(
+                "inertial_frame_id='world_ned' is not implemented: the "
+                "restoring-force model is z-up ('world'); transform NED "
+                "states at the boundary instead")
         self._rk = int(parameters.get("rk", 1))
         if self._rk not in (1, 2, 4):
             raise AssertionError(f"rk must be 1, 2, or 4, got {self._rk}")

@@ -230,18 +230,31 @@ class NNAUVModel(NNModel):
         """[state[3:], action]. Reference: nn_model.py:289-293."""
         return jnp.concatenate([x[:, 3:], u], axis=-1)
 
-    def prepare_training_data(self, params, x_t, x_t1, u_t, norm: bool = True):
-        """Translate both states so x_t's position is the origin; target is
-        the delta between the re-anchored states.
+    #: renormalise the quaternion block after adding the predicted delta.
+    #: DOCUMENTED DEVIATION from the reference (nn_model.py:303-304
+    #: returns the raw sum): without it |q| drifts from 1 over a tau-step
+    #: rollout as unnormalised network deltas accumulate, and every
+    #: quaternion consumer (rotation matrices, attitude costs) silently
+    #: picks up a |q|^2 scale — the same reason AUVModel.step and
+    #: NNAUVModelSpeed.apply_delta normalise (review finding). The
+    #: reference-parity oracle sets this False to pin the raw algebra.
+    renormalize_quat: bool = True
 
-        Reference: nn_model.py:241-287 — ``tFrom = mask*stateT`` then
-        ``Y = (stateT1 - tFrom) - (stateT - tFrom) = stateT1 - stateT``; the
-        anchoring matters for generalisation bookkeeping, the target reduces
-        to the plain delta exactly as in the reference.
-        """
+    def apply_delta(self, mp, x: jax.Array, delta: jax.Array) -> jax.Array:
+        """x + delta, quaternion renormalised (see renormalize_quat)."""
+        out = x + delta
+        if not self.renormalize_quat:
+            return out
+        q = quat.normalize(out[:, 3:7])
+        return jnp.concatenate([out[:, :3], q, out[:, 7:]], axis=-1)
+
+    def prepare_training_data(self, params, x_t, x_t1, u_t, norm: bool = True):
+        """Delta targets. Reference: nn_model.py:241-287 — its body-frame
+        anchoring (``tFrom = mask*stateT``) cancels algebraically:
+        ``(stateT1 - tFrom) - (stateT - tFrom) = stateT1 - stateT``, so
+        the target IS the plain delta (the base-class rule)."""
         X = self.features(x_t, u_t)
-        t_from = jnp.zeros_like(x_t).at[:, _POS].set(x_t[:, _POS])
-        Y = (x_t1 - t_from) - (x_t - t_from)
+        Y = x_t1 - x_t
         if norm:
             X = self.normalize_x(params, X)
             Y = (Y - params["y_mean"]) / params["y_std"]

@@ -26,11 +26,16 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception as e:  # pragma: no cover
+    # ALWAYS run make (it is incremental): building only when the .so is
+    # missing silently loaded a stale library after C++ edits, so the
+    # "golden model" cross-checks validated JAX against outdated math
+    # (review finding). A make failure with an existing .so falls back to
+    # it (e.g. no toolchain in a deployment image).
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception as e:  # pragma: no cover
+        if not os.path.exists(_LIB_PATH):
             raise ImportError(f"native mppi core unavailable: {e}") from e
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -38,10 +43,14 @@ def _load_lib():
         raise ImportError(f"native mppi core unloadable: {e}") from e
     d = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
     i64, dbl, c_int = ctypes.c_int64, ctypes.c_double, ctypes.c_int
-    lib.mppi_update.argtypes = [d, d, i64, i64, i64, dbl, c_int, d, d]
-    lib.mppi_pm_rollout.argtypes = [d] * 8 + [i64] * 4 + [dbl] * 3 + [d]
-    lib.mppi_pm_solve.argtypes = (
-        [d] * 8 + [i64] * 4 + [dbl] * 3 + [c_int] + [d] * 3)
+    try:
+        lib.mppi_update.argtypes = [d, d, i64, i64, i64, dbl, c_int, d, d]
+        lib.mppi_pm_rollout.argtypes = [d] * 8 + [i64] * 4 + [dbl] * 3 + [d]
+        lib.mppi_pm_solve.argtypes = (
+            [d] * 8 + [i64] * 4 + [dbl] * 3 + [c_int] + [d] * 3)
+    except AttributeError as e:  # .so predating a symbol
+        raise ImportError(
+            f"native mppi core is stale (missing symbol): {e}") from e
     _lib = lib
     return lib
 
@@ -108,6 +117,15 @@ def pm_solve(A, Bm, x0, useq, eps, Q, goal, inv_sigma, lam: float,
     inv_sigma = np.ascontiguousarray(inv_sigma, np.float64)
     k, tau, adim = eps.shape
     sdim = x0.shape[0]
+    # the C side trusts these shapes; mismatches would index out of
+    # bounds (pm_rollout already asserts — review finding: solve didn't)
+    assert k >= 1, "need at least one sample"
+    assert A.shape == (sdim, sdim) and Bm.shape == (sdim, adim), \
+        (A.shape, Bm.shape)
+    assert useq.shape == (tau, adim) and Q.shape == (sdim, sdim), \
+        (useq.shape, Q.shape)
+    assert goal.shape == (sdim,) and inv_sigma.shape == (adim, adim), \
+        (goal.shape, inv_sigma.shape)
     action = np.zeros(adim)
     next_useq = np.zeros((tau, adim))
     stats = np.zeros(4)

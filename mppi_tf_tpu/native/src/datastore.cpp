@@ -74,13 +74,17 @@ void ds_add(void* handle, const double* x, const double* u,
   ds->size = std::min(ds->size + 1, ds->capacity);
 }
 
-// Copy all transitions, oldest first, into caller-provided buffers of
-// shapes [size, sdim], [size, adim], [size, sdim].
-void ds_get_all(void* handle, double* obs_out, double* act_out,
-                double* next_out) {
+// Copy up to max_rows transitions, oldest first, into caller-provided
+// buffers of shapes [max_rows, sdim], [max_rows, adim], [max_rows, sdim];
+// returns the number of rows actually written. The bound is part of the
+// ABI: a size-then-copy two-call sequence raced concurrent ds_add —
+// the store could grow between the size read and the copy, overflowing
+// the caller's buffers (review finding, reproduced as a segfault).
+int64_t ds_get_all(void* handle, double* obs_out, double* act_out,
+                   double* next_out, int64_t max_rows) {
   auto* ds = static_cast<DataStore*>(handle);
   std::lock_guard<std::mutex> lock(ds->mu);
-  const int64_t n = ds->size;
+  const int64_t n = std::min(ds->size, max_rows);
   const int64_t start = (ds->size == ds->capacity) ? ds->head : 0;
   for (int64_t j = 0; j < n; ++j) {
     const int64_t i = (start + j) % ds->capacity;
@@ -91,6 +95,7 @@ void ds_get_all(void* handle, double* obs_out, double* act_out,
     std::memcpy(&next_out[j * ds->sdim], &ds->next_obs[i * ds->sdim],
                 sizeof(double) * ds->sdim);
   }
+  return n;
 }
 
 // CSV export, one transition per row: x..., u..., x_next...

@@ -53,6 +53,11 @@ extern "C" {
 void mppi_update(const double* costs, const double* eps, int64_t k,
                  int64_t tau, int64_t adim, double lam, int normalize,
                  double* wnoise, double* stats) {
+  if (k < 1) {  // empty sample set: defined no-op instead of reading
+    for (int64_t i = 0; i < tau * adim; ++i) wnoise[i] = 0.0;  // costs[0]
+    stats[0] = stats[1] = stats[2] = stats[3] = 0.0;
+    return;
+  }
   double beta = costs[0], cmax = costs[0], csum = 0.0;
   for (int64_t i = 0; i < k; ++i) {
     beta = std::min(beta, costs[i]);

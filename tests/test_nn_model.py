@@ -141,7 +141,15 @@ class TestNNAUVModel:
         nxt = model.step(params, x, u)
         feats = model.normalize_x(params, model.features(x, u))
         delta = model.denormalize_y(params, model.predict_nn(params, feats))
-        np.testing.assert_allclose(nxt, x + delta, rtol=1e-12)
+        expect = np.array(x + delta)  # writable copy
+        # step() renormalises the quaternion block (documented deviation
+        # from the reference's raw sum — |q| must not drift over rollouts)
+        expect[:, 3:7] /= np.linalg.norm(expect[:, 3:7], axis=1,
+                                         keepdims=True)
+        np.testing.assert_allclose(nxt, expect, rtol=1e-12)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(nxt)[:, 3:7], axis=1), 1.0,
+            rtol=1e-12)
 
 
 class TestNNAUVModelSpeed:

@@ -556,7 +556,13 @@ def test_nnauv_step_matches_reference(ref_nn, ours):
         "t", tf.constant(s, tf.float64), tf.constant(a, tf.float64)).numpy()
     got = np.asarray(our.step(p, jnp.asarray(s[:, :, 0]),
                               jnp.asarray(a[:, :, 0])))
-    np.testing.assert_allclose(got, want[:, :, 0], rtol=1e-10, atol=1e-12)
+    # DOCUMENTED DEVIATION: our step renormalises the quaternion block
+    # (the reference returns the raw sum, nn_model.py:303-304, letting
+    # |q| drift over rollouts); compare against the reference output
+    # with the same renormalisation applied
+    want = np.array(want[:, :, 0])
+    want[:, 3:7] /= np.linalg.norm(want[:, 3:7], axis=1, keepdims=True)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
 
 
 def test_nnauv_prepare_training_data_matches_reference(ref_nn, ours):
@@ -705,6 +711,10 @@ def test_full_nn_solve_matches_reference(ref, ref_nn, ours):
     ym, ys = 0.01 * rng.randn(13), 0.02 + 0.02 * rng.rand(13)
 
     our_model = NNAUVModel(action_dim=adim, dtype=jnp.float64)
+    # pin the reference's raw-sum quaternion algebra for this oracle (the
+    # production default renormalises — a documented deviation with its
+    # own unit tests, models/nn.py renormalize_quat)
+    our_model.renormalize_quat = False
     p = our_model.init_params()
     p = our_model.set_normalization(p, xm, xs, ym, ys)
     our_cost = StaticQuatCost(lam, gamma, ups, sig6, goal, Qd, diag=True,
