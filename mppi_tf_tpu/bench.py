@@ -69,7 +69,14 @@ import time
 
 import numpy as np
 
-_VALID_WORKLOADS = ("point_mass", "auv", "auv_waypoints", "nn", "dmd")
+_VALID_WORKLOADS = ("point_mass", "point_mass_h100", "auv",
+                    "auv_waypoints", "nn", "dmd")
+
+#: per-step sigma factors for the long-horizon workload: exp decay 1 -> 1/4
+#: over the horizon (exploration tapers where the rollout's predictive
+#: value does; BASELINE.json configs[3] "long-horizon H=100 with noise
+#: scheduling")
+H100_SCHEDULE = {"type": "exp", "start": 1.0, "end": 0.25}
 
 
 def _build_workload(workload, jnp):
@@ -77,7 +84,7 @@ def _build_workload(workload, jnp):
     from mppi_tf_tpu.costs import get_cost
     from mppi_tf_tpu.models import get_model
 
-    if workload == "point_mass":
+    if workload in ("point_mass", "point_mass_h100"):
         sigma = np.diag([0.25, 0.25, 0.25])
         model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
                           state_dim=6, action_dim=3)
@@ -167,6 +174,7 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
 
     model, cost, sigma, lam, state0 = _build_workload(workload, jnp)
     adim = model.get_action_dim()
+    sched_spec = H100_SCHEDULE if workload == "point_mass_h100" else None
 
     from mppi_tf_tpu.controller.mppi import MPPI
 
@@ -223,7 +231,8 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
         # honour an explicit kernel even off-TPU (pallas -> interpret mode,
         # for debugging); MPPI rejects genuinely unsupported combos
         ctrl = MPPI(model, cost, k=K, tau=TAU, lam=lam, upsilon=1.0,
-                    sigma=sigma, kernel=kernel, kernel_tile=tile)
+                    sigma=sigma, kernel=kernel, kernel_tile=tile,
+                    noise_schedule=sched_spec)
         mp, cp = ctrl.model_params, ctrl._cparams
         solve = ctrl._solve  # pure fn: (key, state, useq, mp, cp)
 
@@ -236,7 +245,7 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
                 def body(i, carry):
                     state, useq = carry
                     action, shifted, _info = ctrl._fused_step(
-                        i * n_tiles, state, useq, mp, cp)
+                        i * n_tiles, state, useq, mp, cp, ctrl._sched)
                     state = model.step(mp, state[None, :],
                                        action[None, :])[0]
                     return (state, shifted)
@@ -247,7 +256,8 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
                 def body(_, carry):
                     key, state, useq = carry
                     key, sub = jax.random.split(key)
-                    action, useq, _info = solve(sub, state, useq, mp, cp)
+                    action, useq, _info = solve(sub, state, useq, mp, cp,
+                                                ctrl._sched)
                     # feed the applied action through the plant: closed loop
                     state = model.step(mp, state[None, :],
                                        action[None, :])[0]
@@ -284,10 +294,12 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
         if ctrl is not None and ctrl._fused is not None:
             def _single(key, state, useq, mp_, cp_):
                 return ctrl._fused.solve(0, state, useq, mp_, cp_,
-                                         use_prng=True)
+                                         use_prng=True, sched=ctrl._sched)
             single = jax.jit(_single)
         elif ctrl is not None:
-            single = jax.jit(solve)
+            single = jax.jit(
+                lambda key, state, useq, mp_, cp_: solve(
+                    key, state, useq, mp_, cp_, ctrl._sched))
         r = single(key, state, useq, mp, cp)
         jax.block_until_ready(r)
         lat = []
@@ -298,7 +310,9 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
             lat.append(time.perf_counter() - t0)
         dispatch_p50 = float(np.median(lat))
 
-    wname = {"point_mass": "point_mass3d", "nn": "auv_nn_mlp",
+    wname = {"point_mass": "point_mass3d",
+             "point_mass_h100": "point_mass3d_h100sched",
+             "nn": "auv_nn_mlp",
              "auv": "auv_rexrov2", "auv_waypoints": "auv_waypoints_quat",
              "dmd": "dmd_lti6"}[workload]
     p50_ms = per_solve * 1e3
@@ -317,6 +331,19 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
         "sharded": sharded,
         "n_devices": n_dev,
     }
+    if sched_spec is not None:
+        extra["noise_schedule"] = sched_spec
+    if ctrl is not None:
+        # roofline annotation: analytic work model vs the chip's measured
+        # ceilings — makes the "speed-of-light" claim checkable per row
+        try:
+            from mppi_tf_tpu.roofline import roofline_for_workload
+
+            extra["roofline"] = roofline_for_workload(
+                workload, ctrl, p50_ms,
+                normalize=ctrl._normalize_cost)
+        except Exception as e:  # the annotation must never kill a row
+            extra["roofline_error"] = f"{type(e).__name__}: {e}"
     if dispatch_p50 is not None:
         extra["single_call_p50_ms"] = round(dispatch_p50 * 1e3, 3)
     return {
@@ -980,8 +1007,9 @@ def main():
         K = int(os.environ.get("BENCH_K",
                                {"point_mass": 100_000, "nn": 16_384}.get(
                                    workload, 65_536)))
-        TAU = int(os.environ.get("BENCH_TAU",
-                                 50 if workload == "point_mass" else 25))
+        TAU = int(os.environ.get(
+            "BENCH_TAU", {"point_mass": 50,
+                          "point_mass_h100": 100}.get(workload, 25)))
         CHAIN = int(os.environ.get("BENCH_CHAIN", 2000))
         kernel = os.environ.get("BENCH_KERNEL", default_kernel)
         sharded = os.environ.get("BENCH_SHARDED", "") == "1"
@@ -996,6 +1024,10 @@ def main():
         ("point_mass", default_kernel, 100_000, 50, 2000, False, True),
         ("point_mass", "xla", 100_000, 50, 300, False, False),
         ("point_mass", default_kernel, 1_000_000, 50, 300, False, False),
+        # long-horizon + noise scheduling (BASELINE.json configs[3]):
+        # H=100, exp-decay sigma schedule riding SMEM through the kernel
+        ("point_mass_h100", default_kernel, 100_000, 100, 300, False,
+         False),
         ("auv", default_kernel, 262_144, 25, 300, False, False),
         ("auv", default_kernel, 65_536, 50, 300, False, False),
         ("auv_waypoints", default_kernel, 262_144, 25, 300, False, False),
@@ -1008,6 +1040,32 @@ def main():
     cap_chain = int(os.environ.get("BENCH_CHAIN", 0)) or None
     suite = []
     headline = None
+    # measured device ceilings first: every row's roofline annotation uses
+    # them (cached), and the row itself records what the chip can do
+    try:
+        from mppi_tf_tpu.roofline import measure_ceilings
+
+        ceil = measure_ceilings()
+        r = {"metric": f"device_ceilings@{backend}",
+             "value": round(ceil["vpu_flops"] / 1e12, 4),
+             "unit": "measured_fma_tflops",
+             "vs_baseline": 1.0,
+             "extra": {
+                 "vpu_fma_tflops": round(ceil["vpu_flops"] / 1e12, 4),
+                 "transcendental_gops": round(
+                     ceil["transcendental_per_s"] / 1e9, 3),
+                 "hbm_gbytes_per_s": round(
+                     ceil["hbm_bytes_per_s"] / 1e9, 2),
+                 "backend": backend,
+                 "note": ("microbenchmark-measured elementwise-FMA rate, "
+                          "exp() rate and HBM stream bandwidth — the "
+                          "roofs every row's roofline.* fields refer to"),
+             }}
+        print(json.dumps(r), flush=True)
+        suite.append(r)
+    except Exception as e:
+        print(json.dumps({"metric": "FAILED@device_ceilings",
+                          "error": f"{type(e).__name__}: {e}"}), flush=True)
     for (workload, kernel, K, TAU, CHAIN, sharded, single) in suite_spec:
         if cap_k:
             K = min(K, cap_k)

@@ -30,6 +30,7 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
         filter_seq=config_dict.get("filter", False),
         kernel=config_dict.get("kernel", "auto"),
         antithetic=config_dict.get("antithetic", False),
+        noise_schedule=config_dict.get("noise-schedule"),
     )
     if "init-act" in config_dict:
         tau = kwargs["tau"]
@@ -119,7 +120,7 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
                 fused_kwargs["tile"] = int(kwargs["kernel_tile"])
             fused_opts = ("normalize_cost", "clip_actions", "filter_seq",
                           "filter_window", "filter_polyorder", "antithetic",
-                          "overlap_merge")
+                          "overlap_merge", "noise_schedule")
             if is_dmd:
                 fused_opts = fused_opts + dmd_opts
             for opt in fused_opts:
@@ -143,6 +144,7 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
         return xla_cls(
             model, cost, mesh,
             overlap_merge=kwargs.pop("overlap_merge", False),
+            noise_schedule=kwargs.pop("noise_schedule", None),
             normalize_cost=kwargs.pop("normalize_cost", False),
             antithetic=kwargs.pop("antithetic", False),
             filter_seq=kwargs.pop("filter_seq", False),

@@ -84,7 +84,7 @@ class FleetMPPI:
                  filter_polyorder: int = 3, clip_actions: bool = False,
                  antithetic: bool = False, seed: int = 0,
                  mesh=None, prng_impl: str = "auto", kernel: str = "auto",
-                 kernel_tile: Optional[int] = None):
+                 kernel_tile: Optional[int] = None, noise_schedule=None):
         n = int(n_vehicles)
         if n < 1:
             raise ValueError(f"n_vehicles must be >= 1, got {n}")
@@ -114,7 +114,7 @@ class FleetMPPI:
                          filter_polyorder=filter_polyorder,
                          clip_actions=clip_actions, antithetic=antithetic,
                          seed=seed, kernel=kernel, kernel_tile=kernel_tile,
-                         prng_impl=prng_impl)
+                         prng_impl=prng_impl, noise_schedule=noise_schedule)
         self._model = model
         self._cost = cost
         self._n = n
@@ -186,6 +186,7 @@ class FleetMPPI:
         n = self._n
         solve = self._tpl._solve
         fused = self._tpl._fused
+        sched = self._tpl._sched  # per-step noise schedule (None if unset)
         if fused is not None:
             n_tiles = self._n_tiles
             fstep = self._tpl._fused_step
@@ -198,7 +199,7 @@ class FleetMPPI:
                 def one(_, xs):
                     v, x, u, cpv = xs
                     action, shifted, info = fstep(seed + v * n_tiles, x,
-                                                  u, mparams, cpv)
+                                                  u, mparams, cpv, sched)
                     return None, (action, shifted, info)
 
                 _, (actions, new_useq, info) = jax.lax.scan(
@@ -209,7 +210,8 @@ class FleetMPPI:
             def solve_all(seed, keys, states, useq, mparams, cparams):
                 def one(key, x, u, cp):
                     key, sub = jax.random.split(key)  # MPPI.next's order
-                    action, shifted, info = solve(sub, x, u, mparams, cp)
+                    action, shifted, info = solve(sub, x, u, mparams, cp,
+                                                  sched)
                     return action, shifted, key, info
 
                 return jax.vmap(one, in_axes=(0, 0, 0, 0))(

@@ -114,6 +114,7 @@ class MPPI(MissionMixin):
         kernel_tile: Optional[int] = None,
         antithetic: bool = False,
         prng_impl: str = "auto",
+        noise_schedule=None,
     ):
         self._model = model
         self._cost = cost
@@ -130,6 +131,15 @@ class MPPI(MissionMixin):
         self._log = log
         dtype = model.dtype
         self._dtype = dtype
+
+        # per-step noise schedule (sigma_t = c_t * sigma; greenfield — see
+        # ops/noise.resolve_noise_schedule). The VALUES are runtime data
+        # threaded through every solve, so set_noise_schedule never
+        # retraces; only adding/removing a schedule does.
+        sched_np = noise_ops.resolve_noise_schedule(noise_schedule,
+                                                    self._tau)
+        self._sched = (None if sched_np is None
+                       else jnp.asarray(sched_np, dtype))
 
         if sigma is None:
             raise ValueError("sigma (noise scale matrix) is required")
@@ -201,6 +211,7 @@ class MPPI(MissionMixin):
                             tile=tile,
                             interpret=not on_tpu,
                             antithetic=self._antithetic,
+                            schedule=sched_np,
                         )
                         break
                     except KernelUnsupportedError as e:
@@ -216,8 +227,9 @@ class MPPI(MissionMixin):
             # ~10 eager per-op dispatches per replan
             self._fused_step_jit = jax.jit(self._fused_step)
 
-    def _fused_step(self, seed, state, useq, mparams, cparams):
-        """Pallas solve + XLA sequence update as one pure function."""
+    def _fused_step(self, seed, state, useq, mparams, cparams, sched=None):
+        """Pallas solve + XLA sequence update as one pure function.
+        ``sched``: runtime noise-schedule factors (None unscheduled)."""
         costs_t = None
         if self._log and self._normalize_cost:
             # log mode needs per-sample costs in HBM and the normalized
@@ -225,18 +237,19 @@ class MPPI(MissionMixin):
             # phases explicitly instead of solve() + a third rollout
             # (code review r3 finding #8)
             costs_t, cstats = self._fused.costs_phase(seed, state, useq,
-                                                      mparams, cparams)
+                                                      mparams, cparams,
+                                                      sched=sched)
             beta, cmax = cstats["cost_min"], cstats["cost_max"]
             zsum, l = self._fused.weights_phase(seed, costs_t, beta, cmax)
-            scale = jnp.asarray(self._fused._scale, jnp.float32)
-            wnoise = (zsum @ scale.T) / l
+            wnoise = self._fused.unfold_wnoise(zsum, sched) / l
             info = {"cost_min": beta, "cost_max": cmax,
                     "cost_mean": cstats["cost_sum"] / self._fused.k,
                     "nabla": l}
         else:
             wnoise, info = self._fused.solve(seed, state, useq, mparams,
                                              cparams,
-                                             normalize=self._normalize_cost)
+                                             normalize=self._normalize_cost,
+                                             sched=sched)
         new_useq = useq + wnoise.astype(useq.dtype)
         if self._clip_actions:
             new_useq = jnp.clip(new_useq, self._model.min_act(),
@@ -259,7 +272,8 @@ class MPPI(MissionMixin):
 
             if costs_t is None:  # non-normalized solve: one extra rollout
                 costs_t, _ = self._fused.costs_phase(seed, state, useq,
-                                                     mparams, cparams)
+                                                     mparams, cparams,
+                                                     sched=sched)
             # [n_tiles, 8, L] -> flat [k]: sample (p, sub, lane) lives at
             # p*tile + sub*L + lane; padding is only in the trailing tile
             costs = costs_t.reshape(-1)[: self._k]
@@ -272,7 +286,7 @@ class MPPI(MissionMixin):
                 weights=upd.weights(e, n),
                 nabla=n,
                 arg=arg,
-                noise=fused_noise_sample(seed, self._fused),
+                noise=fused_noise_sample(seed, self._fused, sched=sched),
             )
         return action, shifted, info
 
@@ -285,14 +299,17 @@ class MPPI(MissionMixin):
         seed = np.int32((self._base_seed + self._steps * n_tiles)
                         % (1 << 31))
         action, self._useq, info = self._fused_step_jit(
-            seed, state, self._useq, self._mparams, self._cparams)
+            seed, state, self._useq, self._mparams, self._cparams,
+            self._sched)
         return action, info
 
     # ------------------------------------------------------------------
     # pure core
     # ------------------------------------------------------------------
-    def _rollout(self, state, useq, eps, mparams, cparams):
-        """Per-sample rollout costs. Reference: controller_base.py:371-434."""
+    def _rollout(self, state, useq, eps, mparams, cparams, sched=None):
+        """Per-sample rollout costs. Reference: controller_base.py:371-434.
+        ``sched`` threads per-step schedule factors into the action cost
+        (Sigma_t = c_t * sigma)."""
         model, cost = self._model, self._cost
         return rollout_costs(
             step_fn=lambda x, u: model.step(mparams, x, u),
@@ -302,6 +319,7 @@ class MPPI(MissionMixin):
             x0=state,
             useq=useq,
             noises=eps,
+            sched=sched,
         )
 
     def _update_and_shift(self, useq, costs, eps):
@@ -345,27 +363,30 @@ class MPPI(MissionMixin):
             )
         return action, shifted, info
 
-    def _solve_with_noise(self, eps, state, useq, mparams, cparams):
+    def _solve_with_noise(self, eps, state, useq, mparams, cparams,
+                          sched=None):
         """Deterministic solve with injected noise — the parity-test surface.
 
         TF's seeded Philox stream (seed=2, controller_base.py:366) cannot be
         replicated in JAX; tests inject identical noise realisations as data
-        and compare updated sequences instead (SURVEY.md §7).
+        and compare updated sequences instead (SURVEY.md §7). With a
+        schedule, ``eps`` must already be schedule-scaled (as
+        ops/noise.sample_noise(schedule=) produces).
         """
         mparams = self._model.precompute(mparams)
-        costs = self._rollout(state, useq, eps, mparams, cparams)
+        costs = self._rollout(state, useq, eps, mparams, cparams, sched)
         return self._update_and_shift(useq, costs, eps)
 
-    def _solve(self, key, state, useq, mparams, cparams):
+    def _solve(self, key, state, useq, mparams, cparams, sched=None):
         """Full solve: sample noise, rollout, update, shift."""
         mparams = self._model.precompute(mparams)
         sampler = (noise_ops.sample_noise_antithetic if self._antithetic
                    else noise_ops.sample_noise)
         eps = sampler(
             key, self._k, self._tau, self._adim, self._sigma,
-            self._upsilon, dtype=useq.dtype,
+            self._upsilon, dtype=useq.dtype, schedule=sched,
         )
-        costs = self._rollout(state, useq, eps, mparams, cparams)
+        costs = self._rollout(state, useq, eps, mparams, cparams, sched)
         return self._update_and_shift(useq, costs, eps)
 
     # ------------------------------------------------------------------
@@ -385,7 +406,8 @@ class MPPI(MissionMixin):
         else:
             self._key, sub = jax.random.split(self._key)
             action, self._useq, info = self._solve_jit(
-                sub, state, self._useq, self._mparams, self._cparams
+                sub, state, self._useq, self._mparams, self._cparams,
+                self._sched
             )
         action_np = np.asarray(action)
         end = time.perf_counter()
@@ -459,13 +481,31 @@ class MPPI(MissionMixin):
         state = jnp.zeros((self._sdim,), dtype=self._dtype)
         if self._fused is not None:
             lowered = jax.jit(self._fused_step).lower(
-                np.int32(0), state, self._useq, self._mparams, self._cparams
+                np.int32(0), state, self._useq, self._mparams,
+                self._cparams, self._sched
             )
         else:
             lowered = jax.jit(self._solve).lower(
-                self._key, state, self._useq, self._mparams, self._cparams
+                self._key, state, self._useq, self._mparams, self._cparams,
+                self._sched
             )
         return lowered.compile().as_text()
+
+    def set_noise_schedule(self, spec):
+        """Swap the per-step noise schedule at runtime — data only, never a
+        retrace (the factors ride the solve as an argument; on the fused
+        path they are SMEM scalars). Only valid on a controller built WITH
+        a ``noise_schedule`` (existence is compile-time: the kernels read
+        tau extra SMEM slots only when scheduled)."""
+        if self._sched is None:
+            raise ValueError(
+                "controller was built without a noise_schedule; pass one "
+                "at construction to enable scheduling (its existence is "
+                "baked into the compiled solve)")
+        from ..ops.noise import resolve_noise_schedule
+
+        self._sched = jnp.asarray(
+            resolve_noise_schedule(spec, self._tau), self._dtype)
 
     def save_state(self, path: str):
         """Checkpoint the controller's mutable state (nominal sequence, PRNG

@@ -68,12 +68,21 @@ class CostBase:
         """
         raise NotImplementedError
 
-    def action_cost(self, action: jax.Array, noise: jax.Array) -> jax.Array:
+    def action_cost(self, action: jax.Array, noise: jax.Array,
+                    sched_scale=None) -> jax.Array:
         """Information-theoretic action cost. action: [aDim], noise: [k, aDim] -> [k].
 
-        Reference: cost_base.py:114-170.
+        ``sched_scale``: the per-step noise-schedule factor c_t (scalar).
+        When set, the step's covariance is Sigma_t = c_t * sigma, so the
+        whole cost is evaluated with Sigma_t^-1 = Sigma^-1 / c_t — the
+        importance-sampling correction that matches a schedule-scaled noise
+        draw (ops/noise.resolve_noise_schedule).
+
+        Reference: cost_base.py:114-170 (constant sigma).
         """
         inv_sig = self._inv_sigma
+        if sched_scale is not None:
+            inv_sig = inv_sig / jnp.asarray(sched_scale, inv_sig.dtype)
         # S^-1 u : [aDim]; S^-1 eps : [k, aDim]
         rhs_a = inv_sig @ action
         rhs_n = noise @ inv_sig.T

@@ -245,13 +245,16 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
         def solve(i, key, state, useq, mp, cp):
             seed = ctrl._base_seed + i * n_tiles
             action, shifted, _info = ctrl._fused_step(seed, state, useq,
-                                                      mp, cp)
+                                                      mp, cp, ctrl._sched)
             return action, shifted, key
     else:  # key-based solves: MPPI XLA path and ShardedMPPI share the
         # (key, state, useq, mparams, cparams) signature
         def solve(i, key, state, useq, mp, cp):
             key, sub = jax.random.split(key)
-            action, shifted, _info = ctrl._solve(sub, state, useq, mp, cp)
+            action, shifted, _info = ctrl._solve(
+                sub, state, useq, mp, cp,
+                *(() if isinstance(ctrl, ShardedMPPI)
+                  else (ctrl._sched,)))
             return action, shifted, key
 
     adaptive = isinstance(ctrl, DMDAdaptiveMixin)

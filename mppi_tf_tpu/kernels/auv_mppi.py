@@ -91,7 +91,7 @@ def _acos(x):
 class _Dyn:
     """SMEM scalar-array layout for the dynamic (per-solve) parameters."""
 
-    def __init__(self, tau: int):
+    def __init__(self, tau: int, scheduled: bool = False):
         self.m_tot = 0          # 36: total mass matrix, row-major
         self.inv_m = 36         # 36: its inverse
         self.mass = 72          # 1
@@ -106,6 +106,11 @@ class _Dyn:
         self.goal2 = self.u_half + 1   # 13
         self.wblend = self.goal2 + 13  # 2
         self.size = self.wblend + 2
+        if scheduled:
+            # per-step noise-schedule factors c_t — SMEM data, so schedule
+            # changes re-pack scalars and NEVER recompile the kernel
+            self.sched = self.size  # tau
+            self.size += tau
 
 
 def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool,
@@ -121,7 +126,8 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool,
     normalized weights — see pm_mppi.py for the design notes)."""
     L = tile // _SUB
     n_chunks = (tau + _CH - 1) // _CH
-    dyn = _Dyn(tau)
+    scheduled = bool(mc.get("scheduled", False))
+    dyn = _Dyn(tau, scheduled)
     antithetic = bool(mc.get("antithetic", False))
     dt = float(mc["dt"])
     rk = int(mc["rk"])
@@ -414,15 +420,21 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool,
 
         for t in range(tau):
             z_t = [zrow(t, j) for j in range(6)]
-            # eps = scale @ z; gen_force = u_t + eps
+            # per-step schedule factor c_t (SMEM scalar; sigma_t = c_t sigma)
+            ct = d_(dyn.sched + t) if scheduled else None
+            # eps = c_t * scale @ z; gen_force = u_t + eps
             gf = []
             for i in range(6):
                 acc = jnp.full((_SUB, L), 1.0, jnp.float32) * \
                     d_(dyn.useq + 6 * t + i)
+                sz = None
                 for j in range(6):
                     s_ = float(SCALE[i, j])
                     if s_ != 0.0:
-                        acc = acc + s_ * z_t[j]
+                        term = s_ * z_t[j]
+                        sz = term if sz is None else sz + term
+                if sz is not None:
+                    acc = acc + (ct * sz if scheduled else sz)
                 gf.append(acc)
             k1 = state_dot(x, gf)
             if rk == 1:
@@ -452,7 +464,10 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool,
                     term = z_t[i] * mz
                     quad = term if quad is None else quad + term
                 if quad is not None:
-                    acc_cost = acc_cost + nc_half * quad
+                    # scheduled quadratic: eps^T Sig_t^-1 eps = c_t z^T Mz z
+                    acc_cost = acc_cost + (
+                        (nc_half * ct) * quad if scheduled
+                        else nc_half * quad)
         # terminal
         acc_cost = acc_cost + state_cost(x) + d_(dyn.u_half)
 
@@ -531,11 +546,13 @@ class FusedAUVMPPI:
 
     def __init__(self, model, cost, k: int, tau: int, lam: float,
                  upsilon: float, sigma, tile: int = 4096,
-                 interpret: bool = False, antithetic: bool = False):
+                 interpret: bool = False, antithetic: bool = False,
+                 schedule=None):
         from ..costs.elipse import ElipseCost3D
         from ..costs.static import StaticQuatCost
         from ..costs.waypoints import WayPointsQuatCost
         from ..models.auv import AUVModel
+        from ..ops.noise import resolve_noise_schedule
 
         if not isinstance(model, AUVModel):
             raise KernelUnsupportedError(
@@ -571,10 +588,15 @@ class FusedAUVMPPI:
         self.sigma = sigma
         self._scale = upsilon * sigma
         self._inv_sigma = np.linalg.inv(sigma)
+        # noise schedule: existence compile-time, values runtime SMEM data
+        # (see pm_mppi.FusedPointMassMPPI)
+        self._sched0 = resolve_noise_schedule(schedule, self.tau)
+        self.scheduled = self._sched0 is not None
         nc_half = 0.5 * self.lam * (1.0 - 1.0 / self.upsilon)
         self._mc = {
             "dt": model.dt, "rk": model._rk, "lam": self.lam,
             "nc_half": nc_half,
+            "scheduled": self.scheduled,
             "antithetic": self.antithetic,
             "lin_damp": np.asarray(model.lin_damp, np.float64),
             "lin_damp_fwd": np.asarray(model.lin_damp_fwd, np.float64),
@@ -613,7 +635,8 @@ class FusedAUVMPPI:
                           lam=self.lam, upsilon=self.upsilon,
                           sigma=self.sigma, tile=self.tile,
                           interpret=self.interpret,
-                          antithetic=self.antithetic)
+                          antithetic=self.antithetic,
+                          schedule=self._sched0)
 
     # config-based equality: identical controllers share jit cache entries
     # (the instance is a static argument of _fused_auv_call)
@@ -624,9 +647,29 @@ class FusedAUVMPPI:
         return (type(other) is type(self)
                 and other._jit_key == self._jit_key)
 
-    def pack_dyn(self, mparams, cparams, x0, useq):
-        """Assemble the SMEM dynamic-scalar array for one solve."""
-        dyn = _Dyn(self.tau)
+    def _sched_vals(self, sched):
+        """Runtime [tau] schedule factors (f32): the caller-threaded array,
+        else the init-time values. Only meaningful when ``scheduled``."""
+        if sched is None:
+            return jnp.asarray(self._sched0, jnp.float32)
+        return jnp.asarray(sched, jnp.float32).reshape(self.tau)
+
+    def unfold_wnoise(self, zsum, sched=None):
+        """Un-fold the kernel's weighted standard-normal sums to action
+        units: wnoise_t = c_t * scale @ zsum_t (c_t = 1 unscheduled).
+        zsum: [tau, 6] -> [tau, 6]."""
+        scale = jnp.asarray(self._scale, jnp.float32)
+        w = zsum @ scale.T
+        if self.scheduled:
+            w = w * self._sched_vals(sched)[:, None]
+        return w
+
+    def pack_dyn(self, mparams, cparams, x0, useq, sched=None):
+        """Assemble the SMEM dynamic-scalar array for one solve. With a
+        noise schedule: per-step c_t factors + the 1/c_t-weighted pure-
+        action cost (rhs_z is schedule-invariant — see
+        pm_mppi.FusedPointMassMPPI._pack_dyn_base)."""
+        dyn = _Dyn(self.tau, self.scheduled)
         m_tot, inv_m = self.model._mass_matrices(mparams)
         useq = jnp.asarray(useq, jnp.float32).reshape(self.tau, 6)
         inv_sig = jnp.asarray(self._inv_sigma, jnp.float32)
@@ -636,6 +679,10 @@ class FusedAUVMPPI:
         u_half = 0.5 * self.gamma * jnp.einsum(
             "ti,ij,tj->t", useq, inv_sig, useq)
         out = jnp.zeros((dyn.size,), jnp.float32)
+        if self.scheduled:
+            c = self._sched_vals(sched)
+            u_half = u_half / c
+            out = out.at[dyn.sched:dyn.sched + self.tau].set(c)
         out = out.at[dyn.m_tot:dyn.m_tot + 36].set(
             jnp.asarray(m_tot, jnp.float32).reshape(-1))
         out = out.at[dyn.inv_m:dyn.inv_m + 36].set(
@@ -668,14 +715,23 @@ class FusedAUVMPPI:
 
     def solve(self, seed, x0, useq, mparams, cparams, z=None,
               use_prng: bool = True, return_raw: bool = False,
-              normalize: bool = False):
+              normalize: bool = False, sched=None):
         """One MPPI solve; ``normalize`` runs the two-phase normalized
-        variant (see pm_mppi.FusedPointMassMPPI.solve)."""
-        dyn_arr = self.pack_dyn(mparams, cparams, x0, useq)
+        variant; ``sched`` threads runtime schedule factors (see
+        pm_mppi.FusedPointMassMPPI.solve)."""
+        dyn_arr = self.pack_dyn(mparams, cparams, x0, useq, sched=sched)
         if not normalize:
-            return _fused_auv_call(
+            raw = _fused_auv_call(
                 seed, dyn_arr, z, fused=self, use_prng=use_prng,
-                return_raw=return_raw)
+                return_raw=True)
+            if return_raw:
+                return raw
+            wnoise = self.unfold_wnoise(raw["zsum"], sched) / raw["l"]
+            info = {"cost_min": raw["cost_min"],
+                    "cost_max": raw["cost_max"],
+                    "cost_mean": raw["cost_sum"] / self.k,
+                    "nabla": raw["l"]}
+            return wnoise, info
         costs, stats = _fused_auv_costs(seed, dyn_arr, z, fused=self,
                                         use_prng=use_prng)
         beta, cmax = stats[2], stats[3]
@@ -684,16 +740,15 @@ class FusedAUVMPPI:
                     "cost_sum": stats[4]}
         zsum, l = self.weights_phase(seed, costs, beta, cmax, z=z,
                                      use_prng=use_prng)
-        scale = jnp.asarray(self._scale, jnp.float32)
-        wnoise = (zsum @ scale.T) / l
+        wnoise = self.unfold_wnoise(zsum, sched) / l
         info = {"cost_min": beta, "cost_max": cmax,
                 "cost_mean": stats[4] / self.k, "nabla": l}
         return wnoise, info
 
     def costs_phase(self, seed, x0, useq, mparams, cparams, z=None,
-                    use_prng: bool = True):
+                    use_prng: bool = True, sched=None):
         """Phase A of the normalized solve: per-sample costs + stats."""
-        dyn_arr = self.pack_dyn(mparams, cparams, x0, useq)
+        dyn_arr = self.pack_dyn(mparams, cparams, x0, useq, sched=sched)
         costs, stats = _fused_auv_costs(seed, dyn_arr, z, fused=self,
                                         use_prng=use_prng)
         return costs, {"cost_min": stats[2], "cost_max": stats[3],
@@ -765,8 +820,9 @@ def _fused_auv_call(seed, dyn_arr, z=None, *, fused: FusedAUVMPPI,
     if return_raw:
         return {"m": stats[0], "l": l, "zsum": zsum, "cost_min": stats[2],
                 "cost_max": stats[3], "cost_sum": stats[4]}
-    scale = jnp.asarray(fused._scale, jnp.float32)
-    wnoise = (zsum @ scale.T) / l
+    # (init-time schedule values; schedule-threading callers use
+    # return_raw=True and unfold with the runtime array — solve())
+    wnoise = fused.unfold_wnoise(zsum) / l
     info = {
         "cost_min": stats[2],
         "cost_max": stats[3],

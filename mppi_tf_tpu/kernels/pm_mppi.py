@@ -103,7 +103,7 @@ class _Dyn:
     """
 
     def __init__(self, tau: int, sdim: int, adim: int,
-                 dynamic_ab: bool = False):
+                 dynamic_ab: bool = False, scheduled: bool = False):
         self.inv_mass = 0                    # 1
         self.x0 = 1                          # sdim
         self.goal = 1 + sdim                 # sdim
@@ -115,6 +115,11 @@ class _Dyn:
             self.A = self.size               # sdim*sdim, row-major
             self.Bs = self.A + sdim * sdim   # sdim*adim: B @ scale
             self.size = self.Bs + sdim * adim
+        if scheduled:
+            # per-step noise-schedule factors c_t — SMEM data, so schedule
+            # changes re-pack scalars and NEVER recompile the kernel
+            self.sched = self.size           # tau
+            self.size += tau
 
 
 def _fill_noise(z_scr, seed_ref, pid, n_chunks, pair_rows, L,
@@ -277,16 +282,19 @@ def unchunk_noise(zc, tau: int, adim: int, k: int, tile: int):
     return z[:tau, :, :k]
 
 
-def fused_noise_sample(seed, fused, max_samples: int = 512):
+def fused_noise_sample(seed, fused, max_samples: int = 512, sched=None):
     """Bounded eps sample ``[min(max_samples, tile, k), tau, adim]`` of the
     in-kernel noise at ``seed`` (tile 0 only), in action units
-    (eps = scale @ z) — the fused-path counterpart of the XLA log mode's
-    ``eps[:512]`` (controller/mppi.py)."""
+    (eps = c_t * scale @ z) — the fused-path counterpart of the XLA log
+    mode's ``eps[:512]`` (controller/mppi.py)."""
     zc = fused_noise_dump(seed, fused=fused, n_tiles=1)
     n_keep = min(max_samples, fused.tile, fused.k)
     z = unchunk_noise(zc, fused.tau, fused.adim, n_keep, fused.tile)
     scale = jnp.asarray(fused._scale, jnp.float32)
-    return jnp.einsum("ij,tjn->nti", scale, z)
+    eps = jnp.einsum("ij,tjn->nti", scale, z)
+    if getattr(fused, "scheduled", False):
+        eps = eps * fused._sched_vals(sched)[None, :, None]
+    return eps
 
 
 def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
@@ -313,7 +321,8 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
     pair_rows = slots * _SUB // 2
     n_chunks = (tau + _CH - 1) // _CH
     dynamic_ab = bool(mc.get("dynamic_ab", False))
-    dyn = _Dyn(tau, sdim, adim, dynamic_ab)
+    scheduled = bool(mc.get("scheduled", False))
+    dyn = _Dyn(tau, sdim, adim, dynamic_ab, scheduled)
     if not dynamic_ab:
         A = np.asarray(mc["A"], np.float64)
         BS = np.asarray(mc["Bs"], np.float64)
@@ -429,24 +438,34 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
         inv_m = d_(dyn.inv_mass)
         for t in range(tau):
             z_t = [zrow(t, j) for j in range(adim)]
+            # per-step schedule factor c_t (SMEM scalar; sigma_t = c_t sigma)
+            ct = d_(dyn.sched + t) if scheduled else None
             if dynamic_ab:
                 # dense FMA chains over SMEM-resident (A, B@scale): bu is
                 # packed as the true B u_t (no mass factor), so the step is
-                # x' = A x + B u + (B scale) z
+                # x' = A x + B u + c_t (B scale) z
                 ax = smem_dot(dyn.A, sdim, sdim, x)
                 bz = smem_dot(dyn.Bs, sdim, adim, z_t)
-                x = [ax[i] + (d_(dyn.bu + t * sdim + i) + bz[i])
-                     for i in range(sdim)]
+                if scheduled:
+                    x = [ax[i] + (d_(dyn.bu + t * sdim + i) + ct * bz[i])
+                         for i in range(sdim)]
+                else:
+                    x = [ax[i] + (d_(dyn.bu + t * sdim + i) + bz[i])
+                         for i in range(sdim)]
             else:
                 ax = sparse_dot(A, x)
                 bz = sparse_dot(BS, z_t)     # B @ scale @ z (mass-free)
+                # hoisted scalar: the schedule multiplies only the noise
+                # drive, never B u_t
+                imc = inv_m * ct if scheduled else inv_m
                 x = []
                 for i in range(sdim):
                     xi = ax[i] if ax[i] is not None else jnp.zeros(
                         (_SUB, L), jnp.float32)
                     drive = d_(dyn.bu + t * sdim + i)
                     if bz[i] is not None:
-                        xi = xi + inv_m * (drive + bz[i])
+                        xi = xi + (inv_m * drive + imc * bz[i]
+                                   if scheduled else inv_m * (drive + bz[i]))
                     else:
                         xi = xi + inv_m * drive
                     x.append(xi)
@@ -464,7 +483,10 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
                     term = z_t[j] * mz[j]
                     quad = term if quad is None else quad + term
                 if quad is not None:
-                    acc_cost = acc_cost + nc_half * quad
+                    # scheduled quadratic: eps^T Sig_t^-1 eps = c_t z^T Mz z
+                    acc_cost = acc_cost + (
+                        (nc_half * ct) * quad if scheduled
+                        else nc_half * quad)
         sc = state_cost(x)  # terminal
         if sc is not None:
             acc_cost = acc_cost + sc
@@ -575,10 +597,12 @@ class FusedPointMassMPPI:
 
     def __init__(self, model, cost, k: int, tau: int, lam: float,
                  upsilon: float, sigma, tile: int = 4096,
-                 interpret: bool = False, antithetic: bool = False):
+                 interpret: bool = False, antithetic: bool = False,
+                 schedule=None):
         from ..costs.elipse import ElipseCost
         from ..costs.static import StaticCost
         from ..costs.waypoints import WayPointsCost
+        from ..ops.noise import resolve_noise_schedule
 
         self._check_model(model)
         self._is_waypoints = False
@@ -626,6 +650,12 @@ class FusedPointMassMPPI:
         self.sigma = sigma
         self._scale = upsilon * sigma
         self._inv_sigma = np.linalg.inv(sigma)
+        # noise schedule: existence is compile-time (the kernel reads tau
+        # extra SMEM scalars), the VALUES are per-solve runtime data —
+        # pack_dyn defaults to these init-time values, a caller-threaded
+        # `sched` array overrides without recompiling
+        self._sched0 = resolve_noise_schedule(schedule, self.tau)
+        self.scheduled = self._sched0 is not None
         nc_half = 0.5 * self.lam * (1.0 - 1.0 / self.upsilon)
         self._mc = {
             "Mz": self._scale.T @ self._inv_sigma @ self._scale,
@@ -634,6 +664,7 @@ class FusedPointMassMPPI:
             "cost_kind": cost_kind,
             "antithetic": self.antithetic,
             "dynamic_ab": self.dynamic_ab,
+            "scheduled": self.scheduled,
         }
         if not self.dynamic_ab:
             A = np.asarray(model._A, np.float64)
@@ -661,7 +692,8 @@ class FusedPointMassMPPI:
                           lam=self.lam, upsilon=self.upsilon,
                           sigma=self.sigma, tile=self.tile,
                           interpret=self.interpret,
-                          antithetic=self.antithetic)
+                          antithetic=self.antithetic,
+                          schedule=self._sched0)
 
     # the fused instance is a jit static argument (fused_pm_call):
     # config-based equality lets identical controllers share compilations
@@ -707,10 +739,31 @@ class FusedPointMassMPPI:
         return jnp.where(cparams["count"] < 2, jnp.float32(0.0),
                          jnp.float32(self.tau + 1) * c)
 
-    def _pack_dyn_base(self, dyn, cparams, x0, useq, B):
+    def _sched_vals(self, sched):
+        """Runtime [tau] schedule factors (f32): the caller-threaded array,
+        else the init-time values. Only meaningful when ``scheduled``."""
+        if sched is None:
+            return jnp.asarray(self._sched0, jnp.float32)
+        return jnp.asarray(sched, jnp.float32).reshape(self.tau)
+
+    def unfold_wnoise(self, zsum, sched=None):
+        """Un-fold the kernel's weighted standard-normal sums to action
+        units: wnoise_t = c_t * scale @ zsum_t (c_t = 1 unscheduled).
+        zsum: [tau, adim] -> [tau, adim]."""
+        scale = jnp.asarray(self._scale, jnp.float32)
+        w = zsum @ scale.T
+        if self.scheduled:
+            w = w * self._sched_vals(sched)[:, None]
+        return w
+
+    def _pack_dyn_base(self, dyn, cparams, x0, useq, B, sched=None):
         """SMEM packing shared by the constant-(A,B) and runtime-(A,B)
         kernels: the useq-derived bu / rhs_z / u_half blocks plus x0 and
-        the (optional) dynamic goal."""
+        the (optional) dynamic goal; with a noise schedule, the per-step
+        c_t factors and the 1/c_t-weighted pure-action cost
+        (u^T Sig_t^-1 u = u^T Sig^-1 u / c_t). The rhs_z mixed term is
+        schedule-invariant: u^T Sig_t^-1 eps_t = u^T Sig^-1 (scale z)
+        exactly because eps_t carries c_t and Sig_t^-1 carries 1/c_t."""
         useq = jnp.asarray(useq, jnp.float32).reshape(self.tau, self.adim)
         inv_sig = jnp.asarray(self._inv_sigma, jnp.float32)
         scale = jnp.asarray(self._scale, jnp.float32)
@@ -719,6 +772,10 @@ class FusedPointMassMPPI:
         u_half = 0.5 * self.gamma * jnp.einsum(
             "ti,ij,tj->t", useq, inv_sig, useq)
         out = jnp.zeros((dyn.size,), jnp.float32)
+        if self.scheduled:
+            c = self._sched_vals(sched)
+            u_half = u_half / c
+            out = out.at[dyn.sched:dyn.sched + self.tau].set(c)
         out = out.at[dyn.x0:dyn.x0 + self.sdim].set(
             jnp.asarray(x0, jnp.float32).reshape(self.sdim))
         goal = self._goal_from_cparams(cparams)
@@ -731,39 +788,46 @@ class FusedPointMassMPPI:
             rhs_z.reshape(-1))
         return out.at[dyn.u_half].set(jnp.sum(u_half))
 
-    def pack_dyn(self, mparams, cparams, x0, useq):
+    def pack_dyn(self, mparams, cparams, x0, useq, sched=None):
         """Assemble the SMEM dynamic-scalar array for one solve."""
-        dyn = _Dyn(self.tau, self.sdim, self.adim)
+        dyn = _Dyn(self.tau, self.sdim, self.adim,
+                   scheduled=self.scheduled)
         out = self._pack_dyn_base(dyn, cparams, x0, useq,
-                                  jnp.asarray(self._B, jnp.float32))
+                                  jnp.asarray(self._B, jnp.float32),
+                                  sched=sched)
         return out.at[dyn.inv_mass].set(
             1.0 / jnp.asarray(mparams["mass"], jnp.float32))
 
     def solve(self, seed, x0, useq, mparams, cparams, z=None,
               use_prng: bool = True, return_raw: bool = False,
-              normalize: bool = False):
+              normalize: bool = False, sched=None):
         """One MPPI solve. ``normalize`` applies the reference's
         (cost-beta)/max normalization (controller_base.py:468-474) as a
         two-phase kernel: phase A (rollout -> per-sample costs + stats),
-        phase B (regenerated noise + bounded-exponent weights)."""
-        dyn_arr = self.pack_dyn(mparams, cparams, x0, useq)
+        phase B (regenerated noise + bounded-exponent weights).
+        ``sched``: runtime [tau] noise-schedule factors overriding the
+        construction-time values (scheduled kernels only; SMEM data, so a
+        changed schedule never recompiles)."""
+        dyn_arr = self.pack_dyn(mparams, cparams, x0, useq, sched=sched)
         off = self._cost_offset(cparams)  # None except for waypoint costs
         if not normalize:
-            out = fused_pm_call(seed, dyn_arr, z, fused=self,
-                                use_prng=use_prng, return_raw=return_raw)
-            if off is None:
-                return out
-            # weights (m, l, zsum) are shift-invariant and stay as computed;
-            # only the reported cost stats move (identically on every shard,
-            # so the cross-shard merge stays consistent)
+            raw = fused_pm_call(seed, dyn_arr, z, fused=self,
+                                use_prng=use_prng, return_raw=True)
+            if off is not None:
+                # weights (m, l, zsum) are shift-invariant and stay as
+                # computed; only the reported cost stats move (identically
+                # on every shard, so the cross-shard merge stays consistent)
+                raw = {**raw, "cost_min": raw["cost_min"] + off,
+                       "cost_max": raw["cost_max"] + off,
+                       "cost_sum": raw["cost_sum"] + self.k * off}
             if return_raw:
-                return {**out, "cost_min": out["cost_min"] + off,
-                        "cost_max": out["cost_max"] + off,
-                        "cost_sum": out["cost_sum"] + self.k * off}
-            wnoise, info = out
-            return wnoise, {**info, "cost_min": info["cost_min"] + off,
-                            "cost_max": info["cost_max"] + off,
-                            "cost_mean": info["cost_mean"] + off}
+                return raw
+            wnoise = self.unfold_wnoise(raw["zsum"], sched) / raw["l"]
+            info = {"cost_min": raw["cost_min"],
+                    "cost_max": raw["cost_max"],
+                    "cost_mean": raw["cost_sum"] / self.k,
+                    "nabla": raw["l"]}
+            return wnoise, info
         costs, stats = fused_pm_costs(seed, dyn_arr, z, fused=self,
                                       use_prng=use_prng)
         beta, cmax = stats[2], stats[3]
@@ -780,17 +844,16 @@ class FusedPointMassMPPI:
                     "cost_sum": cost_sum}
         zsum, l = self.weights_phase(seed, costs, beta, cmax, z=z,
                                      use_prng=use_prng)
-        scale = jnp.asarray(self._scale, jnp.float32)
-        wnoise = (zsum @ scale.T) / l
+        wnoise = self.unfold_wnoise(zsum, sched) / l
         info = {"cost_min": beta, "cost_max": cmax,
                 "cost_mean": cost_sum / self.k, "nabla": l}
         return wnoise, info
 
     def costs_phase(self, seed, x0, useq, mparams, cparams, z=None,
-                    use_prng: bool = True):
+                    use_prng: bool = True, sched=None):
         """Phase A of the normalized solve: per-sample costs + stats (the
         waypoint constant offset already applied — see _cost_offset)."""
-        dyn_arr = self.pack_dyn(mparams, cparams, x0, useq)
+        dyn_arr = self.pack_dyn(mparams, cparams, x0, useq, sched=sched)
         costs, stats = fused_pm_costs(seed, dyn_arr, z, fused=self,
                                       use_prng=use_prng)
         off = self._cost_offset(cparams)
@@ -840,17 +903,18 @@ class FusedLTIMPPI(FusedPointMassMPPI):
                 "fused LTI kernel supports DMDModel only (PointMassModel "
                 "uses the specialised compile-time-constant kernel)")
 
-    def pack_dyn(self, mparams, cparams, x0, useq):
+    def pack_dyn(self, mparams, cparams, x0, useq, sched=None):
         """Assemble the SMEM array INCLUDING the runtime (A, B@scale).
 
         ``bu`` here is the true B u_t (the kernel skips the point-mass
         1/mass factor on the dynamic path) and ``inv_mass`` is unused.
         """
-        dyn = _Dyn(self.tau, self.sdim, self.adim, dynamic_ab=True)
+        dyn = _Dyn(self.tau, self.sdim, self.adim, dynamic_ab=True,
+                   scheduled=self.scheduled)
         A = jnp.asarray(mparams["A"], jnp.float32)
         B = jnp.asarray(mparams["B"], jnp.float32)
         scale = jnp.asarray(self._scale, jnp.float32)
-        out = self._pack_dyn_base(dyn, cparams, x0, useq, B)
+        out = self._pack_dyn_base(dyn, cparams, x0, useq, B, sched=sched)
         out = out.at[dyn.A:dyn.A + self.sdim * self.sdim].set(
             A.reshape(-1))
         return out.at[dyn.Bs:dyn.Bs + self.sdim * self.adim].set(
@@ -917,8 +981,9 @@ def fused_pm_call(seed, dyn_arr, z=None, *, fused: FusedPointMassMPPI,
     if return_raw:
         return {"m": stats[0], "l": l, "zsum": zsum, "cost_min": stats[2],
                 "cost_max": stats[3], "cost_sum": stats[4]}
-    scale = jnp.asarray(fused._scale, jnp.float32)
-    wnoise = (zsum @ scale.T) / l
+    # (init-time schedule values; schedule-threading callers use
+    # return_raw=True and unfold with the runtime array — solve())
+    wnoise = fused.unfold_wnoise(zsum) / l
     info = {
         "cost_min": stats[2],
         "cost_max": stats[3],

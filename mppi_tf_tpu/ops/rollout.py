@@ -32,6 +32,7 @@ def rollout_costs(
     x0: jax.Array,
     useq: jax.Array,
     noises: jax.Array,
+    sched=None,
 ) -> jax.Array:
     """Compute per-sample rollout costs.
 
@@ -40,12 +41,17 @@ def rollout_costs(
             one-step dynamics (model params already bound).
         state_cost_fn: ``x[k, sDim] -> [k]`` running state cost q(x).
         action_cost_fn: ``(u[aDim], eps[k, aDim]) -> [k]`` the
-            information-theoretic action cost.
+            information-theoretic action cost; with ``sched`` it is called
+            as ``(u, eps, c_t)`` with the step's schedule factor.
         terminal_cost_fn: ``x[k, sDim] -> [k]`` terminal cost phi(x).
         x0: [sDim] or [k, sDim] initial state (broadcast over samples,
             reference controller_base.py:393-396).
         useq: [tau, aDim] nominal action sequence.
-        noises: [k, tau, aDim] noise realisations.
+        noises: [k, tau, aDim] noise realisations (already schedule-scaled
+            when a schedule is in use — ops/noise.sample_noise(schedule=)).
+        sched: optional [tau] per-step noise-schedule factors c_t
+            (ops/noise.resolve_noise_schedule); threads each step's factor
+            into the action cost so Sigma_t = c_t * sigma.
 
     Returns:
         costs: [k] total rollout cost per sample.
@@ -65,15 +71,29 @@ def rollout_costs(
     # leading (scanned) axis.
     eps_t_major = jnp.swapaxes(noises, 0, 1)
 
-    def body(carry, inp):
-        x, c = carry
-        u_t, eps_t = inp
-        applied = u_t[None, :] + eps_t
-        x_next = step_fn(x, applied)
-        c_next = c + state_cost_fn(x_next) + action_cost_fn(u_t, eps_t)
-        return (x_next, c_next), None
+    if sched is None:
+        def body(carry, inp):
+            x, c = carry
+            u_t, eps_t = inp
+            applied = u_t[None, :] + eps_t
+            x_next = step_fn(x, applied)
+            c_next = c + state_cost_fn(x_next) + action_cost_fn(u_t, eps_t)
+            return (x_next, c_next), None
 
-    (x_final, costs), _ = jax.lax.scan(body, (x0, cost0), (useq, eps_t_major))
+        xs = (useq, eps_t_major)
+    else:
+        def body(carry, inp):
+            x, c = carry
+            u_t, eps_t, c_t = inp
+            applied = u_t[None, :] + eps_t
+            x_next = step_fn(x, applied)
+            c_next = c + state_cost_fn(x_next) + action_cost_fn(
+                u_t, eps_t, c_t)
+            return (x_next, c_next), None
+
+        xs = (useq, eps_t_major, jnp.asarray(sched, x0.dtype))
+
+    (x_final, costs), _ = jax.lax.scan(body, (x0, cost0), xs)
     return costs + terminal_cost_fn(x_final)
 
 

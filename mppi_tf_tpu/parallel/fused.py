@@ -143,7 +143,9 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
         }
 
     def _finish(useq, g):
-        wnoise = (g["zsum"] @ scale.T) / g["l"]
+        # unfold_wnoise applies scale AND the (construction-time) noise
+        # schedule: wnoise_t = c_t * scale @ zsum_t
+        wnoise = local_fused.unfold_wnoise(g["zsum"]) / g["l"]
         info = {
             "cost_min": g["cost_min"],
             "cost_max": g["cost_max"],
@@ -166,7 +168,7 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
                                             z=z, use_prng=use_prng)
         l_g = jax.lax.psum(l, axis_name)
         zsum_g = jax.lax.psum(zsum, axis_name)
-        wnoise = (zsum_g @ scale.T) / l_g
+        wnoise = local_fused.unfold_wnoise(zsum_g) / l_g
         info = {
             "cost_min": beta,
             "cost_max": cmax,
@@ -249,7 +251,7 @@ class ShardedFusedMPPI(ShardedControllerMixin):
                  normalize_cost: bool = False, clip_actions: bool = False,
                  filter_seq: bool = False, filter_window: int = 9,
                  filter_polyorder: int = 3, antithetic: bool = False,
-                 overlap_merge: bool = False):
+                 overlap_merge: bool = False, noise_schedule=None):
         from ..kernels.auv_mppi import FusedAUVMPPI
         from ..kernels.errors import KernelUnsupportedError
         from ..kernels.pm_mppi import FusedLTIMPPI, FusedPointMassMPPI
@@ -267,9 +269,13 @@ class ShardedFusedMPPI(ShardedControllerMixin):
         self._fused = None
         for cls in (FusedPointMassMPPI, FusedLTIMPPI, FusedAUVMPPI):
             try:
+                # the schedule is construction-time config on the sharded
+                # path: the kernel's init values are the single source of
+                # truth (solve()'s sched default falls back to them)
                 self._fused = cls(model, cost, k=k_local, tau=tau, lam=lam,
                                   upsilon=upsilon, sigma=sigma, tile=tile,
-                                  interpret=interpret, antithetic=antithetic)
+                                  interpret=interpret, antithetic=antithetic,
+                                  schedule=noise_schedule)
                 break
             except KernelUnsupportedError as e:
                 err = e

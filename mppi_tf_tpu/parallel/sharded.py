@@ -60,6 +60,7 @@ def build_sharded_solve(
     filter_mat=None,
     overlap_merge: bool = False,
     overlap_frac: float = 0.875,
+    schedule=None,
 ):
     """Return (solve, solve_with_noise) jitted over ``mesh``.
 
@@ -100,6 +101,11 @@ def build_sharded_solve(
         if overlap_merge else k_local
     adim = model.get_action_dim()
     sigma = jnp.asarray(np.asarray(sigma, np.float64), dtype=model.dtype)
+    # per-step noise schedule (construction-time config on the sharded
+    # path): sigma_t = c_t * sigma — ops/noise.resolve_noise_schedule
+    sched_np = noise_ops.resolve_noise_schedule(schedule, tau)
+    sched_c = (None if sched_np is None
+               else jnp.asarray(sched_np, model.dtype))
     if filter_mat is not None:
         filter_mat = jnp.asarray(np.asarray(filter_mat, np.float64),
                                  dtype=model.dtype)
@@ -113,6 +119,7 @@ def build_sharded_solve(
             x0=state,
             useq=useq,
             noises=eps,
+            sched=sched_c,
         )
 
     def _update(useq, costs, eps):
@@ -175,7 +182,8 @@ def build_sharded_solve(
         sampler = (noise_ops.sample_noise_antithetic if antithetic
                    else noise_ops.sample_noise)
         eps = sampler(
-            key, k_local, tau, adim, sigma, upsilon, dtype=useq.dtype
+            key, k_local, tau, adim, sigma, upsilon, dtype=useq.dtype,
+            schedule=sched_c,
         )
         if not overlap_merge:
             costs = _local_costs(state, useq, eps, mparams, cparams)
@@ -295,6 +303,7 @@ class ShardedMPPI(ShardedControllerMixin):
         init_seq=None,
         prng_impl: str = "auto",
         overlap_merge: bool = False,
+        noise_schedule=None,
     ):
         if sigma is None:
             raise ValueError("sigma (noise scale matrix) is required")
@@ -314,7 +323,7 @@ class ShardedMPPI(ShardedControllerMixin):
             model, cost, k, tau, lam, upsilon, sigma, mesh,
             normalize_cost=normalize_cost, clip_actions=clip_actions,
             axis=axis, antithetic=antithetic, filter_mat=filter_mat,
-            overlap_merge=overlap_merge,
+            overlap_merge=overlap_merge, schedule=noise_schedule,
         )
         if init_seq is not None:
             self._useq = jnp.asarray(

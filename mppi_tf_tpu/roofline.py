@@ -1,0 +1,312 @@
+"""Roofline / MFU accounting for the MPPI benchmark rows.
+
+The north-star claim is "speed-of-light rollout kernels per chip"
+(BASELINE.json). This module makes that claim *checkable* from the bench
+artifacts (VERDICT r4 next-step #1): every TPU bench row carries
+
+- an ANALYTIC work model of the solve (f32 FLOPs, transcendental ops,
+  HBM bytes), derived from the kernel structure and the actual nonzero
+  patterns of the baked matrices (zero entries generate no code in the
+  fused kernels — the flop model honours that);
+- MEASURED device ceilings (elementwise-FMA rate, transcendental rate,
+  HBM stream bandwidth), obtained from three tiny compiled microbenchmarks
+  at bench time on the same chip — so the roofline needs no hard-coded
+  datasheet numbers and stays honest on any backend;
+- the resulting bound classification ("transcendental" / "compute" /
+  "hbm") and the fraction of that bound the measured latency achieves.
+
+Why these three ceilings: the fused MPPI kernels are VPU programs — scalar-
+coefficient FMA chains over (8, L) f32 blocks with an in-kernel Box-Muller
+noise draw (log/sqrt/cos/sin per pair of normals) and one exp per sample
+for the softmax. There are no MXU matmuls and almost no HBM traffic (SMEM
+scalars in, SMEM scalars out; the noise never exists in HBM) — so the
+speed of light is set by whichever of FMA issue, transcendental issue, or
+(for the XLA paths, which DO materialise the [K, tau, aDim] noise tensor)
+HBM bandwidth binds first.
+
+The per-op transcendental ceiling is measured with exp(); on TPU the other
+transcendentals (log, sqrt, cos, sin) lower through the same VPU
+special-function path with similar issue rates, so one measured rate is
+used for all of them (documented approximation, like the +-10% flop
+model).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+# FLOPs counted as: multiply = 1, add = 1 (an FMA = 2). Matches how the
+# measured FMA-chain ceiling is counted, so fractions are comparable.
+
+
+# ---------------------------------------------------------------------------
+# measured ceilings
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def measure_ceilings(reps: int = 3):
+    """Measure {vpu_flops, transcendental_per_s, hbm_bytes_per_s} on the
+    default backend with three compiled microbenchmarks.
+
+    Each microbench chains enough work into ONE dispatch that the host
+    round trip (axon relay: ~22-33 ms) is amortised to <2%.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+
+    # -- elementwise FMA rate -------------------------------------------
+    n = 1 << 20  # 4 MB f32: resident in VMEM once loaded
+    depth = 512  # serial FMAs per element per dispatch
+    x0 = jnp.linspace(0.5, 1.5, n, dtype=jnp.float32)
+
+    @jax.jit
+    def fma_chain(x):
+        # distinct literal coefficients: no algebraic collapse available
+        for i in range(depth):
+            x = x * np.float32(1.0 + 1e-7 * (i + 1)) + np.float32(1e-9)
+        return x
+
+    jax.block_until_ready(fma_chain(x0))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fma_chain(x0))
+        ts.append(time.perf_counter() - t0)
+    vpu_flops = 2.0 * depth * n / min(ts)
+
+    # -- transcendental (exp) rate --------------------------------------
+    depth_e = 128
+    xe = jnp.linspace(0.1, 1.0, n, dtype=jnp.float32)
+
+    @jax.jit
+    def exp_chain(x):
+        for _ in range(depth_e):
+            x = jnp.exp(-x)  # stays in (e^-1, 1): no overflow, no folding
+        return x
+
+    jax.block_until_ready(exp_chain(xe))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(exp_chain(xe))
+        ts.append(time.perf_counter() - t0)
+    trans_per_s = depth_e * n / min(ts)
+
+    # -- HBM stream bandwidth -------------------------------------------
+    nb = 1 << 26  # 256 MB f32: far beyond VMEM, forced to stream from HBM
+    xb = jnp.ones((nb,), jnp.float32)
+
+    @jax.jit
+    def stream(x):
+        return x * np.float32(1.0000001) + np.float32(1e-9)
+
+    jax.block_until_ready(stream(xb))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(stream(xb))
+        ts.append(time.perf_counter() - t0)
+    hbm_bytes_per_s = 2.0 * 4.0 * nb / min(ts)  # read + write
+
+    return {
+        "backend": backend,
+        "vpu_flops": vpu_flops,
+        "transcendental_per_s": trans_per_s,
+        "hbm_bytes_per_s": hbm_bytes_per_s,
+    }
+
+
+# ---------------------------------------------------------------------------
+# analytic work models
+# ---------------------------------------------------------------------------
+
+def _nnz(m):
+    return int(np.count_nonzero(np.asarray(m)))
+
+
+def noise_work(k_padded: int, tau: int, adim: int):
+    """In-kernel Box-Muller work: per PAIR of normals one log, sqrt, cos,
+    sin (4 transcendentals) + ~10 flops (bit packing, -2*log mult, the two
+    products). Normals drawn = k_padded * tau * adim (every lane of every
+    tile draws, the solve masks pad lanes afterwards)."""
+    normals = k_padded * tau * adim
+    return {"flops": 5 * normals, "trans": 2 * normals}
+
+
+def pm_work(fused, normalize: bool = False):
+    """Analytic work model of one fused point-mass/LTI solve
+    (kernels/pm_mppi.py), from the instance's own baked matrices.
+
+    Per (sample, step): sparse A/Bs FMA chains (2 flops per nonzero — the
+    kernel elides zeros), the drive combine (~3/state row), the quadratic
+    state cost (2*nnz(Q) + 3*sdim), the action-cost z terms (2*adim +
+    2*nnz(Mz) + 2*adim + 2). Terminal adds one state cost; softmax adds
+    one exp + ~6 flops per sample and the weighted-z accumulation adds
+    2*tau*adim per sample.
+    """
+    tau, sdim, adim = fused.tau, fused.sdim, fused.adim
+    tile = fused.tile
+    kp = ((fused.k + tile - 1) // tile) * tile
+    mc = fused._mc
+    if mc.get("dynamic_ab"):
+        a_nnz, bs_nnz = sdim * sdim, sdim * adim  # dense SMEM chains
+    else:
+        a_nnz, bs_nnz = _nnz(mc["A"]), _nnz(mc["Bs"])
+    if mc.get("cost_kind") == "quadratic":
+        cost_flops = 2 * _nnz(mc["Q"]) + 3 * sdim
+    else:  # elipse: ~12 flops + 1 sqrt (counted as transcendental below)
+        cost_flops = 14
+    step_flops = (2 * a_nnz + 2 * bs_nnz + 3 * sdim      # dynamics
+                  + cost_flops                            # state cost
+                  + 2 * adim                              # rhs_z . z
+                  + 2 * _nnz(mc["Mz"]) + 2 * adim + 2)    # z^T Mz z
+    per_sample = tau * step_flops + cost_flops            # + terminal
+    softmax = 8 + 2 * tau * adim                          # exp arg + zsum
+    nz = noise_work(kp, tau, adim)
+    n_solves = 2 if normalize else 1  # two-phase regenerates the noise
+    # per-sample transcendentals: the softmax exp, plus the ellipse cost's
+    # per-step sqrt
+    sample_trans = 1 + (tau if mc.get("cost_kind") != "quadratic" else 0)
+    work = {
+        "flops": kp * (per_sample + softmax) + nz["flops"] * n_solves,
+        "trans": kp * sample_trans + nz["trans"] * n_solves,
+        "hbm_bytes": (2 * 4 * kp) if normalize else 0,  # costs out + in
+    }
+    if normalize:
+        # phase B re-weights every sample: another exp + zsum accumulate
+        work["flops"] += kp * (8 + 2 * tau * adim)
+        work["trans"] += kp
+    return work
+
+
+def auv_work(fused, normalize: bool = False):
+    """Analytic work model of one fused AUV (Fossen 6-DoF) solve
+    (kernels/auv_mppi.py). Hand-counted from the kernel body (+-10%):
+
+    state_dot: rotation entries ~45, pose rates 15, quat rates 24,
+    |nu|*nu 12, damping 2*(nnz(LD)+nnz(QD)) (+ forward-speed term if
+    present), Coriolis M nu 72 + crosses 27 + combine 6, restoring ~20,
+    rhs 18, inv_M solve 72  =>  ~311 + damping.
+    Step: rk1 = state_dot + axpy(26); rk2 = 2*state_dot + 3*13 + 26.
+    Plus norm_quat (~12 + 1 rsqrt), gen-force fold 2*nnz(scale) + 6,
+    quat cost (~30 + acos poly 17 + 2*nnz(Q)), action-cost z terms as in
+    the point-mass model.
+    """
+    tau = fused.tau
+    tile = fused.tile
+    kp = ((fused.k + tile - 1) // tile) * tile
+    mc = fused._mc
+    damping = 2 * (_nnz(mc["lin_damp"]) + _nnz(mc["quad_damp"]))
+    if _nnz(mc["lin_damp_fwd"]):
+        damping += 2 * _nnz(mc["lin_damp_fwd"]) + 6
+    sdot = 311 + damping
+    rk = int(mc["rk"])
+    step_dyn = (sdot + 26) if rk == 1 else (2 * sdot + 39 + 26)
+    gf = 2 * _nnz(mc["scale"]) + 6
+    if mc.get("cost_kind") in ("static_quat", "waypoints_quat"):
+        cost_flops = 30 + 17 + 2 * _nnz(mc["Q"])
+        cost_trans = 0  # the acos is a polynomial (no special-fn issue)
+        if mc.get("cost_kind") == "waypoints_quat":
+            cost_flops *= 2  # exact two-goal blend
+    else:  # elipse3d: plane rotation + tangent quat + rsqrt's
+        cost_flops, cost_trans = 90, 2
+    action_z = 2 * 6 + 2 * _nnz(mc["Mz"]) + 2 * 6 + 2
+    per_sample = (tau * (gf + step_dyn + 13 + cost_flops + action_z)
+                  + cost_flops)
+    softmax = 8 + 2 * tau * 6
+    nz = noise_work(kp, tau, 6)
+    n_solves = 2 if normalize else 1
+    work = {
+        "flops": kp * (per_sample + softmax) + nz["flops"] * n_solves,
+        # per sample: rsqrt in norm_quat (1/step) + the cost's own
+        # transcendentals (rsqrt's; the acos is polynomial) + softmax exp
+        "trans": kp * (tau * (1 + cost_trans) + 1)
+        + nz["trans"] * n_solves,
+        "hbm_bytes": (2 * 4 * kp) if normalize else 0,
+    }
+    if normalize:
+        work["flops"] += kp * (8 + 2 * tau * 6)
+        work["trans"] += kp
+    return work
+
+
+def xla_solve_work(k: int, tau: int, adim: int, step_flops: int,
+                   cost_flops: int, sdim: int):
+    """Work model for the XLA (lax.scan) solve path: same arithmetic as
+    the fused kernel PLUS the HBM traffic it cannot avoid — the
+    [K, tau, aDim] noise tensor is materialised (write), read by the
+    rollout, and read again by the weighted-noise contraction; the scan
+    carries [K, sDim] state + [K] cost per step (read + write each)."""
+    eps_bytes = 4 * k * tau * adim
+    carry_bytes = 4 * k * (sdim + 1) * tau * 2
+    per_sample = tau * (step_flops + cost_flops + 6 * adim) + cost_flops
+    return {
+        "flops": k * (per_sample + 8 + 2 * tau * adim)
+        + 5 * k * tau * adim,
+        "trans": k * (1 + 2 * tau * adim),  # exp + RNG normals
+        "hbm_bytes": 3 * eps_bytes + carry_bytes,
+    }
+
+
+# ---------------------------------------------------------------------------
+# row annotation
+# ---------------------------------------------------------------------------
+
+def classify(work: dict, ceil: dict, measured_ms: float):
+    """Given a work model, the measured ceilings and a measured latency,
+    return the roofline annotation dict for a bench row's ``extra``."""
+    t_flops = work["flops"] / ceil["vpu_flops"]
+    t_trans = work["trans"] / ceil["transcendental_per_s"]
+    t_hbm = work.get("hbm_bytes", 0) / ceil["hbm_bytes_per_s"]
+    bounds = {"compute": t_flops, "transcendental": t_trans, "hbm": t_hbm}
+    bound = max(bounds, key=bounds.get)
+    t_bound_ms = bounds[bound] * 1e3
+    return {
+        "flops": int(work["flops"]),
+        "transcendentals": int(work["trans"]),
+        "hbm_bytes": int(work.get("hbm_bytes", 0)),
+        "t_compute_ms": round(t_flops * 1e3, 4),
+        "t_transcendental_ms": round(t_trans * 1e3, 4),
+        "t_hbm_ms": round(t_hbm * 1e3, 4),
+        "bound": bound,
+        "sol_ms": round(t_bound_ms, 4),
+        # fraction of the binding roofline achieved (1.0 = speed of light;
+        # can exceed 1 only if the work model undercounts)
+        "pct_of_bound": round(t_bound_ms / measured_ms, 4)
+        if measured_ms > 0 else 0.0,
+        "pct_vpu_peak": round(t_flops * 1e3 / measured_ms, 4)
+        if measured_ms > 0 else 0.0,
+    }
+
+
+def roofline_for_workload(workload: str, ctrl, measured_ms: float,
+                          normalize: bool = False):
+    """Annotation for a bench row given its controller. Returns None when
+    no model applies (serving/cluster rows measure transport, not
+    kernels)."""
+    ceil = measure_ceilings()
+    fused = getattr(ctrl, "_fused", None)
+    if fused is not None:
+        from .kernels.auv_mppi import FusedAUVMPPI
+
+        if isinstance(fused, FusedAUVMPPI):
+            work = auv_work(fused, normalize)
+        else:
+            work = pm_work(fused, normalize)
+    else:
+        # XLA path: coarse per-model step-flop estimates (the scan path's
+        # cost is HBM-dominated, so ±2x on flops does not move the bound)
+        k, tau = ctrl._k, ctrl._tau
+        adim, sdim = ctrl._adim, ctrl._sdim
+        name = type(ctrl._model).__name__
+        step_flops = {"PointMassModel": 40, "DMDModel": 90,
+                      "AUVModel": 800}.get(name, 2000)
+        cost_flops = 40
+        work = xla_solve_work(k, tau, adim, step_flops, cost_flops, sdim)
+    return classify(work, ceil, measured_ms)
