@@ -336,3 +336,118 @@ def test_served_set_goal_vehicle_index_on_single_controller_rejected():
     finally:
         client.close()
         server.close()
+
+
+def test_mstep_reply_single_controller(served):
+    """{"op": "next", "m": 5}: the reply carries the first m actions of
+    the updated plan — actions[0] is the applied action and actions[1:]
+    are the head of the shifted nominal sequence (the open-loop
+    continuation the client can apply while not replanning)."""
+    _model, ctrl, client = served
+    plan = client.next_plan(np.zeros(4), m=5)
+    assert plan.shape == (5, 2)
+    np.testing.assert_allclose(plan[1:], np.asarray(ctrl.useq)[:4],
+                               rtol=1e-6)
+    # m=1 degenerates to the plain reply shape
+    resp = client.request(op="next", state=[0.0] * 4, m=1)
+    assert "actions" not in resp and len(resp["action"]) == 2
+    resp = client.request(op="next", state=[0.0] * 4, m=0)
+    assert "error" in resp
+
+
+def test_mstep_open_loop_tracks(served):
+    """Driving the plant with m-step replies (replan every m ticks)
+    still converges — the amortized-RTT deployment mode works end to
+    end."""
+    model, _ctrl, client = served
+    mp = model.init_params()
+    x = np.zeros(4)
+    m = 3
+    for _ in range(25):  # 75 control ticks at 25 round trips
+        plan = client.next_plan(x, m=m)
+        for u in plan:
+            x = np.asarray(model.predict(mp, x, u)).reshape(-1)
+    assert np.linalg.norm(x[0::2] - np.array([1.0, -0.5])) < 0.3, x
+
+
+def test_fleet_coalescing_batches_concurrent_requests():
+    """N concurrent per-vehicle requests coalesce into ~1 fleet dispatch:
+    with the fleet solve held slow, the requests queued during the
+    leader's solve are all served by the SECOND dispatch (batched == 3),
+    and every client gets its own vehicle's row."""
+    import threading
+    import time as _time
+
+    model, cost, sigma = _family()
+    goals = np.tile([1.0, 0.0, -0.5, 0.0], (4, 1))
+    fleet = FleetMPPI(model, cost, n_vehicles=4, k=64, tau=8, lam=0.6,
+                      upsilon=1.0, sigma=sigma, goals=goals, seed=2)
+    real_next = fleet.next
+
+    def slow_next(states):
+        _time.sleep(0.25)  # hold the dispatch so followers queue up
+        return real_next(states)
+
+    fleet.next = slow_next
+    server = ControlServer(fleet)
+    host, port = server.serve_background()
+    try:
+        results = {}
+
+        def hammer(v):
+            c = ControlClient(host, port)
+            try:
+                results[v] = c.request(op="next", vehicle=v,
+                                       state=[0.1 * v] * 4)
+            finally:
+                c.close()
+
+        threads = [threading.Thread(target=hammer, args=(v,))
+                   for v in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert set(results) == {0, 1, 2, 3}
+        batched = [r["batched"] for r in results.values()]
+        # one leader solves alone (or with early arrivals); everyone who
+        # queued during its 250 ms solve shares ONE later dispatch
+        assert max(batched) >= 3, batched
+        for v, r in results.items():
+            assert len(r["action"]) == 2 and "error" not in r
+        # m-step + vehicle composes
+        c = ControlClient(host, port)
+        try:
+            plan = c.next_plan([0.0] * 4, m=4, vehicle=2)
+            assert plan.shape == (4, 2)
+            np.testing.assert_allclose(plan[1:],
+                                       np.asarray(fleet.useq)[2, :3],
+                                       rtol=1e-6)
+        finally:
+            c.close()
+    finally:
+        server.close()
+
+
+def test_vehicle_next_on_single_controller_rejected(served):
+    _model, _ctrl, client = served
+    resp = client.request(op="next", vehicle=0, state=[0.0] * 4)
+    assert "FleetMPPI" in resp["error"]
+
+
+def test_coalescer_vehicle_out_of_range():
+    model, cost, sigma = _family()
+    fleet = FleetMPPI(model, cost, n_vehicles=2, k=32, tau=5, lam=0.6,
+                      upsilon=1.0, sigma=sigma, seed=2)
+    server = ControlServer(fleet)
+    host, port = server.serve_background()
+    client = ControlClient(host, port)
+    try:
+        resp = client.request(op="next", vehicle=7, state=[0.0] * 4)
+        assert "out of range" in resp["error"]
+        # server still healthy after the error
+        a = client.next([0.0] * 4, vehicle=1)
+        assert a.shape == (2,)
+    finally:
+        client.close()
+        server.close()
