@@ -24,7 +24,7 @@ row the framework claims, driver-verifiable in one run:
     single client + 8 concurrent (serve.py, the deployment surface)
     2-process gloo cluster: the sharded solve timed with REAL cross-process
     collectives, collective-time share (global vs local mesh) and the
-    head/tail overlap variant (the BASELINE.md "N>=2 hosts" row; CPU workers)
+    weak-scaling device sweep (the BASELINE.md "N>=2 hosts" row; CPU workers)
 
 One JSON line is printed per workload as it completes; the full suite is
 written to ``BENCH_SUITE.json`` in the artifact dir (``BENCH_DIR``, which
@@ -63,14 +63,15 @@ CHAIN=2000 the RTT share is ~11-16 us/solve. Single-call dispatch latency
 is reported alongside in "extra" for the headline workload.
 """
 
+import functools
 import json
 import os
 import time
 
 import numpy as np
 
-_VALID_WORKLOADS = ("point_mass", "point_mass_h100", "auv",
-                    "auv_waypoints", "nn", "dmd")
+_VALID_WORKLOADS = ("point_mass", "point_mass_h100", "point_mass_bf16",
+                    "auv", "auv_bf16", "auv_waypoints", "nn", "dmd")
 
 #: per-step sigma factors for the long-horizon workload: exp decay 1 -> 1/4
 #: over the horizon (exploration tapers where the rollout's predictive
@@ -84,7 +85,7 @@ def _build_workload(workload, jnp):
     from mppi_tf_tpu.costs import get_cost
     from mppi_tf_tpu.models import get_model
 
-    if workload in ("point_mass", "point_mass_h100"):
+    if workload in ("point_mass", "point_mass_h100", "point_mass_bf16"):
         sigma = np.diag([0.25, 0.25, 0.25])
         model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
                           state_dim=6, action_dim=3)
@@ -120,7 +121,7 @@ def _build_workload(workload, jnp):
         lam = 0.5
         state0 = np.zeros(13)
         state0[6] = 1.0
-    elif workload == "auv":
+    elif workload in ("auv", "auv_bf16"):
         from mppi_tf_tpu import flagship as g
 
         sigma = np.diag([1500.0] * 6)
@@ -169,12 +170,13 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
     n_dev = len(jax.devices())
     if sharded:
         K -= K % n_dev  # k must divide evenly over the mesh
-    if workload == "nn" and kernel == "pallas":
-        kernel = "xla"  # no fused kernel for NN dynamics (by design)
 
     model, cost, sigma, lam, state0 = _build_workload(workload, jnp)
     adim = model.get_action_dim()
     sched_spec = H100_SCHEDULE if workload == "point_mass_h100" else None
+    # _bf16 workloads: the fused kernels' bf16 block-compute variant
+    # (rollout at the VPU's packed rate, f32 cost/softmax accumulators)
+    kdtype = "bfloat16" if workload.endswith("_bf16") else "float32"
 
     from mppi_tf_tpu.controller.mppi import MPPI
 
@@ -232,7 +234,7 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
         # for debugging); MPPI rejects genuinely unsupported combos
         ctrl = MPPI(model, cost, k=K, tau=TAU, lam=lam, upsilon=1.0,
                     sigma=sigma, kernel=kernel, kernel_tile=tile,
-                    noise_schedule=sched_spec)
+                    noise_schedule=sched_spec, kernel_dtype=kdtype)
         mp, cp = ctrl.model_params, ctrl._cparams
         solve = ctrl._solve  # pure fn: (key, state, useq, mp, cp)
 
@@ -289,6 +291,7 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
     per_solve = float(np.median(times))
 
     dispatch_p50 = None
+    decomp = None
     if measure_single:
         # single-call dispatch latency (incl. host round trip)
         if ctrl is not None and ctrl._fused is not None:
@@ -310,10 +313,52 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
             lat.append(time.perf_counter() - t0)
         dispatch_p50 = float(np.median(lat))
 
+        # decompose: time chains of n solves in ONE dispatch for several n
+        # and fit latency(n) = overhead + n * device_ms — the slope is the
+        # true per-solve device+runtime time, the intercept the per-
+        # dispatch cost (relay RTT + host runtime), so the host-in-the-
+        # loop replan claim no longer rests on the chain-amortized number
+        # alone (VERDICT r4 next-step #8)
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def chain_n(key, state, useq, n):
+            def body(i, carry):
+                state, useq = carry
+                if ctrl._fused is not None:
+                    a, useq, _ = ctrl._fused_step(i, state, useq, mp, cp,
+                                                  ctrl._sched)
+                else:
+                    a, useq, _ = solve(
+                        jax.random.fold_in(key, i), state, useq, mp, cp,
+                        ctrl._sched)
+                state = model.step(mp, state[None, :], a[None, :])[0]
+                return (state, useq)
+
+            return jax.lax.fori_loop(0, n, body, (state, useq))
+
+        ns = (1, 2, 4, 8)
+        pts = []
+        for n in ns:
+            out_n = chain_n(key, state, useq, n=n)
+            jax.block_until_ready(out_n)  # compile per n
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                jax.block_until_ready(chain_n(key, state, useq, n=n))
+                best = min(best, time.perf_counter() - t0)
+            pts.append(best * 1e3)
+        slope, intercept = np.polyfit(ns, pts, 1)
+        decomp = {"device_solve_ms": round(float(slope), 4),
+                  "dispatch_overhead_ms": round(float(max(intercept, 0.0)),
+                                                4),
+                  "chain_lengths": list(ns),
+                  "chain_ms": [round(v, 4) for v in pts]}
+
     wname = {"point_mass": "point_mass3d",
              "point_mass_h100": "point_mass3d_h100sched",
+             "point_mass_bf16": "point_mass3d_bf16",
              "nn": "auv_nn_mlp",
-             "auv": "auv_rexrov2", "auv_waypoints": "auv_waypoints_quat",
+             "auv": "auv_rexrov2", "auv_bf16": "auv_rexrov2_bf16",
+             "auv_waypoints": "auv_waypoints_quat",
              "dmd": "dmd_lti6"}[workload]
     p50_ms = per_solve * 1e3
     used_pallas = (ctrl._fused is not None if ctrl is not None
@@ -346,6 +391,8 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
             extra["roofline_error"] = f"{type(e).__name__}: {e}"
     if dispatch_p50 is not None:
         extra["single_call_p50_ms"] = round(dispatch_p50 * 1e3, 3)
+    if decomp is not None:
+        extra["single_call_decomposition"] = decomp
     return {
         "metric": (f"p50_replan_latency_ms@K={K},H={TAU},{wname},"
                    f"{'sharded,' if sharded else ''}{backend},"
@@ -991,7 +1038,6 @@ def run_multiprocess_workload(K, TAU, CHAIN, nproc=2, devices_per_proc=4):
     # replicated SPMD: every worker measures the same program; take the max
     # (the cluster is only as fast as its slowest participant)
     p50_ms = max(r["p50_solve_ms"] for r in results)
-    overlap_ms = max(r["p50_overlap_ms"] for r in results)
     # local-mesh control: identical per-device work, collectives
     # intra-process only — (global - local) is the cross-process
     # collective cost per solve (VERDICT r3 weak #2/#3: the DCN story
@@ -1016,18 +1062,79 @@ def run_multiprocess_workload(K, TAU, CHAIN, nproc=2, devices_per_proc=4):
             "sharded": True,
             "n_devices": n_dev,
             "n_processes": nproc,
-            "overlap_p50_ms": round(overlap_ms, 4),
             "local_mesh_p50_ms": round(local_ms, 4),
             "collective_ms_per_solve": round(coll_ms, 4),
             "collective_share": round(coll_ms / p50_ms, 4) if p50_ms else 0,
-            "overlap_speedup": round(p50_ms / overlap_ms, 3)
-            if overlap_ms else 0,
             "note": ("CPU gloo cluster — this testbed has one TPU chip; "
                      "the 10 ms budget (vs_baseline) applies to the TPU "
                      "rows, this row proves+times the multi-process "
                      "collective path; collective_ms = global-mesh minus "
-                     "local-mesh at identical per-device work; "
-                     "overlap_p50_ms = the head/tail two-phase merge"),
+                     "local-mesh at identical per-device work"),
+        },
+    }
+
+
+def run_weak_scaling_workload(k_per_dev=1024, TAU=25, CHAIN=20):
+    """Weak-scaling curve of the mesh-sharded solve (VERDICT r4 next-step
+    #7): fixed per-device K, device count swept over intra-process virtual
+    meshes (1 proc x 4/8/16/32 devices) AND cross-process gloo clusters
+    (2x4, 2x8, 4x4) — so the collective-cost model is a measured CURVE
+    rather than one 2-process sample. Each point reports the global-mesh
+    p50, the local-mesh control (identical per-device work, collectives
+    intra-process), the implied collective cost, and the head/tail
+    per-point local-mesh control (VERDICT r4 next-step #7)."""
+    from mppi_tf_tpu.parallel.cluster import run_cluster
+
+    points = [(1, 4), (1, 8), (1, 16), (1, 32), (2, 4), (2, 8), (4, 4)]
+    table = []
+    for nproc, dpp in points:
+        ndev = nproc * dpp
+        K = k_per_dev * ndev
+        row = {"n_processes": nproc, "devices_per_proc": dpp,
+               "n_devices": ndev, "K": K}
+        try:
+            res = run_cluster(nproc=nproc, devices_per_proc=dpp,
+                              bench=f"{K},{TAU},{CHAIN}")
+            p50 = max(r["p50_solve_ms"] for r in res)
+            loc = max(r["p50_local_ms"] for r in res)
+            row.update(
+                p50_ms=round(p50, 4),
+                local_mesh_p50_ms=round(loc, 4),
+                collective_ms=round(max(p50 - loc, 0.0), 4),
+                collective_share=round(max(p50 - loc, 0.0) / p50, 4)
+                if p50 else 0.0,
+            )
+        except Exception as e:  # a failed point must not hide the curve
+            row["error"] = f"{type(e).__name__}: {e}"
+        table.append(row)
+    good = [r for r in table if "error" not in r]
+    # headline value: the largest measured cross-process point's p50
+    cross = [r for r in good if r["n_processes"] > 1]
+    head = (max(cross, key=lambda r: r["n_devices"]) if cross
+            else (good[-1] if good else {"p50_ms": -1.0, "n_devices": 0}))
+    p50 = head.get("p50_ms", -1.0)
+    return {
+        "metric": (f"weak_scaling_p50_ms@k/dev={k_per_dev},H={TAU},"
+                   f"point_mass3d,{head.get('n_devices', 0)}dev,cpu,xla"),
+        "value": round(p50, 4) if p50 else -1.0,
+        "unit": "ms",
+        "vs_baseline": round(10.0 / p50, 3) if p50 and p50 > 0 else 0.0,
+        "extra": {
+            "table": table,
+            "k_per_device": k_per_dev,
+            "H": TAU,
+            "chain": CHAIN,
+            "backend": "cpu",
+            "kernel": "xla",
+            "workload": "point_mass_weak_scaling",
+            "points_measured": len(good),
+            "note": ("fixed per-device K; collective_ms = global-mesh "
+                     "minus local-mesh p50 at identical per-device work; "
+                     "1-process rows are virtual-mesh (intra-process "
+                     "collectives), multi-process rows cross gloo. The "
+                     "overlap_merge head/tail variant was measured here "
+                     "in round 5, lost at every point, and was deleted "
+                     "(OVERLAP_DECISION.json)."),
         },
     }
 
@@ -1108,6 +1215,18 @@ def main():
         ("dmd", default_kernel, 100_000, 50, 300, False, False),
         ("point_mass", default_kernel, 100_000, 50, 300, True, False),
     ]
+    if backend == "tpu":
+        # TPU-only rows, each a MEASURED-DECISION record kept live every
+        # round: the fused NN VPU kernel vs its XLA row above (XLA wins —
+        # kernels/nn_mppi.py header), and the bf16 block-compute variants
+        # (f32 wins — BF16_DECISION.json). Interpret-mode equivalents
+        # would cost minutes of CPU compile, hence TPU-only.
+        suite_spec.insert(7, ("nn", "pallas", 65_536, 25, 300, False,
+                              False))
+        suite_spec.append(("point_mass_bf16", "pallas", 100_000, 50, 300,
+                           False, False))
+        suite_spec.append(("auv_bf16", "pallas", 262_144, 25, 300, False,
+                           False))
     cap_k = int(os.environ.get("BENCH_K", 0)) or None
     cap_tau = int(os.environ.get("BENCH_TAU", 0)) or None
     cap_chain = int(os.environ.get("BENCH_CHAIN", 0)) or None
@@ -1249,6 +1368,17 @@ def main():
         r = run_multiprocess_workload(k_mp, tau_mp, chain_mp)
     except Exception as e:
         r = {"metric": f"FAILED@multiprocess,K={k_mp},H={tau_mp}",
+             "error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(r), flush=True)
+    suite.append(r)
+    # weak-scaling curve: 4..32 devices at fixed per-device K, intra- and
+    # cross-process
+    kpd = min(1024, cap_k) if cap_k else 1024
+    try:
+        r = run_weak_scaling_workload(k_per_dev=kpd, TAU=tau_mp,
+                                      CHAIN=chain_mp)
+    except Exception as e:
+        r = {"metric": "FAILED@weak_scaling",
              "error": f"{type(e).__name__}: {e}"}
     print(json.dumps(r), flush=True)
     suite.append(r)

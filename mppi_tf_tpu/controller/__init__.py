@@ -31,6 +31,7 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
         kernel=config_dict.get("kernel", "auto"),
         antithetic=config_dict.get("antithetic", False),
         noise_schedule=config_dict.get("noise-schedule"),
+        kernel_dtype=config_dict.get("kernel-dtype", "float32"),
     )
     if "init-act" in config_dict:
         tau = kwargs["tau"]
@@ -120,7 +121,7 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
                 fused_kwargs["tile"] = int(kwargs["kernel_tile"])
             fused_opts = ("normalize_cost", "clip_actions", "filter_seq",
                           "filter_window", "filter_polyorder", "antithetic",
-                          "overlap_merge", "noise_schedule")
+                          "noise_schedule", "kernel_dtype")
             if is_dmd:
                 fused_opts = fused_opts + dmd_opts
             for opt in fused_opts:
@@ -141,9 +142,12 @@ def get_controller(model, cost, config_dict, observer=None, mesh=None,
                 if kernel == "pallas":
                     raise
         kwargs.pop("kernel_tile", None)  # XLA path has no kernel tile
+        if kwargs.pop("kernel_dtype", "float32") != "float32":
+            raise ValueError(
+                "kernel-dtype applies to the fused Pallas path only — "
+                "this controller resolved to the XLA sharded solve")
         return xla_cls(
             model, cost, mesh,
-            overlap_merge=kwargs.pop("overlap_merge", False),
             noise_schedule=kwargs.pop("noise_schedule", None),
             normalize_cost=kwargs.pop("normalize_cost", False),
             antithetic=kwargs.pop("antithetic", False),

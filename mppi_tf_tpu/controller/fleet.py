@@ -84,7 +84,8 @@ class FleetMPPI:
                  filter_polyorder: int = 3, clip_actions: bool = False,
                  antithetic: bool = False, seed: int = 0,
                  mesh=None, prng_impl: str = "auto", kernel: str = "auto",
-                 kernel_tile: Optional[int] = None, noise_schedule=None):
+                 kernel_tile: Optional[int] = None, noise_schedule=None,
+                 kernel_dtype: str = "float32"):
         n = int(n_vehicles)
         if n < 1:
             raise ValueError(f"n_vehicles must be >= 1, got {n}")
@@ -114,7 +115,8 @@ class FleetMPPI:
                          filter_polyorder=filter_polyorder,
                          clip_actions=clip_actions, antithetic=antithetic,
                          seed=seed, kernel=kernel, kernel_tile=kernel_tile,
-                         prng_impl=prng_impl, noise_schedule=noise_schedule)
+                         prng_impl=prng_impl, noise_schedule=noise_schedule,
+                         kernel_dtype=kernel_dtype)
         self._model = model
         self._cost = cost
         self._n = n

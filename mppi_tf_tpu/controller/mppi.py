@@ -90,6 +90,16 @@ class MPPI(MissionMixin):
             a variance-reduction option absent from the reference. On the
             fused path the kernels mirror lane pairs in-kernel
             (kernels/pm_mppi._fill_noise).
+        noise_schedule: per-step sigma factors c_t (sigma_t = c_t * sigma)
+            — spec per ops/noise.resolve_noise_schedule; runtime data
+            (set_noise_schedule swaps without retracing).
+        kernel_dtype: "float32" (default) or "bfloat16" — the fused
+            kernels' BLOCK compute precision (cost accumulator, softmax
+            and Box-Muller stay f32). MEASURED-NEGATIVE on v5e: bf16 is
+            0.57-0.80x the f32 kernels' speed because the (8, L) folded
+            blocks violate bf16's native (16, 128) tiling
+            (BF16_DECISION.json) — available as the recorded experiment,
+            fused path only.
     """
 
     def __init__(
@@ -115,6 +125,7 @@ class MPPI(MissionMixin):
         antithetic: bool = False,
         prng_impl: str = "auto",
         noise_schedule=None,
+        kernel_dtype: str = "float32",
     ):
         self._model = model
         self._cost = cost
@@ -195,6 +206,7 @@ class MPPI(MissionMixin):
             if not unsupported:
                 from ..kernels.auv_mppi import FusedAUVMPPI
                 from ..kernels.errors import KernelUnsupportedError
+                from ..kernels.nn_mppi import FusedNNMPPI
                 from ..kernels.pm_mppi import (FusedLTIMPPI,
                                                FusedPointMassMPPI,
                                                default_tile)
@@ -202,7 +214,15 @@ class MPPI(MissionMixin):
                 tile = (default_tile(self._k) if kernel_tile is None
                         else int(kernel_tile))
                 err = None
-                for cls in (FusedPointMassMPPI, FusedLTIMPPI, FusedAUVMPPI):
+                # FusedNNMPPI is EXPLICIT-ONLY: the measured comparison
+                # (bench auv_nn_mlp rows, round 5) has the XLA MXU path at
+                # 1.27 ms vs the fused VPU kernel's 2.16 ms at K=65536,
+                # H=25 — runtime SMEM weights cost a scalar->vector
+                # broadcast per FMA, so 'auto' keeps NN models on XLA
+                classes = (FusedPointMassMPPI, FusedLTIMPPI, FusedAUVMPPI)
+                if kernel == "pallas":
+                    classes = classes + (FusedNNMPPI,)
+                for cls in classes:
                     try:
                         self._fused = cls(
                             model, cost, k=self._k, tau=self._tau,
@@ -212,6 +232,7 @@ class MPPI(MissionMixin):
                             interpret=not on_tpu,
                             antithetic=self._antithetic,
                             schedule=sched_np,
+                            compute_dtype=kernel_dtype,
                         )
                         break
                     except KernelUnsupportedError as e:
@@ -220,6 +241,12 @@ class MPPI(MissionMixin):
                     raise KernelUnsupportedError(
                         f"no fused kernel supports {type(model).__name__} + "
                         f"{type(cost).__name__}") from err
+        if kernel_dtype != "float32" and self._fused is None:
+            raise ValueError(
+                f"kernel_dtype={kernel_dtype!r} applies to the fused "
+                "Pallas path only — this controller resolved to the XLA "
+                "solve (use NNModel compute_dtype / model dtype for the "
+                "XLA path's precision)")
         self._base_seed = int(seed)
         if self._fused is not None:
             # one jitted function for the WHOLE fused control step (Pallas

@@ -8,30 +8,23 @@ Coverage and the design decision per model family (SURVEY.md §7):
   kernel family with (A, B@scale) routed through SMEM at runtime, so online
   DMDc refits (controller/dmd.py) never recompile.
 - AUVModel x {StaticQuatCost, ElipseCost3D}: ``auv_mppi.FusedAUVMPPI``.
-- NN dynamics (NNModel/NNAUVModel/NNAUVModelSpeed): deliberately stay on the
-  XLA ``lax.scan`` path; the decision is now MEASURED, not sized (VERDICT r1
-  item 8). Decomposition at K=65536, H=25, one v5e chip (bf16 matmuls, f32
-  accumulation):
-
-  | component (chained x H, jitted)                     | ms/solve-equiv |
-  |-----------------------------------------------------|----------------|
-  | 4 MLP matmuls alone (the padded-MXU floor)           | 0.417          |
-  | full NNAUVModel.step (feat prep + norm + MLP + delta)| 0.469 (1.13x)  |
-  | noise draw [K,25,6] threefry + scale                 | 0.986          |
-  | noise draw [K,25,6] hardware RBG + scale             | 0.397          |
-  | StaticQuat state cost x H on [K,13]                  | 0.627          |
-  | FULL solve, threefry (round-1 default)               | 1.373          |
-  | FULL solve, rbg (current default on TPU)             | 1.129          |
-
-  The dynamics already run at 1.13x their own padded-matmul floor — a fused
-  MLP kernel could recover at most that 13% on the dynamics slice because
-  the 16/32-wide feature dims pad the MXU contraction to 128 either way
-  (the original sizing estimate, confirmed). The real overhead was the
-  NOISE DRAW, addressed by defaulting the XLA path's PRNG to the TPU
-  hardware RBG generator (controller/mppi.make_prng_key): 2.5x faster
-  normals, full solve 1.37 -> 1.13 ms (58M rollouts/s). The hand kernels
-  win where the dynamics are scalar-coefficient FMA chains (analytic
-  models); XLA wins where the dynamics are matmuls.
+- NNAUVModel x StaticQuatCost: ``nn_mppi.FusedNNMPPI`` (round 5,
+  EXPLICIT kernel='pallas' only — 'auto' keeps NN on XLA). The round-1
+  sizing left NN dynamics on the XLA path because the MLP's matmuls pad
+  the 128x128 MXU ~30x (the XLA solve sits at ~1.27 ms at K=65536, H=25
+  — near its thin-matmul streaming floor, so a Pallas MATMUL kernel
+  cannot beat it). The round-5 kernel took the other road: component-
+  major folded layout, every weight a scalar, the network as
+  scalar-times-block VPU FMA chains with zero padding, an in-kernel
+  fori_loop over the horizon, weights in SMEM (Learner updates never
+  recompile). MEASURED OUTCOME (the deliverable VERDICT r4 #2 asked
+  for): 2.16 ms vs XLA's 1.27 ms at the reference shape — runtime SMEM
+  weights cost a scalar->vector broadcast per FMA (compile-time
+  constants are immediates), roughly doubling the vector op count and
+  erasing the padding win. XLA stays the NN default; the kernel remains
+  as the parity-tested explicit option and the recorded experiment.
+  NNModel (generic features) and NNAUVModelSpeed (analytic pose
+  advance) have no fused kernel.
 
 Both kernels are measured at/near the VPU issue-rate bound for their op
 sequence (see kernels/pm_mppi.py header and the perf notes in README.md).
@@ -39,7 +32,8 @@ sequence (see kernels/pm_mppi.py header and the perf notes in README.md).
 
 from .auv_mppi import FusedAUVMPPI
 from .errors import KernelUnsupportedError
+from .nn_mppi import FusedNNMPPI
 from .pm_mppi import FusedLTIMPPI, FusedPointMassMPPI
 
-__all__ = ["FusedAUVMPPI", "FusedLTIMPPI", "FusedPointMassMPPI",
-           "KernelUnsupportedError"]
+__all__ = ["FusedAUVMPPI", "FusedLTIMPPI", "FusedNNMPPI",
+           "FusedPointMassMPPI", "KernelUnsupportedError"]

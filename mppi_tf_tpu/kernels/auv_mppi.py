@@ -127,6 +127,10 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool,
     L = tile // _SUB
     n_chunks = (tau + _CH - 1) // _CH
     scheduled = bool(mc.get("scheduled", False))
+    # block compute dtype (see pm_mppi._make_kernel): bf16 runs the Fossen
+    # FMA chains at the VPU's packed rate; cost accumulator + softmax f32
+    cdt = (jnp.bfloat16 if mc.get("compute_dtype") == "bfloat16"
+           else jnp.float32)
     dyn = _Dyn(tau, scheduled)
     antithetic = bool(mc.get("antithetic", False))
     dt = float(mc["dt"])
@@ -186,10 +190,13 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool,
             """Standard normals for (step t, action dim j): (8, L)."""
             c, d = divmod(t, _CH)
             s = d * 6 + j
-            return z_scr[c, _SUB * s:_SUB * (s + 1), :]
+            # no-op at f32; at bf16 covers the injected-z f32 input too
+            return z_scr[c, _SUB * s:_SUB * (s + 1), :].astype(cdt)
 
         def d_(i):
-            return dyn_ref[i]
+            # SMEM scalar for BLOCK arithmetic at the compute dtype;
+            # scalar-exact consumers (u_half) read dyn_ref directly
+            return dyn_ref[i].astype(cdt)
 
         # --- Fossen dynamics on 13 component blocks ------------------
         # state x = [px py pz qx qy qz qw | u v w p q r]
@@ -274,7 +281,8 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool,
                   -c_b1[0] - c_b2[0], -c_b1[1] - c_b2[1], -c_b1[2] - c_b2[2]]
 
             # restoring: fbg = R^T (0,0,-m g), fbb = R^T (0,0,rho V g)
-            fng_z = d_(dyn.mass) * (-GRAVITY)
+            # (mass * g in f32: the scalar core has no bf16 arithmetic)
+            fng_z = (dyn_ref[dyn.mass] * (-GRAVITY)).astype(cdt)
             fbg = [r31 * fng_z, r32 * fng_z, r33 * fng_z]
             fbb = [r31 * BUOY, r32 * BUOY, r33 * BUOY]
             mbg = cross([float(c) for c in COG], fbg)
@@ -297,12 +305,16 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool,
 
         def norm_quat(x):
             qx, qy, qz, qw = x[3:7]
-            n = jax.lax.rsqrt(
-                jnp.maximum(qx * qx + qy * qy + qz * qz + qw * qw, 1e-24))
+            # the max+rsqrt runs in f32: Mosaic has no packed-bf16 compare
+            # (arith.cmpf on vector bf16 fails to legalize), and the norm
+            # wants full precision anyway; one cast each way per step
+            s2 = (qx * qx + qy * qy + qz * qz
+                  + qw * qw).astype(jnp.float32)
+            n = jax.lax.rsqrt(jnp.maximum(s2, 1e-24)).astype(cdt)
             return x[0:3] + [qx * n, qy * n, qz * n, qw * n] + x[7:13]
 
         # --- rollout ---------------------------------------------------
-        x = [jnp.full((_SUB, L), 1.0, jnp.float32) * d_(dyn.x0 + i)
+        x = [jnp.full((_SUB, L), 1.0, cdt) * d_(dyn.x0 + i)
              for i in range(13)]
         acc_cost = jnp.zeros((_SUB, L), dtype=jnp.float32)
 
@@ -418,14 +430,28 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool,
                 v_err = jnp.abs(v2 - GV * GV)
                 return MS * p_err + MS * o_err + MV * v_err
 
+        if cdt != jnp.float32:
+            # the state costs use compares (clip, jnp.where, the acos sign
+            # select) that Mosaic cannot legalize on packed bf16 vectors —
+            # and the cost is the precision-critical reduction anyway, so
+            # at bf16 the cost alone evaluates in f32 (13 casts/step; the
+            # Fossen dynamics, ~90% of the flops, stay bf16)
+            _state_cost_raw = state_cost
+
+            def state_cost(x):  # noqa: F811 — deliberate shadow
+                return _state_cost_raw(
+                    [xi.astype(jnp.float32) for xi in x])
+
         for t in range(tau):
             z_t = [zrow(t, j) for j in range(6)]
-            # per-step schedule factor c_t (SMEM scalar; sigma_t = c_t sigma)
+            # per-step schedule factor c_t (SMEM scalar; sigma_t = c_t
+            # sigma); scalar products in f32 (no scalar bf16 arithmetic)
             ct = d_(dyn.sched + t) if scheduled else None
+            ct32 = dyn_ref[dyn.sched + t] if scheduled else None
             # eps = c_t * scale @ z; gen_force = u_t + eps
             gf = []
             for i in range(6):
-                acc = jnp.full((_SUB, L), 1.0, jnp.float32) * \
+                acc = jnp.full((_SUB, L), 1.0, cdt) * \
                     d_(dyn.useq + 6 * t + i)
                 sz = None
                 for j in range(6):
@@ -465,11 +491,12 @@ def _make_kernel(mc, tau: int, tile: int, k_total: int, use_prng: bool,
                     quad = term if quad is None else quad + term
                 if quad is not None:
                     # scheduled quadratic: eps^T Sig_t^-1 eps = c_t z^T Mz z
+                    # (nc_half * c_t in f32 — no scalar bf16 arithmetic)
                     acc_cost = acc_cost + (
-                        (nc_half * ct) * quad if scheduled
+                        (nc_half * ct32).astype(cdt) * quad if scheduled
                         else nc_half * quad)
-        # terminal
-        acc_cost = acc_cost + state_cost(x) + d_(dyn.u_half)
+        # terminal (u_half read exact f32 — see pm_mppi)
+        acc_cost = acc_cost + state_cost(x) + dyn_ref[dyn.u_half]
 
         sub_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 0)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 1)
@@ -547,12 +574,17 @@ class FusedAUVMPPI:
     def __init__(self, model, cost, k: int, tau: int, lam: float,
                  upsilon: float, sigma, tile: int = 4096,
                  interpret: bool = False, antithetic: bool = False,
-                 schedule=None):
+                 schedule=None, compute_dtype: str = "float32"):
         from ..costs.elipse import ElipseCost3D
         from ..costs.static import StaticQuatCost
         from ..costs.waypoints import WayPointsQuatCost
         from ..models.auv import AUVModel
         from ..ops.noise import resolve_noise_schedule
+
+        if compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be 'float32' or 'bfloat16', got "
+                f"{compute_dtype!r}")
 
         if not isinstance(model, AUVModel):
             raise KernelUnsupportedError(
@@ -592,11 +624,13 @@ class FusedAUVMPPI:
         # (see pm_mppi.FusedPointMassMPPI)
         self._sched0 = resolve_noise_schedule(schedule, self.tau)
         self.scheduled = self._sched0 is not None
+        self.compute_dtype = compute_dtype
         nc_half = 0.5 * self.lam * (1.0 - 1.0 / self.upsilon)
         self._mc = {
             "dt": model.dt, "rk": model._rk, "lam": self.lam,
             "nc_half": nc_half,
             "scheduled": self.scheduled,
+            "compute_dtype": compute_dtype,
             "antithetic": self.antithetic,
             "lin_damp": np.asarray(model.lin_damp, np.float64),
             "lin_damp_fwd": np.asarray(model.lin_damp_fwd, np.float64),
@@ -629,14 +663,14 @@ class FusedAUVMPPI:
 
     def with_k(self, k: int) -> "FusedAUVMPPI":
         """Sibling instance over ``k`` samples with identical config (see
-        pm_mppi.FusedPointMassMPPI.with_k — used by the overlap_merge tile
-        split in parallel/fused.py)."""
+        pm_mppi.FusedPointMassMPPI.with_k)."""
         return type(self)(self.model, self.cost, k=k, tau=self.tau,
                           lam=self.lam, upsilon=self.upsilon,
                           sigma=self.sigma, tile=self.tile,
                           interpret=self.interpret,
                           antithetic=self.antithetic,
-                          schedule=self._sched0)
+                          schedule=self._sched0,
+                          compute_dtype=self.compute_dtype)
 
     # config-based equality: identical controllers share jit cache entries
     # (the instance is a static argument of _fused_auv_call)
@@ -780,9 +814,11 @@ def _fused_auv_call(seed, dyn_arr, z=None, *, fused: FusedAUVMPPI,
     ]
     args = [jnp.asarray(seed, jnp.int32).reshape(1), dyn_arr]
     scratch_shapes = []
+    zdt = (jnp.bfloat16 if fused.compute_dtype == "bfloat16"
+           else jnp.float32)
     if use_prng:
         scratch_shapes.append(
-            pltpu.VMEM((n_chunks, _SLOT_ROWS, L), jnp.float32))
+            pltpu.VMEM((n_chunks, _SLOT_ROWS, L), zdt))
     else:
         assert z is not None and z.shape == (n_chunks, _SLOT_ROWS,
                                              n_tiles * L), (
@@ -849,9 +885,11 @@ def _fused_auv_costs(seed, dyn_arr, z=None, *, fused: FusedAUVMPPI,
     ]
     args = [jnp.asarray(seed, jnp.int32).reshape(1), dyn_arr]
     scratch_shapes = []
+    zdt = (jnp.bfloat16 if fused.compute_dtype == "bfloat16"
+           else jnp.float32)
     if use_prng:
         scratch_shapes.append(
-            pltpu.VMEM((n_chunks, _SLOT_ROWS, L), jnp.float32))
+            pltpu.VMEM((n_chunks, _SLOT_ROWS, L), zdt))
     else:
         assert z is not None and z.shape == (n_chunks, _SLOT_ROWS,
                                              n_tiles * L)
@@ -901,9 +939,11 @@ def _fused_auv_weights(seed, nrm, costs, z=None, *, fused: FusedAUVMPPI,
     args = [jnp.asarray(seed, jnp.int32).reshape(1),
             jnp.asarray(nrm, jnp.float32).reshape(2)]
     scratch_shapes = []
+    zdt = (jnp.bfloat16 if fused.compute_dtype == "bfloat16"
+           else jnp.float32)
     if use_prng:
         scratch_shapes.append(
-            pltpu.VMEM((n_chunks, _SLOT_ROWS, L), jnp.float32))
+            pltpu.VMEM((n_chunks, _SLOT_ROWS, L), zdt))
     else:
         assert z is not None and z.shape == (n_chunks, _SLOT_ROWS,
                                              n_tiles * L)

@@ -132,25 +132,34 @@ def _fill_noise(z_scr, seed_ref, pid, n_chunks, pair_rows, L,
     (sub, lane) with (sub, lane + L/2) consistently across every step and
     action dim, so eps_pair = -eps over the whole [tau, aDim] sequence
     (the fused counterpart of ops/noise.sample_noise_antithetic).
+
+    The Box-Muller math always runs in f32 (transcendental accuracy); the
+    store casts to ``z_scr``'s dtype — a bf16 scratch (compute_dtype=
+    "bfloat16") halves the noise VMEM and feeds the bf16 rollout.
     """
     pltpu.prng_seed(seed_ref[0] + pid)
-    rows = pair_rows * 2
+    # ONE batched generation for every chunk: a single bits->uniform->
+    # Box-Muller chain over (n_chunks*pair_rows, L) instead of n_chunks
+    # small per-chunk chains — fewer, larger VPU ops for identical math
+    # (the bit stream's (chunk, row) assignment changes vs the per-chunk
+    # loop, which is internal: every consumer regenerates through this
+    # same function, and parity tests inject noise as data)
+    rows_all = n_chunks * pair_rows
+    b1 = pltpu.bitcast(
+        pltpu.prng_random_bits((rows_all, L)), jnp.uint32)
+    b2 = pltpu.bitcast(
+        pltpu.prng_random_bits((rows_all, L)), jnp.uint32)
+    u1 = _bits_to_uniform(b1) + (2.0 ** -24)
+    theta = (2.0 * math.pi) * _bits_to_uniform(b2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    rc = (r * jnp.cos(theta)).reshape(n_chunks, pair_rows, L)
+    rs = (r * jnp.sin(theta)).reshape(n_chunks, pair_rows, L)
+    z = jnp.concatenate([rc, rs], axis=1)
     if antithetic:
-        lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, L), 1)
-    for c in range(n_chunks):
-        b1 = pltpu.bitcast(
-            pltpu.prng_random_bits((pair_rows, L)), jnp.uint32)
-        b2 = pltpu.bitcast(
-            pltpu.prng_random_bits((pair_rows, L)), jnp.uint32)
-        u1 = _bits_to_uniform(b1) + (2.0 ** -24)
-        theta = (2.0 * math.pi) * _bits_to_uniform(b2)
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        zc = jnp.concatenate(
-            [r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
-        if antithetic:
-            mirrored = pltpu.roll(zc, shift=L // 2, axis=1)
-            zc = jnp.where(lane_i < L // 2, zc, -mirrored)
-        z_scr[c] = zc
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, z.shape, 2)
+        mirrored = pltpu.roll(z, shift=L // 2, axis=2)
+        z = jnp.where(lane_i < L // 2, z, -mirrored)
+    z_scr[:] = z.astype(z_scr.dtype)
 
 
 def make_weights_kernel(tau: int, adim: int, tile: int, k_total: int,
@@ -230,7 +239,7 @@ def make_noise_kernel(tau: int, adim: int, tile: int, antithetic: bool):
         _fill_noise(z_scr, seed_ref, pid, n_chunks, pair_rows, L,
                     antithetic)
         for c in range(n_chunks):
-            out_ref[c] = z_scr[c]
+            out_ref[c] = z_scr[c].astype(out_ref.dtype)
 
     return nkernel, n_chunks, slots
 
@@ -259,7 +268,10 @@ def fused_noise_dump(seed, *, fused, n_tiles: int | None = None):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_chunks, rows, n_tiles * L),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n_chunks, rows, L), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(
+            (n_chunks, rows, L),
+            jnp.bfloat16 if getattr(fused, "compute_dtype", "float32")
+            == "bfloat16" else jnp.float32)],
         interpret=(pltpu.InterpretParams() if fused.interpret else False),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -322,6 +334,12 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
     n_chunks = (tau + _CH - 1) // _CH
     dynamic_ab = bool(mc.get("dynamic_ab", False))
     scheduled = bool(mc.get("scheduled", False))
+    # block compute dtype: bf16 runs the rollout FMA chains at the VPU's
+    # packed rate (measured 20.0 vs 13.4 Tflop/s f32 on this v5e) with the
+    # cost ACCUMULATOR and the whole softmax kept f32; Box-Muller stays f32
+    # and casts at the store. Off by default — a measured-accuracy option.
+    cdt = (jnp.bfloat16 if mc.get("compute_dtype") == "bfloat16"
+           else jnp.float32)
     dyn = _Dyn(tau, sdim, adim, dynamic_ab, scheduled)
     if not dynamic_ab:
         A = np.asarray(mc["A"], np.float64)
@@ -373,10 +391,15 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
         def zrow(t, j):
             c, d = divmod(t, _CH)
             s = d * adim + j
-            return z_scr[c, _SUB * s:_SUB * (s + 1), :]
+            # cast is a no-op at f32; at bf16 it covers the injected-z
+            # input (always f32 data) as well as the bf16 scratch
+            return z_scr[c, _SUB * s:_SUB * (s + 1), :].astype(cdt)
 
         def d_(i):
-            return dyn_ref[i]
+            # SMEM scalar for BLOCK arithmetic at the compute dtype (the
+            # cast is a no-op at f32); scalar-only consumers (u_half,
+            # stats) read dyn_ref directly to stay exact
+            return dyn_ref[i].astype(cdt)
 
         def sparse_dot(M, vec):
             """[Σ_j M_ij vec_j]_i with compile-time M; zeros emit no code."""
@@ -407,7 +430,7 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
             return out
 
         # ---- rollout: x as sdim (8, L) blocks, tau unrolled -----------
-        x = [jnp.full((_SUB, L), 1.0, jnp.float32) * d_(dyn.x0 + i)
+        x = [jnp.full((_SUB, L), 1.0, cdt) * d_(dyn.x0 + i)
              for i in range(sdim)]
         acc_cost = jnp.zeros((_SUB, L), dtype=jnp.float32)
 
@@ -438,8 +461,13 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
         inv_m = d_(dyn.inv_mass)
         for t in range(tau):
             z_t = [zrow(t, j) for j in range(adim)]
-            # per-step schedule factor c_t (SMEM scalar; sigma_t = c_t sigma)
+            # per-step schedule factor c_t (SMEM scalar; sigma_t = c_t
+            # sigma). Scalar-scalar products are computed in f32 — the TPU
+            # scalar core has no bf16 arithmetic (Mosaic rejects a scalar
+            # bf16 mulf) — and cast to the compute dtype only where they
+            # multiply a block.
             ct = d_(dyn.sched + t) if scheduled else None
+            ct32 = dyn_ref[dyn.sched + t] if scheduled else None
             if dynamic_ab:
                 # dense FMA chains over SMEM-resident (A, B@scale): bu is
                 # packed as the true B u_t (no mass factor), so the step is
@@ -456,18 +484,27 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
                 ax = sparse_dot(A, x)
                 bz = sparse_dot(BS, z_t)     # B @ scale @ z (mass-free)
                 # hoisted scalar: the schedule multiplies only the noise
-                # drive, never B u_t
-                imc = inv_m * ct if scheduled else inv_m
+                # drive, never B u_t (f32 scalar math, cast once)
+                imc = ((dyn_ref[dyn.inv_mass] * ct32).astype(cdt)
+                       if scheduled else inv_m)
                 x = []
                 for i in range(sdim):
                     xi = ax[i] if ax[i] is not None else jnp.zeros(
-                        (_SUB, L), jnp.float32)
-                    drive = d_(dyn.bu + t * sdim + i)
-                    if bz[i] is not None:
-                        xi = xi + (inv_m * drive + imc * bz[i]
-                                   if scheduled else inv_m * (drive + bz[i]))
+                        (_SUB, L), cdt)
+                    if scheduled:
+                        drive32 = (dyn_ref[dyn.inv_mass]
+                                   * dyn_ref[dyn.bu + t * sdim + i])
+                        if bz[i] is not None:
+                            xi = xi + (drive32.astype(cdt)
+                                       + imc * bz[i])
+                        else:
+                            xi = xi + drive32.astype(cdt)
                     else:
-                        xi = xi + inv_m * drive
+                        drive = d_(dyn.bu + t * sdim + i)
+                        if bz[i] is not None:
+                            xi = xi + inv_m * (drive + bz[i])
+                        else:
+                            xi = xi + inv_m * drive
                     x.append(xi)
             sc = state_cost(x)
             if sc is not None:
@@ -484,13 +521,17 @@ def _make_kernel(mc, tau: int, sdim: int, adim: int, tile: int,
                     quad = term if quad is None else quad + term
                 if quad is not None:
                     # scheduled quadratic: eps^T Sig_t^-1 eps = c_t z^T Mz z
+                    # (nc_half * c_t in f32 — no scalar bf16 arithmetic)
                     acc_cost = acc_cost + (
-                        (nc_half * ct) * quad if scheduled
+                        (nc_half * ct32).astype(cdt) * quad if scheduled
                         else nc_half * quad)
         sc = state_cost(x)  # terminal
         if sc is not None:
             acc_cost = acc_cost + sc
-        acc_cost = acc_cost + d_(dyn.u_half)
+        # exact f32 read: a bf16 round of the (large, sample-constant)
+        # pure-action term would shift every cost identically anyway, but
+        # the reported stats should stay exact
+        acc_cost = acc_cost + dyn_ref[dyn.u_half]
 
         sub_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 0)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, L), 1)
@@ -598,11 +639,16 @@ class FusedPointMassMPPI:
     def __init__(self, model, cost, k: int, tau: int, lam: float,
                  upsilon: float, sigma, tile: int = 4096,
                  interpret: bool = False, antithetic: bool = False,
-                 schedule=None):
+                 schedule=None, compute_dtype: str = "float32"):
         from ..costs.elipse import ElipseCost
         from ..costs.static import StaticCost
         from ..costs.waypoints import WayPointsCost
         from ..ops.noise import resolve_noise_schedule
+
+        if compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be 'float32' or 'bfloat16', got "
+                f"{compute_dtype!r}")
 
         self._check_model(model)
         self._is_waypoints = False
@@ -656,6 +702,7 @@ class FusedPointMassMPPI:
         # `sched` array overrides without recompiling
         self._sched0 = resolve_noise_schedule(schedule, self.tau)
         self.scheduled = self._sched0 is not None
+        self.compute_dtype = compute_dtype
         nc_half = 0.5 * self.lam * (1.0 - 1.0 / self.upsilon)
         self._mc = {
             "Mz": self._scale.T @ self._inv_sigma @ self._scale,
@@ -665,6 +712,7 @@ class FusedPointMassMPPI:
             "antithetic": self.antithetic,
             "dynamic_ab": self.dynamic_ab,
             "scheduled": self.scheduled,
+            "compute_dtype": compute_dtype,
         }
         if not self.dynamic_ab:
             A = np.asarray(model._A, np.float64)
@@ -685,15 +733,15 @@ class FusedPointMassMPPI:
     def with_k(self, k: int) -> "FusedPointMassMPPI":
         """Sibling instance over ``k`` samples with identical config — the
         in-kernel noise of tile p depends only on (seed + p, tile), so a
-        [head | tail] tile split across two instances reproduces the exact
-        noise of one instance covering all tiles (parallel/fused.py
-        overlap_merge)."""
+        tile split across instances reproduces the exact noise of one
+        instance covering all tiles."""
         return type(self)(self.model, self.cost, k=k, tau=self.tau,
                           lam=self.lam, upsilon=self.upsilon,
                           sigma=self.sigma, tile=self.tile,
                           interpret=self.interpret,
                           antithetic=self.antithetic,
-                          schedule=self._sched0)
+                          schedule=self._sched0,
+                          compute_dtype=self.compute_dtype)
 
     # the fused instance is a jit static argument (fused_pm_call):
     # config-based equality lets identical controllers share compilations
@@ -944,8 +992,10 @@ def fused_pm_call(seed, dyn_arr, z=None, *, fused: FusedPointMassMPPI,
     args = [jnp.asarray(seed, jnp.int32).reshape(1), dyn_arr]
     scratch_shapes = []
     rows = slots * _SUB
+    zdt = (jnp.bfloat16 if fused.compute_dtype == "bfloat16"
+           else jnp.float32)
     if use_prng:
-        scratch_shapes.append(pltpu.VMEM((n_chunks, rows, L), jnp.float32))
+        scratch_shapes.append(pltpu.VMEM((n_chunks, rows, L), zdt))
     else:
         assert z is not None and z.shape == (n_chunks, rows, n_tiles * L), (
             None if z is None else z.shape, (n_chunks, rows, n_tiles * L))
@@ -1012,8 +1062,10 @@ def fused_pm_costs(seed, dyn_arr, z=None, *, fused: FusedPointMassMPPI,
     args = [jnp.asarray(seed, jnp.int32).reshape(1), dyn_arr]
     scratch_shapes = []
     rows = slots * _SUB
+    zdt = (jnp.bfloat16 if fused.compute_dtype == "bfloat16"
+           else jnp.float32)
     if use_prng:
-        scratch_shapes.append(pltpu.VMEM((n_chunks, rows, L), jnp.float32))
+        scratch_shapes.append(pltpu.VMEM((n_chunks, rows, L), zdt))
     else:
         assert z is not None and z.shape == (n_chunks, rows, n_tiles * L)
         in_specs.append(
@@ -1065,8 +1117,10 @@ def fused_pm_weights(seed, nrm, costs, z=None, *, fused: FusedPointMassMPPI,
             jnp.asarray(nrm, jnp.float32).reshape(2)]
     scratch_shapes = []
     rows = slots * _SUB
+    zdt = (jnp.bfloat16 if fused.compute_dtype == "bfloat16"
+           else jnp.float32)
     if use_prng:
-        scratch_shapes.append(pltpu.VMEM((n_chunks, rows, L), jnp.float32))
+        scratch_shapes.append(pltpu.VMEM((n_chunks, rows, L), zdt))
     else:
         assert z is not None and z.shape == (n_chunks, rows, n_tiles * L)
         in_specs.append(

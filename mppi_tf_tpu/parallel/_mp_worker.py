@@ -165,14 +165,9 @@ def main():
                             upsilon=ups, sigma=sigma, seed=3)
         out["p50_solve_ms"] = time_chained(bctrl._solve, bctrl._mparams,
                                            bctrl._cparams)
-        # overlap variant: head partials all-reduced BEFORE the tail
-        # rollout — measures whether XLA's scheduler hides the cross-
-        # process collective behind tail compute (VERDICT r3 weak #2)
-        octrl = ShardedMPPI(model, cost, mesh, k=bk, tau=btau, lam=lam,
-                            upsilon=ups, sigma=sigma, seed=3,
-                            overlap_merge=True)
-        out["p50_overlap_ms"] = time_chained(octrl._solve, octrl._mparams,
-                                             octrl._cparams)
+        # (an overlap_merge head/tail variant was also timed here through
+        # round 5's weak-scaling sweep; it lost at every point and was
+        # deleted — OVERLAP_DECISION.json)
         # local-mesh control: IDENTICAL per-device work (k/n per device)
         # with every collective intra-process — the (global - local) delta
         # is what the cross-process gloo all-reduces cost per solve

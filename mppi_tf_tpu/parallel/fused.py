@@ -39,8 +39,7 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
                               normalize_cost: bool = False,
                               clip_actions: bool = False,
                               act_min=None, act_max=None,
-                              filter_mat=None,
-                              overlap_merge: bool = False):
+                              filter_mat=None):
     """Return (solve, solve_with_noise) jitted over ``mesh``.
 
     ``local_fused`` is a FusedPointMassMPPI / FusedAUVMPPI built with the
@@ -56,23 +55,11 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
     ``normalize_cost`` runs the two-phase normalized kernels with the
     global beta/max reduced across shards (pmin/pmax) between the phases.
 
-    ``overlap_merge`` targets the multi-host replan budget (BASELINE.md:
-    10 ms at N>=2 hosts, where the psum rides DCN, not ICI): the per-shard
-    solve is split [head = all tiles but the last | tail = last tile], the
-    head's cross-shard reduction is issued BEFORE the tail kernel runs, and
-    the two globally-merged partials combine with the same online-softmax
-    pair algebra the kernel uses for tiles. The head collective carries no
-    data dependence on the tail kernel, so XLA's latency-hiding scheduler
-    overlaps the (slow, DCN-bound) all-reduce with the tail compute.
-    Numerically it is the same sum with a different reduction tree
-    (validated by parity test on the virtual mesh, and bit-identical noise
-    on TPU hardware — the with_k tile split reuses the per-tile seeds).
-    Requires >= 2 local tiles (falls back to the single-phase merge
-    otherwise); composes with clip/filter/antithetic but not with
-    ``normalize_cost`` (whose phase-A/B structure already interleaves its
-    collectives). Measured single-chip cost at K=1M, H=50 on a v5e: NONE —
-    3.51 ms/solve overlapped vs 3.70 ms single-phase (the split lets the
-    scheduler start the merge arithmetic before the tail kernel retires).
+    A head/tail ``overlap_merge`` variant (issue the head tiles' cross-
+    shard reduction before the tail kernel) existed through round 4; it
+    lost on every recorded transport-level measurement (2-process gloo
+    0.694x, round-5 weak-scaling sweep 0.42-1.00x — OVERLAP_DECISION.json)
+    and was deleted per VERDICT r4 #5.
     """
     n = mesh.shape[axis]
     if k_global % n != 0:
@@ -87,18 +74,6 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
     scale = jnp.asarray(local_fused._scale, jnp.float32)
     if clip_actions and (act_min is None or act_max is None):
         raise ValueError("clip_actions needs act_min/act_max")
-    if overlap_merge and normalize_cost:
-        raise ValueError("overlap_merge does not compose with "
-                         "normalize_cost (two-phase kernels already "
-                         "interleave their collectives)")
-    if overlap_merge and n_tiles_local < 2:
-        overlap_merge = False  # nothing to overlap: one tile per shard
-    if overlap_merge:
-        n_head = n_tiles_local - 1
-        k_head = n_head * local_fused.tile
-        fused_head = local_fused.with_k(k_head)
-        fused_tail = local_fused.with_k(local_fused.k - k_head)
-        lanes_head = k_head // 8  # head lane count in the chunked-z layout
     if filter_mat is not None:
         filter_mat = jnp.asarray(np.asarray(filter_mat, np.float64),
                                  jnp.float32)
@@ -126,20 +101,6 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
             "cost_min": jax.lax.pmin(raw["cost_min"], axis_name),
             "cost_max": jax.lax.pmax(raw["cost_max"], axis_name),
             "cost_sum": jax.lax.psum(raw["cost_sum"], axis_name),
-        }
-
-    def _pair_merge(a, b):
-        """Combine two globally-merged partials (the kernel's tile-merge
-        algebra, once, on replicated scalars)."""
-        m = jnp.maximum(a["m"], b["m"])
-        fa, fb = jnp.exp(a["m"] - m), jnp.exp(b["m"] - m)
-        return {
-            "m": m,
-            "l": a["l"] * fa + b["l"] * fb,
-            "zsum": a["zsum"] * fa + b["zsum"] * fb,
-            "cost_min": jnp.minimum(a["cost_min"], b["cost_min"]),
-            "cost_max": jnp.maximum(a["cost_max"], b["cost_max"]),
-            "cost_sum": a["cost_sum"] + b["cost_sum"],
         }
 
     def _finish(useq, g):
@@ -180,18 +141,6 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
     def _solve_shard(seed, state, useq, mparams, cparams):
         idx = jax.lax.axis_index(axis)
         shard_seed = seed + idx * n_tiles_local
-        if overlap_merge:
-            # head tiles use per-tile seeds shard_seed + [0, n_head); the
-            # tail tile uses shard_seed + n_head — identical noise to the
-            # single-call kernel whose tile p seeds at shard_seed + p.
-            raw_h = fused_head.solve(shard_seed, state, useq, mparams,
-                                     cparams, use_prng=True, return_raw=True)
-            g_h = _shard_reduce(raw_h, axis)  # <- overlaps with the tail
-            raw_t = fused_tail.solve(shard_seed + n_head, state, useq,
-                                     mparams, cparams, use_prng=True,
-                                     return_raw=True)
-            g_t = _shard_reduce(raw_t, axis)
-            return _finish(useq, _pair_merge(g_h, g_t))
         raw = local_fused.solve(shard_seed, state, useq,
                                 mparams, cparams, use_prng=True,
                                 return_raw=True, normalize=normalize_cost)
@@ -200,16 +149,6 @@ def build_sharded_fused_solve(local_fused, mesh: Mesh, k_global: int,
         return _merge(useq, raw, axis)
 
     def _solve_with_noise_shard(z, state, useq, mparams, cparams):
-        if overlap_merge:
-            raw_h = fused_head.solve(0, state, useq, mparams, cparams,
-                                     z=z[:, :, :lanes_head],
-                                     use_prng=False, return_raw=True)
-            g_h = _shard_reduce(raw_h, axis)
-            raw_t = fused_tail.solve(0, state, useq, mparams, cparams,
-                                     z=z[:, :, lanes_head:],
-                                     use_prng=False, return_raw=True)
-            g_t = _shard_reduce(raw_t, axis)
-            return _finish(useq, _pair_merge(g_h, g_t))
         raw = local_fused.solve(0, state, useq, mparams, cparams, z=z,
                                 use_prng=False, return_raw=True,
                                 normalize=normalize_cost)
@@ -239,9 +178,8 @@ class ShardedFusedMPPI(ShardedControllerMixin):
     model/cost domains: PointMassModel + {StaticCost, WayPointsCost,
     ElipseCost}, or AUVModel + {StaticQuatCost, ElipseCost3D}, with the
     single-device
-    option set (normalize_cost/clip/filter/antithetic) plus
-    ``overlap_merge`` (head-tiles collective overlapped with the tail
-    kernel — see build_sharded_fused_solve).
+    option set (normalize_cost/clip/filter/antithetic/noise_schedule/
+    kernel_dtype).
     """
 
     def __init__(self, model, cost, mesh: Mesh, k: int, tau: int,
@@ -251,9 +189,11 @@ class ShardedFusedMPPI(ShardedControllerMixin):
                  normalize_cost: bool = False, clip_actions: bool = False,
                  filter_seq: bool = False, filter_window: int = 9,
                  filter_polyorder: int = 3, antithetic: bool = False,
-                 overlap_merge: bool = False, noise_schedule=None):
+                 noise_schedule=None,
+                 kernel_dtype: str = "float32"):
         from ..kernels.auv_mppi import FusedAUVMPPI
         from ..kernels.errors import KernelUnsupportedError
+        from ..kernels.nn_mppi import FusedNNMPPI
         from ..kernels.pm_mppi import FusedLTIMPPI, FusedPointMassMPPI
 
         n = mesh.shape[axis]
@@ -267,7 +207,11 @@ class ShardedFusedMPPI(ShardedControllerMixin):
         tile = int(tile)
         err = None
         self._fused = None
-        for cls in (FusedPointMassMPPI, FusedLTIMPPI, FusedAUVMPPI):
+        # FusedNNMPPI included: reaching ShardedFusedMPPI at all requires
+        # an explicit kernel='pallas' or TPU 'auto' via get_controller,
+        # which itself keeps NN on the XLA path unless forced
+        for cls in (FusedPointMassMPPI, FusedLTIMPPI, FusedAUVMPPI,
+                    FusedNNMPPI):
             try:
                 # the schedule is construction-time config on the sharded
                 # path: the kernel's init values are the single source of
@@ -275,7 +219,8 @@ class ShardedFusedMPPI(ShardedControllerMixin):
                 self._fused = cls(model, cost, k=k_local, tau=tau, lam=lam,
                                   upsilon=upsilon, sigma=sigma, tile=tile,
                                   interpret=interpret, antithetic=antithetic,
-                                  schedule=noise_schedule)
+                                  schedule=noise_schedule,
+                                  compute_dtype=kernel_dtype)
                 break
             except KernelUnsupportedError as e:
                 err = e
@@ -293,7 +238,7 @@ class ShardedFusedMPPI(ShardedControllerMixin):
             self._fused, mesh, k, axis=axis,
             normalize_cost=normalize_cost, clip_actions=clip_actions,
             act_min=model.min_act(), act_max=model.max_act(),
-            filter_mat=filter_mat, overlap_merge=overlap_merge)
+            filter_mat=filter_mat)
         self._seed_stride = n * ((k_local + tile - 1) // tile)
         self._base_seed = int(seed)
         self._dtype = model.dtype

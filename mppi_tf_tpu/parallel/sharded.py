@@ -58,8 +58,6 @@ def build_sharded_solve(
     axis: str = SAMPLE_AXIS,
     antithetic: bool = False,
     filter_mat=None,
-    overlap_merge: bool = False,
-    overlap_frac: float = 0.875,
     schedule=None,
 ):
     """Return (solve, solve_with_noise) jitted over ``mesh``.
@@ -70,35 +68,18 @@ def build_sharded_solve(
     [tau, tau]) applies Savitzky–Golay smoothing as a linear operator —
     same semantics as the single-device controller (mppi.savgol_matrix).
 
-    ``overlap_merge`` splits each shard's samples into a bulk head
-    (``overlap_frac`` of k_local) and a small tail, reduces the head's
-    online-softmax partials (m, l, zsum — the same merge algebra as
-    parallel/fused.py) across shards BEFORE rolling out the tail, so the
-    cross-host all-reduce can hide behind tail compute (the DCN-latency
-    strategy of BASELINE.md's 10 ms N>=2-hosts budget — whether XLA's
-    scheduler actually overlaps is exactly what the 2-process bench row
-    measures, VERDICT r3 weak #2). Softmax weights are shift-invariant, so
-    the control law is identical to the single-phase solve up to fp
-    reduction order. Not compatible with ``normalize_cost`` (the (c-beta)/
-    (max-beta) normalization needs ALL costs before any weight exists —
-    same restriction as the fused overlap path).
+    A head/tail ``overlap_merge`` two-phase variant existed through round
+    4; it LOST on every recorded measurement — 2-process gloo speedup
+    0.694 (BENCH_r04), and 0.997/0.817/0.681/0.416 across the round-5
+    weak-scaling sweep (OVERLAP_DECISION.json), worst exactly in the
+    multi-host regime it targeted (the early all-reduce serializes
+    against the tail instead of hiding behind it) — so the knob was
+    deleted rather than left user-facing (VERDICT r4 #5).
     """
     n = mesh.shape[axis]
     if k % n != 0:
         raise ValueError(f"k={k} not divisible by mesh axis {axis}={n}")
     k_local = k // n
-    if overlap_merge and normalize_cost:
-        raise ValueError(
-            "overlap_merge is incompatible with normalize_cost (the "
-            "normalizer needs the global cost range before any weight "
-            "can be computed)")
-    if overlap_merge and k_local < 2:
-        raise ValueError(
-            f"overlap_merge needs >= 2 samples per shard to split into "
-            f"head and tail; k={k} over {n} devices gives k_local="
-            f"{k_local}")
-    k_head = min(max(int(k_local * overlap_frac), 1), k_local - 1) \
-        if overlap_merge else k_local
     adim = model.get_action_dim()
     sigma = jnp.asarray(np.asarray(sigma, np.float64), dtype=model.dtype)
     # per-step noise schedule (construction-time config on the sharded
@@ -133,35 +114,6 @@ def build_sharded_solve(
         }
         return _finish(useq, wnoise, info)
 
-    def _partial_softmax(costs, eps):
-        """Per-chunk online-softmax partials: (beta, l, zsum) such that
-        the global weighted noise is merge(...) across chunks/shards —
-        the parallel/fused.py shard-merge algebra in plain XLA, anchored
-        at the chunk's own beta = min(costs). The beta subtraction
-        happens BEFORE the 1/lam scaling (exactly like ops/update.py's
-        exp_arg), so the f32 envelope matches the single-phase path — a
-        raw -costs/lam would overflow lam-times earlier at extreme cost
-        magnitudes (review finding)."""
-        b = jnp.min(costs)
-        w = jnp.exp((b - costs) / lam)  # in (0, 1], exact 1 at the beta
-        return b, jnp.sum(w), jnp.einsum("k,kta->ta", w, eps)
-
-    def _merge_pair(a, b_):
-        b_a, l_a, s_a = a
-        b_b, l_b, s_b = b_
-        b = jnp.minimum(b_a, b_b)
-        # (b - b_x)/lam <= 0: a chunk whose beta is worse by more than
-        # the f32 exponent range contributes exp(-inf) = 0 — correct
-        f_a = jnp.exp((b - b_a) / lam)
-        f_b = jnp.exp((b - b_b) / lam)
-        return b, l_a * f_a + l_b * f_b, s_a * f_a + s_b * f_b
-
-    def _reduce_partial(p):
-        b, l, s = p
-        bg = jax.lax.pmin(b, axis)
-        f = jnp.exp((bg - b) / lam)
-        return bg, jax.lax.psum(l * f, axis), jax.lax.psum(s * f, axis)
-
     def _finish(useq, wnoise, stats):
         new_useq = useq + wnoise
         if clip_actions:
@@ -185,27 +137,8 @@ def build_sharded_solve(
             key, k_local, tau, adim, sigma, upsilon, dtype=useq.dtype,
             schedule=sched_c,
         )
-        if not overlap_merge:
-            costs = _local_costs(state, useq, eps, mparams, cparams)
-            return _update(useq, costs, eps)
-        # two-phase: reduce the bulk head across shards, THEN roll out the
-        # tail — the head all-reduce can overlap tail compute
-        eps_h, eps_t = eps[:k_head], eps[k_head:]
-        costs_h = _local_costs(state, useq, eps_h, mparams, cparams)
-        head = _reduce_partial(_partial_softmax(costs_h, eps_h))
-        costs_t = _local_costs(state, useq, eps_t, mparams, cparams)
-        tail = _reduce_partial(_partial_softmax(costs_t, eps_t))
-        _, l, zsum = _merge_pair(head, tail)
-        wnoise = zsum / l
-        info = {
-            "cost_min": jax.lax.pmin(
-                jnp.minimum(jnp.min(costs_h), jnp.min(costs_t)), axis),
-            "cost_mean": jax.lax.pmean(
-                (jnp.sum(costs_h) + jnp.sum(costs_t)) / k_local, axis),
-            "cost_max": jax.lax.pmax(
-                jnp.maximum(jnp.max(costs_h), jnp.max(costs_t)), axis),
-        }
-        return _finish(useq, wnoise, info)
+        costs = _local_costs(state, useq, eps, mparams, cparams)
+        return _update(useq, costs, eps)
 
     def _solve_with_noise_shard(eps, state, useq, mparams, cparams):
         mparams = model.precompute(mparams)
@@ -302,7 +235,6 @@ class ShardedMPPI(ShardedControllerMixin):
         observer=None,
         init_seq=None,
         prng_impl: str = "auto",
-        overlap_merge: bool = False,
         noise_schedule=None,
     ):
         if sigma is None:
@@ -323,7 +255,7 @@ class ShardedMPPI(ShardedControllerMixin):
             model, cost, k, tau, lam, upsilon, sigma, mesh,
             normalize_cost=normalize_cost, clip_actions=clip_actions,
             axis=axis, antithetic=antithetic, filter_mat=filter_mat,
-            overlap_merge=overlap_merge, schedule=noise_schedule,
+            schedule=noise_schedule,
         )
         if init_seq is not None:
             self._useq = jnp.asarray(

@@ -60,59 +60,77 @@ def measure_ceilings(reps: int = 3):
 
     backend = jax.default_backend()
 
+    # Every microbench chains its work through a lax.fori_loop INSIDE one
+    # jit so a single dispatch carries >= 5 ms of device time: on the
+    # relay-attached testbed a dispatch costs ~25 ms of RTT regardless of
+    # content, which silently dominated un-chained versions (a 1 Gflop
+    # FMA chain "measured" 43 Gflop/s — pure RTT). The loop boundary also
+    # stops XLA fusing iterations together, which is what makes the HBM
+    # stream measure real traffic instead of one fused pass.
+
+    def timed(fn, *args):
+        jax.block_until_ready(fn(*args))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    # chain length: the RTT amortization is only needed behind the relay;
+    # on CPU the same iteration counts would cost minutes per suite run
+    big = backend == "tpu"
+
     # -- elementwise FMA rate -------------------------------------------
     n = 1 << 20  # 4 MB f32: resident in VMEM once loaded
-    depth = 512  # serial FMAs per element per dispatch
+    depth = 512  # serial FMAs per element per loop iteration
+    iters = 64 if big else 2
     x0 = jnp.linspace(0.5, 1.5, n, dtype=jnp.float32)
 
     @jax.jit
     def fma_chain(x):
-        # distinct literal coefficients: no algebraic collapse available
-        for i in range(depth):
-            x = x * np.float32(1.0 + 1e-7 * (i + 1)) + np.float32(1e-9)
-        return x
+        def body(_, x):
+            # distinct literal coefficients: no algebraic collapse
+            for i in range(depth):
+                x = x * np.float32(1.0 + 1e-7 * (i + 1)) \
+                    + np.float32(1e-9)
+            return x
 
-    jax.block_until_ready(fma_chain(x0))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fma_chain(x0))
-        ts.append(time.perf_counter() - t0)
-    vpu_flops = 2.0 * depth * n / min(ts)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    vpu_flops = 2.0 * depth * iters * n / timed(fma_chain, x0)
 
     # -- transcendental (exp) rate --------------------------------------
     depth_e = 128
+    iters_e = 64 if big else 2
     xe = jnp.linspace(0.1, 1.0, n, dtype=jnp.float32)
 
     @jax.jit
     def exp_chain(x):
-        for _ in range(depth_e):
-            x = jnp.exp(-x)  # stays in (e^-1, 1): no overflow, no folding
-        return x
+        def body(_, x):
+            for _i in range(depth_e):
+                x = jnp.exp(-x)  # stays in (e^-1, 1): no overflow
+            return x
 
-    jax.block_until_ready(exp_chain(xe))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(exp_chain(xe))
-        ts.append(time.perf_counter() - t0)
-    trans_per_s = depth_e * n / min(ts)
+        return jax.lax.fori_loop(0, iters_e, body, x)
+
+    trans_per_s = depth_e * iters_e * n / timed(exp_chain, xe)
 
     # -- HBM stream bandwidth -------------------------------------------
     nb = 1 << 26  # 256 MB f32: far beyond VMEM, forced to stream from HBM
+    iters_b = 16 if big else 2
     xb = jnp.ones((nb,), jnp.float32)
 
     @jax.jit
     def stream(x):
-        return x * np.float32(1.0000001) + np.float32(1e-9)
+        def body(_, x):
+            # one elementwise pass per iteration; the fori boundary forces
+            # a full HBM read + write each time (no cross-iter fusion)
+            return x * np.float32(1.0000001) + np.float32(1e-9)
 
-    jax.block_until_ready(stream(xb))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(stream(xb))
-        ts.append(time.perf_counter() - t0)
-    hbm_bytes_per_s = 2.0 * 4.0 * nb / min(ts)  # read + write
+        return jax.lax.fori_loop(0, iters_b, body, x)
+
+    hbm_bytes_per_s = 2.0 * 4.0 * nb * iters_b / timed(stream, xb)
 
     return {
         "backend": backend,
@@ -285,6 +303,37 @@ def classify(work: dict, ceil: dict, measured_ms: float):
     }
 
 
+def nn_work(fused, normalize: bool = False):
+    """Analytic work model of one fused NN solve (kernels/nn_mppi.py):
+    per (sample, step) the folded MLP is sum(in*out) FMAs + ReLUs, plus
+    the applied-action fold (2*nnz(scale) + 6), the quat-cost quadratic
+    (~47 + 2*nnz(Q) flops, polynomial acos), the quat renorm (1 rsqrt),
+    and the action-cost z terms; softmax + weighted-z as in pm_work."""
+    tau = fused.tau
+    tile = fused.tile
+    kp = ((fused.k + tile - 1) // tile) * tile
+    mc = fused._mc
+    sizes = list(mc["sizes"])
+    mlp = sum(2 * a * b + b for a, b in zip(sizes[:-1], sizes[1:]))
+    gf = 2 * _nnz(mc["scale"]) + 6
+    cost_flops = 47 + 2 * _nnz(mc["Q"])
+    action_z = 2 * 6 + 2 * _nnz(mc["Mz"]) + 2 * 6 + 2
+    per_sample = tau * (gf + mlp + 13 + 12 + cost_flops + action_z) \
+        + cost_flops
+    softmax = 8 + 2 * tau * 6
+    nz = noise_work(kp, tau, 6)
+    n_solves = 2 if normalize else 1
+    work = {
+        "flops": kp * (per_sample + softmax) + nz["flops"] * n_solves,
+        "trans": kp * (tau + 1) + nz["trans"] * n_solves,  # rsqrt + exp
+        "hbm_bytes": (2 * 4 * kp) if normalize else 0,
+    }
+    if normalize:
+        work["flops"] += kp * (8 + 2 * tau * 6)
+        work["trans"] += kp
+    return work
+
+
 def roofline_for_workload(workload: str, ctrl, measured_ms: float,
                           normalize: bool = False):
     """Annotation for a bench row given its controller. Returns None when
@@ -294,8 +343,11 @@ def roofline_for_workload(workload: str, ctrl, measured_ms: float,
     fused = getattr(ctrl, "_fused", None)
     if fused is not None:
         from .kernels.auv_mppi import FusedAUVMPPI
+        from .kernels.nn_mppi import FusedNNMPPI
 
-        if isinstance(fused, FusedAUVMPPI):
+        if isinstance(fused, FusedNNMPPI):
+            work = nn_work(fused, normalize)
+        elif isinstance(fused, FusedAUVMPPI):
             work = auv_work(fused, normalize)
         else:
             work = pm_work(fused, normalize)
@@ -306,7 +358,8 @@ def roofline_for_workload(workload: str, ctrl, measured_ms: float,
         adim, sdim = ctrl._adim, ctrl._sdim
         name = type(ctrl._model).__name__
         step_flops = {"PointMassModel": 40, "DMDModel": 90,
-                      "AUVModel": 800}.get(name, 2000)
+                      "AUVModel": 800, "NNAUVModel": 7000,
+                      "NNModel": 7000}.get(name, 2000)
         cost_flops = 40
         work = xla_solve_work(k, tau, adim, step_flops, cost_flops, sdim)
     return classify(work, ceil, measured_ms)

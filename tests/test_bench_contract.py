@@ -127,7 +127,7 @@ def test_bench_suite_mode(tmp_path):
         assert key in serve_row["extra"], serve_row["extra"]
     mp_row = next(r for r in suite
                   if r["extra"]["workload"] == "point_mass_multiprocess")
-    for key in ("collective_ms_per_solve", "overlap_p50_ms",
+    for key in ("collective_ms_per_solve",
                 "local_mesh_p50_ms"):
         assert key in mp_row["extra"], mp_row["extra"]
     assert any(r.get("extra", {}).get("n_processes") == 2 for r in suite)

@@ -404,7 +404,7 @@ class TestOnDevicePlant:
 
         sf = ShardedFusedMPPI(model, cost, mesh, k=256, tau=15, lam=0.6,
                               upsilon=1.0, sigma=sigma, tile=16, seed=2,
-                              interpret=True, overlap_merge=True)
+                              interpret=True)
         states, actions = on_device_closed_loop(sf, env.step_fn, np.zeros(4),
                                                 steps=8, substeps=10)
         # interpret-mode PRNG is stubbed (noise = Box-Muller of zeros-bits)

@@ -279,89 +279,3 @@ def test_sharded_save_load_resume_bit_exact(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         c.load_state(ckpt)
-
-
-def test_xla_overlap_merge_matches_single_phase():
-    """The two-phase head/tail online-softmax merge (overlap_merge=True on
-    the XLA sharded path — the DCN-overlap strategy, VERDICT r3 weak #2)
-    produces the same control law as the single-phase solve: softmax
-    weights are shift-invariant, so only fp reduction order differs."""
-    import jax.numpy as jnp
-
-    from mppi_tf_tpu.costs import get_cost
-    from mppi_tf_tpu.models import get_model
-    from mppi_tf_tpu.parallel import ShardedMPPI, make_mesh
-
-    sigma = np.diag([0.3, 0.25])
-    model = get_model({"type": "point_mass", "mass": 1.3}, dt=0.1,
-                      state_dim=4, action_dim=2, dtype=jnp.float64)
-    cost = get_cost({"type": "static", "diag": True,
-                     "goal": [1.0, 0.0, -0.5, 0.0],
-                     "Q": [5.0, 1.0, 5.0, 1.0]},
-                    lam=0.7, gamma=0.2, upsilon=1.1, sigma=sigma,
-                    dtype=jnp.float64)
-    mesh = make_mesh(8, ("k",))
-    kw = dict(k=512, tau=7, lam=0.7, upsilon=1.1, sigma=sigma, seed=11)
-    base = ShardedMPPI(model, cost, mesh, **kw)
-    over = ShardedMPPI(model, cost, mesh, overlap_merge=True, **kw)
-    x = np.array([0.2, 0.0, -0.1, 0.0])
-    for _ in range(3):
-        a0 = base.next(x)
-        a1 = over.next(x)
-        np.testing.assert_allclose(a1, a0, rtol=1e-9, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(over.useq), np.asarray(base.useq),
-                               rtol=1e-9, atol=1e-12)
-    with pytest.raises(ValueError, match="overlap_merge"):
-        ShardedMPPI(model, cost, mesh, normalize_cost=True,
-                    overlap_merge=True, **kw)
-
-
-def test_xla_overlap_merge_rejects_tiny_shards():
-    """k_local < 2 cannot split into head and tail (review finding: the
-    head-size formula collapsed to an empty chunk and a trace-time
-    crash); the constructor must refuse loudly."""
-    import jax.numpy as jnp
-
-    from mppi_tf_tpu.costs import get_cost
-    from mppi_tf_tpu.models import get_model
-    from mppi_tf_tpu.parallel import ShardedMPPI, make_mesh
-
-    sigma = np.diag([0.3, 0.25])
-    model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
-                      state_dim=4, action_dim=2, dtype=jnp.float64)
-    cost = get_cost({"type": "static", "diag": True,
-                     "goal": [1.0, 0.0, -0.5, 0.0],
-                     "Q": [5.0, 1.0, 5.0, 1.0]},
-                    lam=0.7, gamma=0.2, upsilon=1.1, sigma=sigma,
-                    dtype=jnp.float64)
-    mesh = make_mesh(8, ("k",))
-    with pytest.raises(ValueError, match="head and tail"):
-        ShardedMPPI(model, cost, mesh, k=8, tau=3, lam=0.7, upsilon=1.1,
-                    sigma=sigma, overlap_merge=True)
-
-
-def test_xla_overlap_merge_survives_saturated_costs():
-    """Review finding: the overlap partials must subtract the chunk beta
-    BEFORE the 1/lam scaling (ops/update.py exp_arg order) — a raw
-    -costs/lam overflows f32 lam-times earlier, NaN'ing the merge where
-    the single-phase path survives. f32 + small lam + far goal."""
-    from mppi_tf_tpu.costs import get_cost
-    from mppi_tf_tpu.models import get_model
-    from mppi_tf_tpu.parallel import ShardedMPPI, make_mesh
-
-    far = 1.0e17  # finite costs ~1e37; raw -cost/lam=0.01 would overflow f32
-    sigma = np.diag([0.4, 0.4])
-    model = get_model({"type": "point_mass", "mass": 1.0}, dt=0.1,
-                      state_dim=4, action_dim=2)  # f32
-    cost = get_cost({"type": "static", "diag": True,
-                     "goal": [far, 0.0, -far, 0.0],
-                     "Q": [100.0, 1.0, 100.0, 1.0]},
-                    lam=0.01, gamma=0.2, upsilon=1.0, sigma=sigma)
-    mesh = make_mesh(8, ("k",))
-    kw = dict(k=256, tau=4, lam=0.01, upsilon=1.0, sigma=sigma, seed=3)
-    base = ShardedMPPI(model, cost, mesh, **kw)
-    over = ShardedMPPI(model, cost, mesh, overlap_merge=True, **kw)
-    a0 = base.next(np.zeros(4))
-    a1 = over.next(np.zeros(4))
-    assert np.all(np.isfinite(a0))
-    assert np.all(np.isfinite(a1)), a1

@@ -79,19 +79,18 @@ def test_sharded_fused_matches_single_device(setup):
                                rtol=1e-4)
 
 
-@pytest.mark.parametrize("normalize,clip,filt,overlap", [
-    (True, False, False, False),
-    (False, True, False, False),
-    (False, False, True, False),
-    (True, True, True, False),
-    (False, True, True, True),
+@pytest.mark.parametrize("normalize,clip,filt", [
+    (True, False, False),
+    (False, True, False),
+    (False, False, True),
+    (True, True, True),
 ])
 def test_sharded_fused_options_match_single_device(setup, normalize, clip,
-                                                   filt, overlap):
+                                                   filt):
     """Option-matrix parity (VERDICT round-1 item 4): normalize_cost /
-    clip_actions / filter_seq (and overlap_merge, round-2 item 9) on the
-    sharded fused path must equal the single-device XLA controller with the
-    same options and the same noise realisation."""
+    clip_actions / filter_seq on the sharded fused path must equal the
+    single-device XLA controller with the same options and the same noise
+    realisation."""
     model, cost, sigma, k, _, tile = setup
     tau = 15  # >= savgol window
     mesh = make_mesh(8, ("k",))
@@ -108,8 +107,7 @@ def test_sharded_fused_options_match_single_device(setup, normalize, clip,
     _, solve_with_noise = build_sharded_fused_solve(
         fused_local, mesh, k, normalize_cost=normalize, clip_actions=clip,
         act_min=model.min_act(), act_max=model.max_act(),
-        filter_mat=savgol_matrix(tau, 9, 3) if filt else None,
-        overlap_merge=overlap)
+        filter_mat=savgol_matrix(tau, 9, 3) if filt else None)
 
     rng = np.random.RandomState(17)
     z_std = rng.randn(tau, 3, k).astype(np.float32)
@@ -132,67 +130,10 @@ def test_sharded_fused_options_match_single_device(setup, normalize, clip,
                                rtol=2e-3, atol=2e-4)
 
 
-def test_overlap_merge_matches_single_phase(setup):
-    """DCN-overlap two-phase merge (VERDICT round-1 item 9): splitting the
-    per-shard solve into [head tiles | last tile] and reducing the head
-    across shards while the tail computes must produce the same solve —
-    same sum, different reduction tree — as the single-phase merge and the
-    single-device kernel."""
-    model, cost, sigma, k, tau, tile = setup
-    mesh = make_mesh(8, ("k",))
-    k_local = k // 8
-    assert k_local // tile >= 2  # the overlap split needs >= 2 local tiles
-
-    fused_single = FusedPointMassMPPI(model, cost, k=k, tau=tau, lam=0.8,
-                                      upsilon=1.2, sigma=sigma, tile=tile,
-                                      interpret=True)
-    fused_local = FusedPointMassMPPI(model, cost, k=k_local, tau=tau,
-                                     lam=0.8, upsilon=1.2, sigma=sigma,
-                                     tile=tile, interpret=True)
-    _, swn_plain = build_sharded_fused_solve(fused_local, mesh, k)
-    _, swn_overlap = build_sharded_fused_solve(fused_local, mesh, k,
-                                               overlap_merge=True)
-
-    rng = np.random.RandomState(11)
-    z_std = rng.randn(tau, 3, k).astype(np.float32)
-    z = jnp.asarray(chunk_noise(z_std, tile))
-    x0 = jnp.asarray(np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0]), model.dtype)
-    useq = jnp.asarray(0.1 * rng.randn(tau, 3), model.dtype)
-    mp, cp = model.init_params(), cost.init_params()
-
-    wn_single, info_s = fused_single.solve(0, x0, useq, mp, cp, z=z,
-                                           use_prng=False)
-    a_p, useq_p, info_p = swn_plain(z, x0, useq, mp, cp)
-    a_o, useq_o, info_o = swn_overlap(z, x0, useq, mp, cp)
-
-    np.testing.assert_allclose(np.asarray(a_o), np.asarray(a_p),
-                               rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(useq_o), np.asarray(useq_p),
-                               rtol=1e-4, atol=1e-6)
-    expected0 = useq[0] + jnp.asarray(wn_single[0], model.dtype)
-    np.testing.assert_allclose(np.asarray(a_o), np.asarray(expected0),
-                               rtol=1e-4, atol=1e-6)
-    for key in ("cost_min", "cost_max", "nabla"):
-        np.testing.assert_allclose(float(info_o[key]), float(info_s[key]),
-                                   rtol=1e-4)
-
-
-def test_overlap_merge_rejects_normalize(setup):
-    model, cost, sigma, k, tau, tile = setup
-    mesh = make_mesh(8, ("k",))
-    fused_local = FusedPointMassMPPI(model, cost, k=k // 8, tau=tau,
-                                     lam=0.8, upsilon=1.2, sigma=sigma,
-                                     tile=tile, interpret=True)
-    with pytest.raises(ValueError, match="overlap_merge"):
-        build_sharded_fused_solve(fused_local, mesh, k, normalize_cost=True,
-                                  overlap_merge=True)
-
-
-def test_factory_forwards_overlap_and_antithetic(setup):
-    """get_controller(mesh=..., kernel='pallas') must forward overlap_merge
-    and antithetic to ShardedFusedMPPI; since round 4 the XLA sharded path
-    supports overlap_merge too (the head/tail online-softmax merge,
-    parallel/sharded.py) instead of rejecting it."""
+def test_factory_forwards_antithetic(setup):
+    """get_controller(mesh=..., kernel='pallas') must forward antithetic
+    to ShardedFusedMPPI (the overlap_merge knob was deleted in round 5 —
+    OVERLAP_DECISION.json)."""
     from mppi_tf_tpu.controller import get_controller
     from mppi_tf_tpu.parallel import ShardedMPPI
 
@@ -201,14 +142,12 @@ def test_factory_forwards_overlap_and_antithetic(setup):
     cfg = {"samples": k, "horizon": tau, "lambda": 0.8, "upsilon": 1.2,
            "noise": np.asarray(sigma)}
     ctrl = get_controller(model, cost, cfg, mesh=mesh, kernel="pallas",
-                          kernel_tile=tile, overlap_merge=True,
-                          antithetic=True)
+                          kernel_tile=tile, antithetic=True)
     assert isinstance(ctrl, ShardedFusedMPPI)
     assert ctrl._fused.antithetic
     a = ctrl.next(np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0]))
     assert a.shape == (3,) and np.all(np.isfinite(a))
-    xctrl = get_controller(model, cost, cfg, mesh=mesh, kernel="xla",
-                           overlap_merge=True)
+    xctrl = get_controller(model, cost, cfg, mesh=mesh, kernel="xla")
     assert isinstance(xctrl, ShardedMPPI)
     ax = xctrl.next(np.array([0.2, 0.0, -0.1, 0.0, 0.3, 0.0]))
     assert ax.shape == (3,) and np.all(np.isfinite(ax))
