@@ -313,6 +313,7 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
             lat.append(time.perf_counter() - t0)
         dispatch_p50 = float(np.median(lat))
 
+    if measure_single and ctrl is not None:
         # decompose: time chains of n solves in ONE dispatch for several n
         # and fit latency(n) = overhead + n * device_ms — the slope is the
         # true per-solve device+runtime time, the intercept the per-
@@ -1074,7 +1075,8 @@ def run_multiprocess_workload(K, TAU, CHAIN, nproc=2, devices_per_proc=4):
     }
 
 
-def run_weak_scaling_workload(k_per_dev=1024, TAU=25, CHAIN=20):
+def run_weak_scaling_workload(k_per_dev=1024, TAU=25, CHAIN=20,
+                              points=None):
     """Weak-scaling curve of the mesh-sharded solve (VERDICT r4 next-step
     #7): fixed per-device K, device count swept over intra-process virtual
     meshes (1 proc x 4/8/16/32 devices) AND cross-process gloo clusters
@@ -1085,7 +1087,9 @@ def run_weak_scaling_workload(k_per_dev=1024, TAU=25, CHAIN=20):
     per-point local-mesh control (VERDICT r4 next-step #7)."""
     from mppi_tf_tpu.parallel.cluster import run_cluster
 
-    points = [(1, 4), (1, 8), (1, 16), (1, 32), (2, 4), (2, 8), (4, 4)]
+    if points is None:
+        points = [(1, 4), (1, 8), (1, 16), (1, 32), (2, 4), (2, 8),
+                  (4, 4)]
     table = []
     for nproc, dpp in points:
         ndev = nproc * dpp
@@ -1375,8 +1379,11 @@ def main():
     # cross-process
     kpd = min(1024, cap_k) if cap_k else 1024
     try:
-        r = run_weak_scaling_workload(k_per_dev=kpd, TAU=tau_mp,
-                                      CHAIN=chain_mp)
+        # a capped (CPU contract) run measures two points only — the full
+        # 7-topology sweep is for the uncapped driver run
+        r = run_weak_scaling_workload(
+            k_per_dev=kpd, TAU=tau_mp, CHAIN=chain_mp,
+            points=[(1, 4), (2, 4)] if (cap_k or cap_chain) else None)
     except Exception as e:
         r = {"metric": "FAILED@weak_scaling",
              "error": f"{type(e).__name__}: {e}"}

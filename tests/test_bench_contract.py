@@ -98,21 +98,40 @@ def test_bench_suite_mode(tmp_path):
         "pytest must not rewrite the repo-root BENCH_SUITE.json"
     assert final["extra"]["suite_rows"] == len(suite)
     assert final["extra"]["suite_errors"] == 0
-    # 16 rows on CPU (the in-kernel noise + saturation checks and the
-    # extra fused fleet row are TPU-only)
-    assert len(suite) == 16, [r["metric"] for r in suite]
+    # 19 rows on CPU: round-5 adds device_ceilings, the H=100 scheduled
+    # row and the weak-scaling row (the in-kernel noise + saturation
+    # checks, the extra fused fleet row, the NN-pallas and bf16 rows are
+    # TPU-only)
+    assert len(suite) == 19, [r["metric"] for r in suite]
     # every row was also printed as its own parseable line above the
     # headline, so the suite is recoverable from stdout alone
     printed = [json.loads(ln) for ln in lines[:-1]]
     assert [r["metric"] for r in printed] == [r["metric"] for r in suite]
-    workloads = {r["extra"]["workload"] for r in suite if "extra" in r}
-    assert workloads == {"point_mass", "auv", "auv_waypoints", "nn", "dmd",
+    workloads = {r["extra"].get("workload") for r in suite
+                 if "extra" in r} - {None}  # device_ceilings has none
+    assert workloads == {"point_mass", "point_mass_h100", "auv",
+                         "auv_waypoints", "nn", "dmd",
                          "dmd_adaptive", "auv_mission",
                          "point_mass_fleet", "auv_fleet",
                          "point_mass_serve",
-                         "point_mass_multiprocess"}, workloads
+                         "point_mass_multiprocess",
+                         "point_mass_weak_scaling"}, workloads
+    ws_row = next(r for r in suite
+                  if r["extra"].get("workload")
+                  == "point_mass_weak_scaling")
+    assert ws_row["extra"]["points_measured"] >= 1, ws_row
+    for point in ws_row["extra"]["table"]:
+        if "error" not in point:
+            assert {"p50_ms", "local_mesh_p50_ms",
+                    "collective_ms"} <= set(point), point
+    serve_keys = next(r for r in suite
+                      if r["extra"].get("workload")
+                      == "point_mass_serve")["extra"]
+    for key in ("fleet_coalesced_p50_ms", "fleet_mean_batch",
+                "mstep_per_tick_p50_ms"):
+        assert key in serve_keys, serve_keys
     mission_row = next(r for r in suite
-                       if r["extra"]["workload"] == "auv_mission")
+                       if r["extra"].get("workload") == "auv_mission")
     # the 2-step CPU cap cannot fly the mission; completion (mission_
     # popped True, small final_depth_err) is asserted by the uncapped
     # TPU suite record — here check the row's structure and sanity
@@ -121,12 +140,12 @@ def test_bench_suite_mode(tmp_path):
         assert key in mission_row["extra"], mission_row["extra"]
     assert mission_row["extra"]["quat_norm_drift"] < 1e-2, mission_row
     serve_row = next(r for r in suite
-                     if r["extra"]["workload"] == "point_mass_serve")
+                     if r["extra"].get("workload") == "point_mass_serve")
     for key in ("solve_ms_p50", "wire_overhead_ms_p50",
                 "concurrent_p99_ms"):
         assert key in serve_row["extra"], serve_row["extra"]
     mp_row = next(r for r in suite
-                  if r["extra"]["workload"] == "point_mass_multiprocess")
+                  if r["extra"].get("workload") == "point_mass_multiprocess")
     for key in ("collective_ms_per_solve",
                 "local_mesh_p50_ms"):
         assert key in mp_row["extra"], mp_row["extra"]
