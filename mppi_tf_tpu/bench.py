@@ -336,15 +336,18 @@ def run_workload(workload, kernel, K, TAU, CHAIN, sharded, tile,
 
             return jax.lax.fori_loop(0, n, body, (state, useq))
 
-        ns = (1, 2, 4, 8)
+        # chain lengths well above the dispatch-overhead jitter (~1-2 ms
+        # on the relay), and timings FETCH a scalar: over the relay,
+        # block_until_ready alone does not wait for completion of short
+        # programs (see roofline.measure_ceilings methodology note)
+        ns = (8, 32, 128, 512)
         pts = []
         for n in ns:
-            out_n = chain_n(key, state, useq, n=n)
-            jax.block_until_ready(out_n)  # compile per n
+            float(chain_n(key, state, useq, n=n)[0][0])  # compile per n
             best = float("inf")
-            for _ in range(5):
+            for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(chain_n(key, state, useq, n=n))
+                float(chain_n(key, state, useq, n=n)[0][0])
                 best = min(best, time.perf_counter() - t0)
             pts.append(best * 1e3)
         slope, intercept = np.polyfit(ns, pts, 1)
@@ -1252,10 +1255,14 @@ def main():
                      ceil["transcendental_per_s"] / 1e9, 3),
                  "hbm_gbytes_per_s": round(
                      ceil["hbm_bytes_per_s"] / 1e9, 2),
+                 "bm_triples_gops": round(
+                     ceil["bm_triples_per_s"] / 1e9, 3),
                  "backend": backend,
-                 "note": ("microbenchmark-measured elementwise-FMA rate, "
-                          "exp() rate and HBM stream bandwidth — the "
-                          "roofs every row's roofline.* fields refer to"),
+                 "note": ("microbenchmark-measured (fetch-forced) "
+                          "elementwise-FMA rate (ILP-4), exp() rate, HBM "
+                          "stream bandwidth and the Box-Muller "
+                          "(log,sqrt,cos) composite rate — the roofs "
+                          "every row's roofline.* fields refer to"),
              }}
         print(json.dumps(r), flush=True)
         suite.append(r)

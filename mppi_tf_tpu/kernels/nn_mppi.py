@@ -18,12 +18,13 @@ The VPU hypothesis this kernel tests: per (sample, step) the MLP is only
 ~3.5k multiply-adds. In the component-major folded layout (one (8, L)
 block per feature/neuron, as kernels/auv_mppi.py) each weight is a
 SCALAR, so the whole network becomes scalar-times-block FMA chains with
-zero padding waste (~10 Gflop at K=65536, H=25 => ~0.75 ms at the
-measured 13.4 Tflop/s VPU rate), plus in-kernel noise and the fused
-softmax. MEASURED OUTCOME on the v5e: 2.16 ms vs the XLA path's 1.27 ms
-at the reference shape — each runtime SMEM weight needs a scalar->vector
-BROADCAST before its FMA (a compile-time constant would be an
-immediate), roughly doubling the vector op count; the hypothesis fails
+zero padding waste (~10 Gflop at K=65536, H=25 => ~1.8 ms at the
+fetch-forced ILP-4 VPU rate of 5.8 Tflop/s, roofline.measure_ceilings),
+plus in-kernel noise and the fused softmax. MEASURED OUTCOME on the
+v5e: 2.16 ms vs the XLA path's 1.27 ms at the reference shape — the
+kernel actually runs at ~83% of its VPU roofline, but that roofline is
+ABOVE the XLA MXU path's thin-matmul floor: for a per-step MLP the MXU
+wins even at ~30x padding, so the hypothesis fails on the bound itself
 and XLA remains the NN default (`kernel='auto'` never selects this
 kernel; explicit `kernel='pallas'` does). Kept as the parity-tested
 record of the experiment VERDICT r4 #2 asked for — and as the only NN

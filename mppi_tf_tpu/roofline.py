@@ -60,49 +60,64 @@ def measure_ceilings(reps: int = 3):
 
     backend = jax.default_backend()
 
-    # Every microbench chains its work through a lax.fori_loop INSIDE one
-    # jit so a single dispatch carries >= 5 ms of device time: on the
-    # relay-attached testbed a dispatch costs ~25 ms of RTT regardless of
-    # content, which silently dominated un-chained versions (a 1 Gflop
-    # FMA chain "measured" 43 Gflop/s — pure RTT). The loop boundary also
-    # stops XLA fusing iterations together, which is what makes the HBM
-    # stream measure real traffic instead of one fused pass.
+    # METHODOLOGY (hard-won on the relay-attached testbed): over the axon
+    # relay, ``block_until_ready`` does NOT wait for device completion —
+    # a 64x-bigger chained workload "finished" in the same 70 us, so any
+    # timing that doesn't FETCH a value is fiction. Every microbench here
+    # therefore returns a scalar reduction and the timing includes
+    # ``float(...)`` (a real round trip), with enough chained work per
+    # dispatch (~200-400 ms of device time on TPU) that the ~25 ms fetch
+    # RTT — measured separately and subtracted — is noise.
+    big = backend == "tpu"
 
-    def timed(fn, *args):
-        jax.block_until_ready(fn(*args))
+    def timed_fetch(fn, *args):
+        float(fn(*args))  # compile + warm
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
+            float(fn(*args))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    # chain length: the RTT amortization is only needed behind the relay;
-    # on CPU the same iteration counts would cost minutes per suite run
-    big = backend == "tpu"
+    n = 1 << 20
+    x0 = jnp.linspace(0.5, 1.5, n, dtype=jnp.float32)
+
+    # fetch-only baseline: dispatch + scalar round trip with ~zero compute
+    base = timed_fetch(jax.jit(lambda x: x[0]), x0)
 
     # -- elementwise FMA rate -------------------------------------------
-    n = 1 << 20  # 4 MB f32: resident in VMEM once loaded
-    depth = 512  # serial FMAs per element per loop iteration
-    iters = 64 if big else 2
-    x0 = jnp.linspace(0.5, 1.5, n, dtype=jnp.float32)
+    # four INDEPENDENT chains interleaved: a single serial chain measures
+    # dependency latency (1.16 Tflop/s on this v5e), not issue throughput
+    # — the kernels have abundant ILP across state components, so the
+    # roofline uses the ILP-4 rate
+    depth = 128   # FMAs per chain per loop iteration
+    iters = 4096 if big else 8
 
     @jax.jit
     def fma_chain(x):
-        def body(_, x):
-            # distinct literal coefficients: no algebraic collapse
-            for i in range(depth):
-                x = x * np.float32(1.0 + 1e-7 * (i + 1)) \
-                    + np.float32(1e-9)
-            return x
+        def body(_, carry):
+            a, b, cc, d, c = carry
+            # evolving runtime coefficient: no affine folding
+            for _i in range(depth):
+                a = a * c + np.float32(1e-9)
+                b = b * c + np.float32(2e-9)
+                cc = cc * c + np.float32(3e-9)
+                d = d * c + np.float32(4e-9)
+                c = c + np.float32(1e-12)
+            return (a, b, cc, d, c)
 
-        return jax.lax.fori_loop(0, iters, body, x)
+        out = jax.lax.fori_loop(
+            0, iters, body,
+            (x, x + 0.5, x + 1.0, x + 1.5, jnp.float32(1.0000001)))
+        return jnp.sum(out[0]) + jnp.sum(out[1]) + jnp.sum(out[2]) \
+            + jnp.sum(out[3])
 
-    vpu_flops = 2.0 * depth * iters * n / timed(fma_chain, x0)
+    t = max(timed_fetch(fma_chain, x0) - base, 1e-9)
+    vpu_flops = 2.0 * 4 * depth * iters * n / t
 
     # -- transcendental (exp) rate --------------------------------------
     depth_e = 128
-    iters_e = 64 if big else 2
+    iters_e = 4096 if big else 8
     xe = jnp.linspace(0.1, 1.0, n, dtype=jnp.float32)
 
     @jax.jit
@@ -112,31 +127,55 @@ def measure_ceilings(reps: int = 3):
                 x = jnp.exp(-x)  # stays in (e^-1, 1): no overflow
             return x
 
-        return jax.lax.fori_loop(0, iters_e, body, x)
+        return jnp.sum(jax.lax.fori_loop(0, iters_e, body, x))
 
-    trans_per_s = depth_e * iters_e * n / timed(exp_chain, xe)
+    t = max(timed_fetch(exp_chain, xe) - base, 1e-9)
+    trans_per_s = depth_e * iters_e * n / t
 
     # -- HBM stream bandwidth -------------------------------------------
     nb = 1 << 26  # 256 MB f32: far beyond VMEM, forced to stream from HBM
-    iters_b = 16 if big else 2
+    iters_b = 256 if big else 4
     xb = jnp.ones((nb,), jnp.float32)
 
     @jax.jit
     def stream(x):
         def body(_, x):
-            # one elementwise pass per iteration; the fori boundary forces
-            # a full HBM read + write each time (no cross-iter fusion)
+            # one elementwise pass per iteration; the fori boundary stops
+            # cross-iteration fusion, so each is a full HBM read + write
             return x * np.float32(1.0000001) + np.float32(1e-9)
 
-        return jax.lax.fori_loop(0, iters_b, body, x)
+        return jnp.sum(jax.lax.fori_loop(0, iters_b, body, x))
 
-    hbm_bytes_per_s = 2.0 * 4.0 * nb * iters_b / timed(stream, xb)
+    t = max(timed_fetch(stream, xb) - base, 1e-9)
+    # + the final sum's read is negligible next to iters_b passes
+    hbm_bytes_per_s = 2.0 * 4.0 * nb * iters_b / t
+
+    # -- Box-Muller composite rate --------------------------------------
+    # the noise stage's serial log->sqrt->cos chain is its own regime
+    # (transcendentals lower as serial polynomial chains, so neither the
+    # FMA nor the exp ceiling predicts it); measure one (log, sqrt, cos)
+    # triple per element per iteration — a BM PAIR is ~4/3 triples
+    # (log + sqrt + cos + sin)
+    iters_n = 2048 if big else 8
+    xn = jnp.linspace(0.05, 0.95, n, dtype=jnp.float32)
+
+    @jax.jit
+    def bm_chain(x):
+        def body(_, x):
+            a = jnp.sqrt(-2.0 * jnp.log(x))
+            return np.float32(0.5) + np.float32(0.49) * jnp.cos(a)
+
+        return jnp.sum(jax.lax.fori_loop(0, iters_n, body, x))
+
+    t = max(timed_fetch(bm_chain, xn) - base, 1e-9)
+    bm_triples_per_s = iters_n * n / t
 
     return {
         "backend": backend,
         "vpu_flops": vpu_flops,
         "transcendental_per_s": trans_per_s,
         "hbm_bytes_per_s": hbm_bytes_per_s,
+        "bm_triples_per_s": bm_triples_per_s,
     }
 
 
@@ -150,11 +189,14 @@ def _nnz(m):
 
 def noise_work(k_padded: int, tau: int, adim: int):
     """In-kernel Box-Muller work: per PAIR of normals one log, sqrt, cos,
-    sin (4 transcendentals) + ~10 flops (bit packing, -2*log mult, the two
-    products). Normals drawn = k_padded * tau * adim (every lane of every
-    tile draws, the solve masks pad lanes afterwards)."""
+    sin + ~10 algebraic flops. Normals drawn = k_padded * tau * adim
+    (every lane of every tile draws, the solve masks pad lanes).
+    The transcendental quartet is modelled as 4/3 of the MEASURED
+    (log, sqrt, cos) composite (``bm_triples_per_s``) — the serial
+    polynomial chains neither the FMA nor the exp ceiling predicts."""
     normals = k_padded * tau * adim
-    return {"flops": 5 * normals, "trans": 2 * normals}
+    return {"flops": 5 * normals, "trans": 0,
+            "bm_triples": (normals // 2) * 4 // 3}
 
 
 def pm_work(fused, normalize: bool = False):
@@ -193,7 +235,8 @@ def pm_work(fused, normalize: bool = False):
     sample_trans = 1 + (tau if mc.get("cost_kind") != "quadratic" else 0)
     work = {
         "flops": kp * (per_sample + softmax) + nz["flops"] * n_solves,
-        "trans": kp * sample_trans + nz["trans"] * n_solves,
+        "trans": kp * sample_trans,
+        "bm_triples": nz["bm_triples"] * n_solves,
         "hbm_bytes": (2 * 4 * kp) if normalize else 0,  # costs out + in
     }
     if normalize:
@@ -244,8 +287,8 @@ def auv_work(fused, normalize: bool = False):
         "flops": kp * (per_sample + softmax) + nz["flops"] * n_solves,
         # per sample: rsqrt in norm_quat (1/step) + the cost's own
         # transcendentals (rsqrt's; the acos is polynomial) + softmax exp
-        "trans": kp * (tau * (1 + cost_trans) + 1)
-        + nz["trans"] * n_solves,
+        "trans": kp * (tau * (1 + cost_trans) + 1),
+        "bm_triples": nz["bm_triples"] * n_solves,
         "hbm_bytes": (2 * 4 * kp) if normalize else 0,
     }
     if normalize:
@@ -267,7 +310,8 @@ def xla_solve_work(k: int, tau: int, adim: int, step_flops: int,
     return {
         "flops": k * (per_sample + 8 + 2 * tau * adim)
         + 5 * k * tau * adim,
-        "trans": k * (1 + 2 * tau * adim),  # exp + RNG normals
+        "trans": k,  # softmax exp
+        "bm_triples": (k * tau * adim // 2) * 4 // 3,  # RNG normals
         "hbm_bytes": 3 * eps_bytes + carry_bytes,
     }
 
@@ -278,18 +322,30 @@ def xla_solve_work(k: int, tau: int, adim: int, step_flops: int,
 
 def classify(work: dict, ceil: dict, measured_ms: float):
     """Given a work model, the measured ceilings and a measured latency,
-    return the roofline annotation dict for a bench row's ``extra``."""
+    return the roofline annotation dict for a bench row's ``extra``.
+
+    The stage bounds ADD (noise generation and the rollout are
+    sequential phases of one kernel pass), so the speed-of-light is the
+    SUM of the noise-stage and compute-stage times, each measured
+    against its own ceiling, with HBM/transcendental as alternative
+    binding resources."""
     t_flops = work["flops"] / ceil["vpu_flops"]
-    t_trans = work["trans"] / ceil["transcendental_per_s"]
+    t_trans = work.get("trans", 0) / ceil["transcendental_per_s"]
+    t_noise = (work.get("bm_triples", 0)
+               / ceil.get("bm_triples_per_s", float("inf")))
     t_hbm = work.get("hbm_bytes", 0) / ceil["hbm_bytes_per_s"]
-    bounds = {"compute": t_flops, "transcendental": t_trans, "hbm": t_hbm}
+    t_serial = t_flops + t_noise  # sequential stages of the same pass
+    bounds = {"compute+noise": t_serial, "transcendental": t_trans,
+              "hbm": t_hbm}
     bound = max(bounds, key=bounds.get)
     t_bound_ms = bounds[bound] * 1e3
     return {
         "flops": int(work["flops"]),
-        "transcendentals": int(work["trans"]),
+        "transcendentals": int(work.get("trans", 0)),
+        "bm_triples": int(work.get("bm_triples", 0)),
         "hbm_bytes": int(work.get("hbm_bytes", 0)),
         "t_compute_ms": round(t_flops * 1e3, 4),
+        "t_noise_ms": round(t_noise * 1e3, 4),
         "t_transcendental_ms": round(t_trans * 1e3, 4),
         "t_hbm_ms": round(t_hbm * 1e3, 4),
         "bound": bound,
@@ -325,7 +381,8 @@ def nn_work(fused, normalize: bool = False):
     n_solves = 2 if normalize else 1
     work = {
         "flops": kp * (per_sample + softmax) + nz["flops"] * n_solves,
-        "trans": kp * (tau + 1) + nz["trans"] * n_solves,  # rsqrt + exp
+        "trans": kp * (tau + 1),  # rsqrt + softmax exp
+        "bm_triples": nz["bm_triples"] * n_solves,
         "hbm_bytes": (2 * 4 * kp) if normalize else 0,
     }
     if normalize:
