@@ -1255,13 +1255,13 @@ def main():
                      ceil["transcendental_per_s"] / 1e9, 3),
                  "hbm_gbytes_per_s": round(
                      ceil["hbm_bytes_per_s"] / 1e9, 2),
-                 "bm_triples_gops": round(
-                     ceil["bm_triples_per_s"] / 1e9, 3),
+                 "bm_pairs_gops": round(
+                     ceil["bm_pairs_per_s"] / 1e9, 3),
                  "backend": backend,
                  "note": ("microbenchmark-measured (fetch-forced) "
                           "elementwise-FMA rate (ILP-4), exp() rate, HBM "
                           "stream bandwidth and the Box-Muller "
-                          "(log,sqrt,cos) composite rate — the roofs "
+                          "per-pair composite rate — the roofs "
                           "every row's roofline.* fields refer to"),
              }}
         print(json.dumps(r), flush=True)

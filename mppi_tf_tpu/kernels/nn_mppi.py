@@ -64,7 +64,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .auv_mppi import _acos
-from .pm_mppi import NEG_INF, _bits_to_uniform, _freeze
+from .pm_mppi import NEG_INF, _bits_to_uniform, _freeze, _sin2pi
 
 _SUB = 8
 
@@ -102,10 +102,10 @@ def _fill_noise_steps(z_scr, seed_ref, pid, tau, pair_rows, L,
     b1 = pltpu.bitcast(pltpu.prng_random_bits((rows_all, L)), jnp.uint32)
     b2 = pltpu.bitcast(pltpu.prng_random_bits((rows_all, L)), jnp.uint32)
     u1 = _bits_to_uniform(b1) + (2.0 ** -24)
-    theta = (2.0 * math.pi) * _bits_to_uniform(b2)
+    u2 = _bits_to_uniform(b2)  # theta = 2*pi*u2, consumed via _sin2pi
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    rc = (r * jnp.cos(theta)).reshape(tau, pair_rows, L)
-    rs = (r * jnp.sin(theta)).reshape(tau, pair_rows, L)
+    rc = (r * _sin2pi(u2 + 0.25)).reshape(tau, pair_rows, L)
+    rs = (r * _sin2pi(u2)).reshape(tau, pair_rows, L)
     z = jnp.concatenate([rc, rs], axis=1)
     if antithetic:
         lane_i = jax.lax.broadcasted_iota(jnp.int32, z.shape, 2)

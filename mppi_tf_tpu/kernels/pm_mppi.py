@@ -81,6 +81,29 @@ _CH = 2    # steps per noise chunk
 _ROWS = 8  # legacy export (padded component dim of the pre-folded design)
 
 
+# sin(2*pi*u) for any real u: period fold + quarter-wave fold + odd
+# minimax polynomial in w^2 (f32 max abs err 3.9e-7; least-squares fit of
+# sin(2*pi*w)/w on w in [0, 1/4], degree 5 in w^2). Mosaic's builtin
+# cos/sin lower ~17x SLOWER than log/exp (measured 38 vs 650 Gops/s on
+# this v5e — the trig was the entire Box-Muller bottleneck, ~85% of the
+# headline solve); this folding costs ~15 FMAs at the 5.8 Tflop/s
+# elementwise rate instead.
+_SIN2PI_C = (6.2831853071e+00, -4.1341702147e+01, 8.1605230507e+01,
+             -7.6704495515e+01, 4.2014101088e+01, -1.4423966661e+01)
+
+
+def _sin2pi(u):
+    """sin(2*pi*u), u any f32; cos(2*pi*u) == _sin2pi(u + 0.25)."""
+    v = u - jnp.floor(u + 0.5)                      # fold to [-0.5, 0.5)
+    half = jnp.where(v >= 0.0, 0.5, -0.5)
+    w = jnp.where(jnp.abs(v) > 0.25, half - v, v)   # quarter-wave mirror
+    t = w * w
+    pc = jnp.float32(_SIN2PI_C[5])
+    for k_ in (4, 3, 2, 1, 0):
+        pc = pc * t + _SIN2PI_C[k_]
+    return w * pc
+
+
 def _bits_to_uniform(bits):
     """uint32 bits -> uniform f32 in [0, 1) without an int->float cast.
 
@@ -150,10 +173,10 @@ def _fill_noise(z_scr, seed_ref, pid, n_chunks, pair_rows, L,
     b2 = pltpu.bitcast(
         pltpu.prng_random_bits((rows_all, L)), jnp.uint32)
     u1 = _bits_to_uniform(b1) + (2.0 ** -24)
-    theta = (2.0 * math.pi) * _bits_to_uniform(b2)
+    u2 = _bits_to_uniform(b2)  # theta = 2*pi*u2, consumed via _sin2pi
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    rc = (r * jnp.cos(theta)).reshape(n_chunks, pair_rows, L)
-    rs = (r * jnp.sin(theta)).reshape(n_chunks, pair_rows, L)
+    rc = (r * _sin2pi(u2 + 0.25)).reshape(n_chunks, pair_rows, L)
+    rs = (r * _sin2pi(u2)).reshape(n_chunks, pair_rows, L)
     z = jnp.concatenate([rc, rs], axis=1)
     if antithetic:
         lane_i = jax.lax.broadcasted_iota(jnp.int32, z.shape, 2)

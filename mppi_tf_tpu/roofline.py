@@ -150,32 +150,46 @@ def measure_ceilings(reps: int = 3):
     # + the final sum's read is negligible next to iters_b passes
     hbm_bytes_per_s = 2.0 * 4.0 * nb * iters_b / t
 
-    # -- Box-Muller composite rate --------------------------------------
-    # the noise stage's serial log->sqrt->cos chain is its own regime
-    # (transcendentals lower as serial polynomial chains, so neither the
-    # FMA nor the exp ceiling predicts it); measure one (log, sqrt, cos)
-    # triple per element per iteration — a BM PAIR is ~4/3 triples
-    # (log + sqrt + cos + sin)
+    # -- Box-Muller PAIR rate --------------------------------------------
+    # one iteration = the kernel's per-pair math: log + sqrt + TWO
+    # quarter-wave sin polynomials (kernels/pm_mppi._sin2pi — the builtin
+    # cos/sin lower ~17x slower than log and were replaced) + the products.
+    # Measured as its own ceiling because the serial log->sqrt chain sits
+    # in neither the FMA nor the exp regime.
     iters_n = 2048 if big else 8
     xn = jnp.linspace(0.05, 0.95, n, dtype=jnp.float32)
+
+    def _sin2pi(u):
+        v = u - jnp.floor(u + np.float32(0.5))
+        half = jnp.where(v >= 0.0, np.float32(0.5), np.float32(-0.5))
+        w = jnp.where(jnp.abs(v) > np.float32(0.25), half - v, v)
+        tq = w * w
+        cs = (6.2831853071e+00, -4.1341702147e+01, 8.1605230507e+01,
+              -7.6704495515e+01, 4.2014101088e+01, -1.4423966661e+01)
+        pc = jnp.float32(cs[5])
+        for k_ in (4, 3, 2, 1, 0):
+            pc = pc * tq + np.float32(cs[k_])
+        return w * pc
 
     @jax.jit
     def bm_chain(x):
         def body(_, x):
-            a = jnp.sqrt(-2.0 * jnp.log(x))
-            return np.float32(0.5) + np.float32(0.49) * jnp.cos(a)
+            r = jnp.sqrt(-2.0 * jnp.log(x))
+            zc = r * _sin2pi(x + np.float32(0.25))
+            zs = r * _sin2pi(x)
+            return np.float32(0.5) + np.float32(0.1) * (zc - zs)
 
         return jnp.sum(jax.lax.fori_loop(0, iters_n, body, x))
 
     t = max(timed_fetch(bm_chain, xn) - base, 1e-9)
-    bm_triples_per_s = iters_n * n / t
+    bm_pairs_per_s = iters_n * n / t
 
     return {
         "backend": backend,
         "vpu_flops": vpu_flops,
         "transcendental_per_s": trans_per_s,
         "hbm_bytes_per_s": hbm_bytes_per_s,
-        "bm_triples_per_s": bm_triples_per_s,
+        "bm_pairs_per_s": bm_pairs_per_s,
     }
 
 
@@ -191,12 +205,12 @@ def noise_work(k_padded: int, tau: int, adim: int):
     """In-kernel Box-Muller work: per PAIR of normals one log, sqrt, cos,
     sin + ~10 algebraic flops. Normals drawn = k_padded * tau * adim
     (every lane of every tile draws, the solve masks pad lanes).
-    The transcendental quartet is modelled as 4/3 of the MEASURED
-    (log, sqrt, cos) composite (``bm_triples_per_s``) — the serial
-    polynomial chains neither the FMA nor the exp ceiling predicts."""
+    Each PAIR is one unit of the MEASURED per-pair composite rate
+    (``bm_pairs_per_s`` — log + sqrt + two sin polynomials), a regime
+    neither the FMA nor the exp ceiling predicts."""
     normals = k_padded * tau * adim
     return {"flops": 5 * normals, "trans": 0,
-            "bm_triples": (normals // 2) * 4 // 3}
+            "bm_pairs": normals // 2}
 
 
 def pm_work(fused, normalize: bool = False):
@@ -236,7 +250,7 @@ def pm_work(fused, normalize: bool = False):
     work = {
         "flops": kp * (per_sample + softmax) + nz["flops"] * n_solves,
         "trans": kp * sample_trans,
-        "bm_triples": nz["bm_triples"] * n_solves,
+        "bm_pairs": nz["bm_pairs"] * n_solves,
         "hbm_bytes": (2 * 4 * kp) if normalize else 0,  # costs out + in
     }
     if normalize:
@@ -288,7 +302,7 @@ def auv_work(fused, normalize: bool = False):
         # per sample: rsqrt in norm_quat (1/step) + the cost's own
         # transcendentals (rsqrt's; the acos is polynomial) + softmax exp
         "trans": kp * (tau * (1 + cost_trans) + 1),
-        "bm_triples": nz["bm_triples"] * n_solves,
+        "bm_pairs": nz["bm_pairs"] * n_solves,
         "hbm_bytes": (2 * 4 * kp) if normalize else 0,
     }
     if normalize:
@@ -311,7 +325,7 @@ def xla_solve_work(k: int, tau: int, adim: int, step_flops: int,
         "flops": k * (per_sample + 8 + 2 * tau * adim)
         + 5 * k * tau * adim,
         "trans": k,  # softmax exp
-        "bm_triples": (k * tau * adim // 2) * 4 // 3,  # RNG normals
+        "bm_pairs": k * tau * adim // 2,  # RNG normals
         "hbm_bytes": 3 * eps_bytes + carry_bytes,
     }
 
@@ -331,8 +345,8 @@ def classify(work: dict, ceil: dict, measured_ms: float):
     binding resources."""
     t_flops = work["flops"] / ceil["vpu_flops"]
     t_trans = work.get("trans", 0) / ceil["transcendental_per_s"]
-    t_noise = (work.get("bm_triples", 0)
-               / ceil.get("bm_triples_per_s", float("inf")))
+    t_noise = (work.get("bm_pairs", 0)
+               / ceil.get("bm_pairs_per_s", float("inf")))
     t_hbm = work.get("hbm_bytes", 0) / ceil["hbm_bytes_per_s"]
     t_serial = t_flops + t_noise  # sequential stages of the same pass
     bounds = {"compute+noise": t_serial, "transcendental": t_trans,
@@ -342,7 +356,7 @@ def classify(work: dict, ceil: dict, measured_ms: float):
     return {
         "flops": int(work["flops"]),
         "transcendentals": int(work.get("trans", 0)),
-        "bm_triples": int(work.get("bm_triples", 0)),
+        "bm_pairs": int(work.get("bm_pairs", 0)),
         "hbm_bytes": int(work.get("hbm_bytes", 0)),
         "t_compute_ms": round(t_flops * 1e3, 4),
         "t_noise_ms": round(t_noise * 1e3, 4),
@@ -382,7 +396,7 @@ def nn_work(fused, normalize: bool = False):
     work = {
         "flops": kp * (per_sample + softmax) + nz["flops"] * n_solves,
         "trans": kp * (tau + 1),  # rsqrt + softmax exp
-        "bm_triples": nz["bm_triples"] * n_solves,
+        "bm_pairs": nz["bm_pairs"] * n_solves,
         "hbm_bytes": (2 * 4 * kp) if normalize else 0,
     }
     if normalize:
