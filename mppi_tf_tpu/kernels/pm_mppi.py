@@ -36,8 +36,11 @@ where it was measured to beat both the [k, c] XLA layout and a
 Evolution (measured at K=100k, H=50, one v5e chip): naive transposed
 [8, tile] kernel 2.54 ms (Box-Muller on 8-row blocks with 3 useful rows
 dominated at ~1.2 ms); chunked two-sided BM + folding + unrolled horizon
-1.30 ms; full-width cost accumulators 1.14 ms; this folded layout removes
-the remaining (1, tile) ops, misaligned sublane reads and tiny matmuls.
+1.30 ms; full-width cost accumulators 1.14 ms; the folded layout removes
+the remaining (1, tile) ops, misaligned sublane reads and tiny matmuls
+(0.32 ms); round 5 replaces the builtin cos/sin (measured 38 Gops/s vs
+log's 649 — trig was ~85% of the solve) with the _sin2pi quarter-wave
+polynomial: 0.18 ms, at ~105% of the measured compute+noise roofline.
 
 Semantics match ops/update.mppi_update + ops/rollout.rollout_costs exactly
 (reference: controller_base.py:299-346): per-step cost is state cost of the
