@@ -3,9 +3,16 @@
 Default invocation (no env vars) runs the SUITE — every README performance
 row the framework claims, driver-verifiable in one run:
 
+    device ceilings (measured FMA/exp/HBM/Box-Muller roofs; every
+    controller row carries a roofline annotation against them)
     point-mass pallas K=100k H=50   (headline; BASELINE.md north star)
     point-mass XLA    K=100k H=50   (the fused kernel's own baseline)
     point-mass pallas K=1M   H=50   (linear-K scaling)
+    point-mass pallas K=100k H=100 + exp noise schedule (long horizon)
+    point-mass / AUV bf16 decision rows (TPU; BF16_DECISION.json)
+    NN pallas-vs-XLA pair (TPU; the kernels/nn_mppi.py experiment)
+    weak-scaling curve: 4..32 devices at fixed per-device K (CPU
+    clusters, intra- and cross-process, local-mesh controls)
     AUV (Fossen rk2)  pallas K=262144 H=25
     AUV (Fossen rk2)  pallas K=65536  H=50
     AUV waypoint mission (quat blend) pallas K=262144 H=25

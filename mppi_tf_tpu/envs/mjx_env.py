@@ -221,8 +221,9 @@ def build_on_device_loop(ctrl, plant_step, steps: int, substeps: int = 10,
     mujoco_py (simulation.py:39-55), so it pays a device round trip per
     control step; here the dispatch overhead (axon relay: ~22-33 ms
     regardless of content) is paid once per EXPERIMENT instead of once per
-    step. Measured on the v5e testbed: 0.40 ms/control-step incl. plant at
-    K=100k H=50 (fused point-mass kernel) vs ~283 ms/step host-driven.
+    step. Measured on the v5e testbed (round 5): 0.23 ms/control-step incl.
+    plant at K=100k H=50 (fused point-mass kernel) vs ~283 ms/step
+    host-driven.
     """
     import jax
     import jax.numpy as jnp
